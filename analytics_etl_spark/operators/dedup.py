@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, all built from DataFrame primitives (no Python UDFs):
+
+- exact: md5-fingerprint groupBy — one shuffle on the fingerprint.
+- n-gram Jaccard: shingle explode + pair join on shared shingles —
+  the exact-verification kernel; quadratic in *colliding* docs only.
+- MinHash + LSH: shingle → k minhashes → banded buckets → candidate
+  pairs → exact Jaccard verify. The 100 TB path: candidate generation
+  is linear scans + shuffles on (band, bucket); only near-duplicates
+  ever meet in a join.
+- SimHash: 64-bit signature via per-shingle md5 bit-votes; bucket by
+  signature prefix.
+
+Hashes are md5 (identical across Spark, DuckDB, and any other engine),
+which keeps every stage oracle-checkable and deterministic — a
+property xxhash64/murmur do NOT have across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, text) → (id, shingle): word n-gram shingles, exploded.
+
+    Tokenization is a single-space split (the corpus is pre-normalized;
+    swap in a regexp tokenizer for raw text). Narrow op until the
+    optional distinct (one shuffle).
+    """
+    words = F.split(F.col(text_col), " ")
+    k = F.size(words) - (n - 1)  # number of shingles
+    idx = F.sequence(F.lit(0), k - 1)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+    )
+    shingles = F.when(k >= 1, F.transform(idx, shingle_at)).otherwise(
+        F.array().cast("array<string>")
+    )
+    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group identical texts by md5, keep the min id.
+
+    Hash-groupBy on the 32-char fingerprint instead of the full text —
+    the shuffle carries 32 bytes per row, not the document.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def jaccard_pairs(shingled: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Exact pairwise Jaccard over docs sharing ≥1 shingle.
+
+    shingled: distinct (doc_id, shingle). Returns (doc_a, doc_b,
+    jaccard) with doc_a < doc_b. The join key is the shingle, so only
+    docs with actual overlap are ever paired.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, seed, h): per-seed minhash.
+
+    h_seed(doc) = min over shingles of md5(seed || ':' || shingle) —
+    md5 hex compared lexicographically. One aggregation; the seed
+    fan-out multiplies rows k× *before* the combine, but partial
+    aggregation means only one (doc, seed) row per task crosses the
+    shuffle.
+    """
+    seeded = shingled.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("h"))
+
+
+def lsh_band_buckets(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """Minhash signatures → (doc_id, band, bucket) LSH buckets.
+
+    bucket = md5 of the band's rows_per_band minhashes joined in seed
+    order. Docs agreeing on ALL rows of some band share a bucket.
+    """
+    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda s: s["h"]
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.array_join(ordered, "|")).alias("bucket")
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from shared (band, bucket)."""
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates + exact verify.
+
+    Returns (doc_a, doc_b, jaccard) for LSH-candidate pairs. At scale:
+    shingle explode (narrow) → minhash agg (shuffle on doc) → bucket
+    join (shuffle on bucket) → verify join restricted to candidates.
+    """
+    shingled = word_shingles(docs, text_col, id_col, n=shingle_n, distinct=True)
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band))
+    exact = jaccard_pairs(shingled, min_jaccard=0.0)
+    return cands.join(exact, ["doc_a", "doc_b"], "inner").filter(
+        F.col("jaccard") >= min_jaccard
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash: per-doc `bits`-bit signature from shingle-hash bit votes.
+
+    bit_i(doc) = 1 iff more shingles have bit i set than not in their
+    md5-derived integer hash. Returns (doc_id, simhash). Narrow
+    explode + one groupBy; Hamming-distance buckets via prefix.
+    """
+    shingled = word_shingles(docs, text_col, id_col, n=shingle_n, distinct=False)
+    # 60-bit integer from the first 15 hex chars of md5 (JVM-side conv).
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    withbits = shingled.select(
+        "doc_id",
+        *[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{i}")
+            for i in range(bits)
+        ],
+    )
+    votes = withbits.groupBy("doc_id").agg(
+        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(bits)]
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc_id", sig.alias("simhash"))

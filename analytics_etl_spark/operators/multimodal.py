@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns next to typed
+metadata. The Spark-side machinery here — schema, batch iteration,
+partition sizing — is real and tested; the actual media decoding is
+STUBBED (the image/audio libraries are not in this container) behind
+``decode_stub``/NotImplementedError with a deterministic fake, so the
+pipeline shape is verifiable end-to-end.
+
+Scale notes: media rows are large and variable — keep
+``spark.sql.files.maxPartitionBytes`` moderate, never collect payloads,
+and push metadata-only predicates BEFORE any decode (`mapInPandas`
+sees only surviving rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("duration_ms", T.IntegerType()),
+            T.StructField("mime", T.StringType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+REAL_DECODERS_AVAILABLE = False  # PIL / torchaudio / decord not in this image
+
+
+def decode_stub(payload: bytes, kind: str) -> list[float]:
+    """Deterministic fake 'decode → feature' for pipeline testing.
+
+    Real deployments replace this with PIL/ffmpeg decode + model
+    features. Raises if someone flips the flag without wiring a
+    decoder.
+    """
+    if REAL_DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("wire a real decoder here")
+    # 8 deterministic pseudo-features from payload bytes
+    n = len(payload)
+    return [float((payload[i % n] if n else 0) + i) for i in range(8)]
+
+
+def binary_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata pass that never leaves the JVM: size + digest."""
+    return df.select(
+        "media_id",
+        "kind",
+        F.octet_length(payload_col).cast("long").alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("sha256"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract via mapInPandas.
+
+    Batch shape: the iterator yields pandas frames sized by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` — decoding is
+    amortized per batch, payloads never hit the driver.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b or b"")),
+                    "sha256": payloads.map(
+                        lambda b: hashlib.sha256(b or b"").hexdigest()
+                    ),
+                    "feature": [
+                        decode_stub(b or b"", k)
+                        for b, k in zip(payloads, pdf["kind"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents corpus (text → bytes),
+    so the multimodal path is exercised on real testdata."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )

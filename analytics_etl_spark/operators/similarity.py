@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and a
+sign-bucketed (random-hyperplane-style) LSH variant as the scale path.
+All arithmetic is JVM-side higher-order functions over double arrays —
+no Python in the hot loop. ``F.aggregate`` folds left-to-right, so
+scores are bit-deterministic.
+
+At 100 TB: brute force is one narrow pass per query (fine for batch
+scoring, O(N·d) per query); the bucketed variant prunes the scan to
+one bucket (2^b-fold fan-in reduction) at a documented recall cost.
+A full IVF/HNSW index is out of scope for a shuffle-oriented engine;
+bucketing composes with partition pruning when the table is written
+partitioned by bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """cos(a,b) = dot/(sqrt(|a|²·|b|²)) — one sqrt so engines agree."""
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Brute-force top-k by cosine against a literal query vector.
+
+    The query vector is folded into the plan as a literal array —
+    Catalyst constant-folds it; the scan is a single narrow pass and
+    top-k runs as TakeOrderedAndProject (no full sort).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    e = as_double_array(vec_col)
+    out = embeddings.select(
+        F.col(id_col),
+        cosine(e, q).alias("score"),
+    )
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def sign_bucket(vec_col: Column | str, bits: int = 8) -> Column:
+    """LSH bucket id from the sign pattern of the first `bits` dims.
+
+    A fixed-projection stand-in for random hyperplanes (deterministic
+    and cross-engine reproducible); bucket = Σ 2^i·[v_i > 0].
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    b = F.lit(0)
+    for i in range(bits):
+        b = b + F.when(F.element_at(c, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def bucketed_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """ANN: search only the query's sign-bucket, then exact cosine.
+
+    With the table physically partitioned by bucket this is partition
+    pruning — the scan touches 1/2^bits of the data.
+    """
+    qbucket = 0
+    for i in range(bits):
+        if float(query_vec[i]) > 0:
+            qbucket += 2**i
+    pruned = embeddings.filter(sign_bucket(vec_col, bits) == F.lit(qbucket))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids)

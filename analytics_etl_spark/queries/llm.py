@@ -1,0 +1,315 @@
+"""LLM training-data pipeline queries: dedup, similarity, text analysis.
+
+Every hash used in dedup is md5 (identical in Spark and DuckDB), so
+even MinHash-LSH is oracle-checked end-to-end — candidate generation,
+banding, and exact-Jaccard verification all hash-match across engines.
+SimHash is registered rows-only (bit-vote arithmetic is not worth
+restating in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_signatures,
+    word_shingles,
+)
+from analytics_etl_spark.operators.multimodal import binary_meta, synthesize_media
+from analytics_etl_spark.operators.similarity import bucketed_cosine_topk, cosine_topk
+from analytics_etl_spark.operators.text_analysis import (
+    langid_guess,
+    quality_features,
+    token_count,
+    winnowing_fingerprints,
+    word_count,
+)
+from analytics_etl_spark.queries.registry import query, t
+
+# Shared DuckDB CTE: distinct word 3-gram shingles per document
+# (mirrors operators.dedup.word_shingles with n=3).
+_TOK3_SQL = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM words
+    )
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("fingerprint", "kept_doc_id", "n_copies")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_TOK3_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT p.doc_a, p.doc_b,
+             CAST(p.common AS DOUBLE) / (sa.sz + sb.sz - p.common) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ) WHERE jaccard >= 0.1
+    """,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shingled = word_shingles(docs, n=3, distinct=True)
+    return jaccard_pairs(shingled, min_jaccard=0.1)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_TOK3_SQL},
+    seeds AS (SELECT unnest(range(0, 12)) AS seed),
+    mh AS (
+      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+      FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             md5(string_agg(h, '|' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      FROM tok x JOIN tok y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
+    FROM cand c
+    JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, num_hashes=12, rows_per_band=3, shingle_n=3)
+
+
+# SimHash — rows-only check (bit-vote arithmetic; signatures are
+# deterministic md5-derived, verified by unit tests instead).
+@query("dedup_simhash", oracle=None)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return simhash_signatures(docs, bits=32, shingle_n=2)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_COS_SQL = """
+    list_dot_product(e.embedding::DOUBLE[], q.qv)
+      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+             * list_dot_product(q.qv, q.qv))
+"""
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return cosine_topk(emb, qv, k=10, exclude_ids=(0,))
+
+
+def _bucket_sql(col: str, bits: int = 8) -> str:
+    terms = [
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+@query(
+    "similarity_ann_bucketed",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql("embedding")} AS qb
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {_COS_SQL} AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0 AND {_bucket_sql("e.embedding")} = q.qb
+    ORDER BY score DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def similarity_ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir, 0)
+    return bucketed_cosine_topk(emb, qv, k=5, bits=8, exclude_ids=(0,))
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
+           CAST(length(text) AS INT) AS n_chars_calc
+    FROM documents
+    """,
+)
+def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("int").alias("n_tokens"),
+        word_count("text").cast("int").alias("n_words"),
+        F.length("text").cast("int").alias("n_chars_calc"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_text,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+             AS alpha_ratio,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stop_ratio,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len,
+           (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.7
+             + (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS DOUBLE)
+                / len(string_split(text, ' '))) * 0.3 AS quality_score
+    FROM documents
+    """,
+)
+def text_quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = quality_features(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_text").cast("int").alias("n_chars_text"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "alpha_ratio",
+        "stop_ratio",
+        "avg_token_len",
+        "quality_score",
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS hits_de,
+        len(list_filter(string_split(text,' '), w -> w IN ('the','a','of')))    AS hits_en,
+        len(list_filter(string_split(text,' '), w -> w IN ('el','la','de')))    AS hits_es,
+        len(list_filter(string_split(text,' '), w -> w IN ('le','la','et')))    AS hits_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hits_de AS INT) AS hits_de, CAST(hits_en AS INT) AS hits_en,
+           CAST(hits_es AS INT) AS hits_es, CAST(hits_fr AS INT) AS hits_fr,
+           CASE
+             WHEN hits_de > 0 AND hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+             WHEN hits_en > 0 AND hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+             WHEN hits_es > 0 AND hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+             WHEN hits_fr > 0 AND hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_guess
+    FROM h
+    """,
+)
+def text_langid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    out = langid_guess(docs)
+    return out.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("int").alias(f"hits_{lang}") for lang in ("de", "en", "es", "fr")],
+        "lang_guess",
+    )
+
+
+@query(
+    "doc_fingerprint_winnow",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 2),
+               i -> struct_pack(pos := i,
+                    h := md5(w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3])))) AS s
+      FROM words
+    ),
+    wm AS (
+      SELECT doc_id,
+             MIN(s.h) OVER (PARTITION BY doc_id ORDER BY s.pos
+                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+      FROM sh
+    )
+    SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints, MIN(fp) AS min_fp
+    FROM wm GROUP BY doc_id
+    """,
+)
+def doc_fingerprint_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, shingle_n=4, window=5)
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return binary_meta(synthesize_media(docs))
