@@ -36,6 +36,14 @@ def word_shingles(
     swap in a regexp tokenizer for raw text). Narrow op until the
     optional distinct (one shuffle).
     """
+    # Shingling fans out ~tokens× per row; if the source arrived in
+    # fewer partitions than cores (small file, coalesced scan), spread
+    # it first so the explode parallelizes. At real scale the scan
+    # already has >= cores partitions and this is a no-op.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism, id_col)
+
     words = F.split(F.col(text_col), " ")
     k = F.size(words) - (n - 1)  # number of shingles
     idx = F.sequence(F.lit(0), k - 1)
@@ -45,8 +53,11 @@ def word_shingles(
     shingles = F.when(k >= 1, F.transform(idx, shingle_at)).otherwise(
         F.array().cast("array<string>")
     )
-    out = docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
-    return out.distinct() if distinct else out
+    if distinct:
+        # distinctness is per-document — array_distinct inside the row
+        # does it with zero shuffle (vs a corpus-wide DISTINCT).
+        shingles = F.array_distinct(shingles)
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -96,31 +107,45 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
 
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """(doc_id, shingle) → (doc_id, seed, h): per-seed minhash.
+    """(doc_id, shingle) → (doc_id, h0..h{k-1}): wide minhash signature.
 
-    h_seed(doc) = min over shingles of md5(seed || ':' || shingle) —
-    md5 hex compared lexicographically. One aggregation; the seed
-    fan-out multiplies rows k× *before* the combine, but partial
-    aggregation means only one (doc, seed) row per task crosses the
-    shuffle.
+    h_i(doc) = min over shingles of md5(i || ':' || shingle) — md5 hex
+    compared lexicographically. All k minhashes are k MIN aggregates
+    in ONE groupBy: no k× row fan-out, one shuffle, and partial
+    aggregation means one row per (doc, task) crosses the wire.
     """
-    seeded = shingled.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
-    return seeded.groupBy("doc_id", "seed").agg(F.min(h).alias("h"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_band_buckets(signatures: DataFrame, rows_per_band: int = 3) -> DataFrame:
-    """Minhash signatures → (doc_id, band, bucket) LSH buckets.
+def lsh_band_buckets(
+    signatures: DataFrame, rows_per_band: int = 3, num_hashes: int = 12
+) -> DataFrame:
+    """Wide minhash signatures → (doc_id, band, bucket) LSH buckets.
 
     bucket = md5 of the band's rows_per_band minhashes joined in seed
     order. Docs agreeing on ALL rows of some band share a bucket.
+    Pure projection + explode — no extra shuffle.
     """
-    banded = signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("seed", "h"))), lambda s: s["h"]
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(F.array_join(ordered, "|")).alias("bucket")
+    return signatures.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 
 
@@ -133,6 +158,40 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def verify_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for a GIVEN pair set only (the LSH verify stage).
+
+    Unlike jaccard_pairs, this never forms the all-colliding-pairs
+    join: the (small) candidate set is broadcast onto doc_a's
+    shingles, then matched against doc_b's — cost is
+    O(|pairs| · shingles/doc), independent of corpus-wide collisions.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    tb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        F.broadcast(pairs)
+        .join(ta, "doc_a")
+        .join(tb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -149,15 +208,15 @@ def minhash_lsh_dedup(
 
     Returns (doc_a, doc_b, jaccard) for LSH-candidate pairs. At scale:
     shingle explode (narrow) → minhash agg (shuffle on doc) → bucket
-    join (shuffle on bucket) → verify join restricted to candidates.
+    join (shuffle on bucket) → exact-Jaccard verify restricted to the
+    candidate pairs (never corpus-wide).
     """
-    shingled = word_shingles(docs, text_col, id_col, n=shingle_n, distinct=True)
+    # The shingle frame feeds BOTH signature building and the exact
+    # verify stage — cache it so the corpus is shingled once.
+    shingled = word_shingles(docs, text_col, id_col, n=shingle_n, distinct=True).cache()
     sigs = minhash_signatures(shingled, num_hashes)
-    cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band))
-    exact = jaccard_pairs(shingled, min_jaccard=0.0)
-    return cands.join(exact, ["doc_a", "doc_b"], "inner").filter(
-        F.col("jaccard") >= min_jaccard
-    )
+    cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band, num_hashes))
+    return verify_jaccard(shingled, cands).filter(F.col("jaccard") >= min_jaccard)
 
 
 def simhash_signatures(
