@@ -16,7 +16,10 @@ from collections.abc import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from analytics_etl_spark.functions.arrays import join_paid_modifier_names
+from analytics_etl_spark.functions.arrays import (
+    join_paid_modifier_names,
+    modifier_price_total_cents,
+)
 from analytics_etl_spark.functions.datetime_fns import (
     day_of_week_name,
     month_str,
@@ -72,11 +75,11 @@ def valid_line_item_pred() -> Column:
     """P5 — structural validation predicate for an exploded line item.
 
     Reference validate_line_item (etl_service.py:175-215): name
-    present, castable qty > 0, price >= 0. Cast failures become nulls
-    and fail the predicate — the vectorized analogue of the
-    reference's per-row try/except.
+    present, castable qty > 0, price >= 0. try_cast failures become
+    nulls and fail the predicate — the vectorized analogue of the
+    reference's per-row try/except (ANSI-mode safe).
     """
-    qty = F.col("li.quantity").cast("int")
+    qty = F.col("li.quantity").try_cast("int")
     return (
         F.col("li.name").isNotNull()
         & (F.col("li.name") != "")
@@ -96,10 +99,18 @@ def project_sales(exploded: DataFrame, tz: str = "America/Chicago") -> DataFrame
     etl_service.py:256-264).
     """
     local_ts = to_local_time(parse_rfc3339(F.col("closed_at")), tz)
+    # gross = base + paid modifiers is the reference's own invariant
+    # (etl_service.py:507-512: 565 + 100 → 665); when a feed omits
+    # gross_sales_money, reconstruct it instead of nulling the price.
+    gross_cents = F.coalesce(
+        F.col("li.gross_sales_money.amount"),
+        F.col("li.base_price_money.amount")
+        + modifier_price_total_cents(F.col("li.modifiers")),
+    )
     return exploded.select(
         F.col("li.name").alias("item_name"),
-        cents_to_dollars(F.col("li.gross_sales_money.amount")).alias("sale_price"),
-        F.col("li.quantity").cast("int").alias("qty"),
+        cents_to_dollars(gross_cents).alias("sale_price"),
+        F.col("li.quantity").try_cast("int").alias("qty"),
         local_ts.alias("sale_timestamp"),
         month_str(local_ts).alias("month"),
         day_of_week_name(local_ts).alias("day_of_week"),
@@ -131,8 +142,13 @@ def quarantine(df: DataFrame, pred: Column) -> tuple[DataFrame, DataFrame]:
     The reference try/excepts per row and logs the bad ones
     (etl_service.py:282-321); at scale the rejects go to a quarantine
     table. Both frames share one scan — Catalyst handles it.
+
+    A NULL predicate (e.g. a constraint over a null column) counts as
+    invalid — otherwise the row would silently vanish from BOTH
+    frames (filter(p) and filter(~p) each drop nulls).
     """
-    return df.filter(pred), df.filter(~pred)
+    p = F.coalesce(pred, F.lit(False))
+    return df.filter(p), df.filter(~p)
 
 
 def location_filter(df: DataFrame, location_id: int | str | None) -> DataFrame:

@@ -1,0 +1,130 @@
+"""Paginated REST source — S1-S6 in SURVEY.md §2.1, as a Spark 4
+Python DataSource.
+
+The reference fetches completed orders from a REST search endpoint in
+cursor pages of 100, sequentially, per location (reference
+app/services/square_service.py:138-276, fan-out :317-360). The engine
+models the same contract as a ``pyspark.sql.datasource.DataSource``:
+
+- one InputPartition per (location, page-range) → pages fetch in
+  PARALLEL across executors instead of a driver loop;
+- the date-range/state predicates and the test-mode page cap are
+  source options, i.e. pushed INTO the source exactly like the
+  reference serializes them into the request body (S2/S3/S5);
+- the transport is pluggable: this in-repo implementation generates
+  deterministic synthetic pages (seeded by location/page) so tests
+  run hermetically; a real deployment swaps `_fetch_page` for an
+  HTTP call — the partition planning, option plumbing, and schema
+  stay identical.
+
+Register + read:
+
+    spark.dataSource.register(RestOrdersDataSource)
+    df = (spark.read.format("rest_orders")
+          .option("locations", "L1,L2,L3")
+          .option("start_date", "2025-11-01").option("end_date", "2025-11-30")
+          .option("pages_per_location", "5").load())
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import random
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+ORDER_DDL = (
+    "order_id string, location_id string, closed_at string, state string, "
+    "line_items_json string"
+)
+
+PAGE_SIZE = 100  # reference page size (square_service.py:230)
+
+
+def _fetch_page(location_id: str, page: int, start_date: str, end_date: str, state: str):
+    """Deterministic synthetic 'page of orders' (the pluggable transport).
+
+    Seeded by (location, page) so every executor/retry sees identical
+    data — the property a cursor-paginated API gives you per page.
+    """
+    rng = random.Random(f"{location_id}:{page}")
+    start = _dt.date.fromisoformat(start_date)
+    span = max((_dt.date.fromisoformat(end_date) - start).days, 1)
+    rows = []
+    for i in range(PAGE_SIZE):
+        day = start + _dt.timedelta(days=rng.randrange(span))
+        ts = f"{day.isoformat()}T{rng.randrange(24):02d}:{rng.randrange(60):02d}:00Z"
+        items = [
+            {
+                "name": rng.choice(["latte", "espresso", "dine in fee", "muffin"]),
+                "quantity": str(rng.randrange(1, 4)),
+                "base_price_money": {"amount": rng.randrange(0, 1500), "currency": "USD"},
+            }
+            for _ in range(rng.randrange(1, 4))
+        ]
+        rows.append(
+            (
+                f"{location_id}-p{page}-o{i}",
+                location_id,
+                ts,
+                state,
+                json.dumps(items),
+            )
+        )
+    return rows
+
+
+class _RestPartition(InputPartition):
+    def __init__(self, location_id: str, page: int):
+        self.location_id = location_id
+        self.page = page
+
+
+class RestOrdersReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.options = options
+        self.locations = [
+            s for s in options.get("locations", "L1").split(",") if s
+        ]
+        self.start_date = options.get("start_date", "2025-11-01")
+        self.end_date = options.get("end_date", "2025-11-30")
+        self.state = options.get("state", "COMPLETED")
+        pages = int(options.get("pages_per_location", "3"))
+        # S5: test mode caps pagination at 2 pages (reference
+        # square_service.py:201-209)
+        if options.get("test", "false").lower() == "true":
+            pages = min(pages, 2)
+        self.pages = pages
+
+    def partitions(self):
+        # S6: locations × pages fan-out — parallel, not a driver loop.
+        return [
+            _RestPartition(loc, page)
+            for loc in self.locations
+            for page in range(self.pages)
+        ]
+
+    def read(self, partition: _RestPartition):
+        yield from _fetch_page(
+            partition.location_id,
+            partition.page,
+            self.start_date,
+            self.end_date,
+            self.state,
+        )
+
+
+class RestOrdersDataSource(DataSource):
+    """format("rest_orders") — paginated order-search source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rest_orders"
+
+    def schema(self) -> str:
+        return ORDER_DDL
+
+    def reader(self, schema: StructType) -> RestOrdersReader:
+        return RestOrdersReader(schema, self.options)

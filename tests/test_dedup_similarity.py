@@ -1,0 +1,114 @@
+"""Dedup + similarity operator unit tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash_signatures,
+    word_shingles,
+)
+from analytics_etl_spark.operators.similarity import (
+    bucketed_cosine_topk,
+    cosine_topk,
+    sign_bucket,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = {r["kept_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_word_shingles_short_docs(spark):
+    docs = _docs(spark, [(1, "a"), (2, "a b"), (3, "a b c d"), (4, "a a a a")])
+    rows = word_shingles(docs, n=3).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in per_doc and 2 not in per_doc  # too short
+    assert sorted(per_doc[3]) == ["a b c", "b c d"]
+    assert per_doc[4] == ["a a a"]  # duplicates collapsed per doc
+
+
+def test_jaccard_pairs_exact_value(spark):
+    # doc1: {a b c, b c d}; doc2: {b c d, c d e} → common 1, union 3
+    docs = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    rows = jaccard_pairs(word_shingles(docs, n=3)).collect()
+    assert len(rows) == 1
+    assert math.isclose(rows[0]["jaccard"], 1 / 3)
+
+
+def test_minhash_lsh_finds_identical_and_skips_disjoint(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words about spark engines here"),
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_dedup(docs).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(3 not in k for k in pairs)
+
+
+def test_simhash_identical_docs_equal_signature(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(30, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    got = [r["vec_id"] for r in cosine_topk(emb, q, k=5, exclude_ids=(0,)).collect()]
+
+    v = vecs.astype("float64")
+    qv = v[0]
+    scores = v @ qv / (np.linalg.norm(v, axis=1) * np.linalg.norm(qv))
+    expected = [i for i in np.argsort(-scores) if i != 0][:5]
+    assert got == [int(i) for i in expected]
+
+
+def test_bucketed_topk_is_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(64, 16).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [float(x) for x in vecs[0]]
+
+    got = bucketed_cosine_topk(emb, q, k=5, bits=4, exclude_ids=(0,)).collect()
+    # every hit shares the query's sign bucket
+    qb = sum(2**i for i in range(4) if q[i] > 0)
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", sign_bucket("embedding", 4).alias("b")).collect()
+    }
+    assert all(buckets[r["vec_id"]] == qb for r in got)

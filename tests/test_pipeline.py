@@ -1,0 +1,72 @@
+"""End-to-end pipeline + sink idempotency (O1, S8, S10)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.config import PipelineConfig
+from analytics_etl_spark.plans.pipeline import run_sales_pipeline, sales_pipeline
+from analytics_etl_spark.sinks.writer import overwrite_partitions, read_sales
+
+
+def _config(**kw):
+    return PipelineConfig(start_date="2025-06-01", end_date="2025-11-30", **kw)
+
+
+def test_pipeline_end_to_end(nested_orders, locations_dim):
+    sales, rejects = sales_pipeline(nested_orders, locations_dim, _config())
+    rows = {r["item_name"]: r for r in sales.collect()}
+    # golden + 2 espressos survive; freebie/empty/badqty do not
+    assert set(rows) == {"Iced Lavander latte", "espresso"}
+    assert rows["Iced Lavander latte"]["location_id"] == 1  # SQ1 → 1
+    # the malformed-quantity item is REJECTED, not silently dropped
+    rej = rejects.collect()
+    assert [(r["stage"], r["detail"]) for r in rej] == [("line_item", "muffin")]
+
+
+def test_pipeline_date_window_pushdown(nested_orders, locations_dim):
+    cfg = PipelineConfig(start_date="2025-11-01", end_date="2025-11-30")
+    sales, _ = sales_pipeline(nested_orders, locations_dim, cfg)
+    months = {r["month"] for r in sales.collect()}
+    assert months == {"2025-11"}  # June espresso excluded
+
+
+def test_pipeline_location_filter_and_limit(nested_orders, locations_dim):
+    cfg = _config(location_filter=2)
+    sales, _ = sales_pipeline(nested_orders, locations_dim, cfg)
+    assert {r["location_id"] for r in sales.collect()} == {2}
+    cfg2 = _config(test_limit=1)
+    sales2, _ = sales_pipeline(nested_orders, locations_dim, cfg2)
+    assert sales2.count() == 1
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PipelineConfig(start_date="2025-12-01", end_date="2025-01-01")
+    cfg = PipelineConfig.from_env({"START_DATE": "2025-01-01", "END_DATE": "2025-01-31", "TEST": "true"})
+    assert cfg.test_limit == 200
+
+
+def test_sink_dynamic_partition_overwrite(spark, nested_orders, locations_dim, tmp_path):
+    """The reference's delete-then-reload (S10): re-writing one
+    month's partitions must not touch other months."""
+    path = str(tmp_path / "sales")
+    sales, _ = sales_pipeline(nested_orders, locations_dim, _config())
+    overwrite_partitions(sales, path)
+    before = read_sales(spark, path).count()
+
+    # re-run covering ONLY November: June partition must survive
+    nov_cfg = PipelineConfig(start_date="2025-11-01", end_date="2025-11-30")
+    nov_sales, _ = sales_pipeline(nested_orders, locations_dim, nov_cfg)
+    overwrite_partitions(nov_sales, path)
+    after = read_sales(spark, path)
+    assert after.count() == before
+    assert after.filter(F.col("month") == "2025-06").count() == 1
+
+
+def test_run_sales_pipeline_stats(nested_orders, locations_dim, tmp_path):
+    cfg = _config(sales_path=str(tmp_path / "s"))
+    stats = run_sales_pipeline(nested_orders, locations_dim, cfg)
+    assert stats["sales_rows"] == 3
+    assert stats["reject_rows"] == 1  # the malformed-quantity muffin

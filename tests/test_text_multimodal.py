@@ -1,0 +1,77 @@
+"""Text-analysis + multimodal plumbing unit tests."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from analytics_etl_spark.operators.multimodal import (
+    binary_meta,
+    extract_features,
+    synthesize_media,
+)
+from analytics_etl_spark.operators.text_analysis import (
+    langid_guess,
+    quality_features,
+    winnowing_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_quality_features_values(spark):
+    docs = _docs(spark, [(1, "the cat sat")])
+    r = quality_features(docs).first()
+    assert r["n_tokens"] == 3
+    assert r["n_chars_text"] == 11
+    # 9 alpha chars of 11; 1 stopword of 3 tokens
+    assert math.isclose(r["alpha_ratio"], 9 / 11)
+    assert math.isclose(r["stop_ratio"], 1 / 3)
+    assert math.isclose(r["quality_score"], (9 / 11) * 0.7 + (1 / 3) * 0.3)
+
+
+def test_langid_votes(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat of a house"),
+            (2, "el gato de la casa"),
+            (3, "der hund und die katze"),
+            (4, "xyz qqq www"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in langid_guess(docs).collect()}
+    assert out == {1: "en", 2: "es", 3: "de", 4: "unknown"}
+
+
+def test_winnowing_shared_fingerprints_for_shared_text(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [(1, shared + " tail a"), (2, shared + " tail b"), (3, "totally different words here " * 3)])
+    rows = {r["doc_id"]: r for r in winnowing_fingerprints(docs).collect()}
+    assert rows[1]["n_fingerprints"] >= 1
+    # identical long prefix → identical minimum fingerprint
+    assert rows[1]["min_fp"] == rows[2]["min_fp"]
+    assert rows[1]["min_fp"] != rows[3]["min_fp"]
+
+
+def test_multimodal_meta_and_features(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world", 11), (1, "spark", 5), (2, "engine", 6)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = synthesize_media(docs)
+    assert media.columns == ["media_id", "kind", "payload", "meta"]
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert kinds == {0: "image", 1: "audio", 2: "video"}
+
+    meta = {r["media_id"]: r for r in binary_meta(media).collect()}
+    assert meta[0]["n_bytes"] == 11
+    assert meta[0]["sha256"] == hashlib.sha256(b"hello world").hexdigest()
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats[1]["feature"]) == 8
+    assert feats[1]["sha256"] == hashlib.sha256(b"spark").hexdigest()
+    # deterministic fake decode
+    assert feats[1]["feature"] == feats[1]["feature"]
