@@ -1,0 +1,85 @@
+"""Physical-plan assertions — the scale contract, enforced.
+
+These tests never execute a query; they assert the OPTIMIZED plan has
+the shape that survives a 100 TB scale-up: filters reach the parquet
+scan, projections prune columns, dimensions broadcast (fact tables
+never shuffle for enrichment), and top-K never global-sorts.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from analytics_etl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def tree_of(plan: str) -> str:
+    """Just the operator tree (formatted explain repeats every node in
+    the details section below the tree)."""
+    return plan.split("\n\n(1)")[0]
+
+
+def test_flagship_broadcasts_all_dims(spark):
+    tree = tree_of(plan_of(spark, "flagship_monthly_revenue"))
+    assert tree.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in tree  # the fact table never shuffles for joins
+    # exactly one real shuffle: the partial->final aggregation
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_flagship_prunes_lineitem_columns(spark):
+    plan = plan_of(spark, "flagship_monthly_revenue")
+    # the 11-column lineitem scan must read only the 3 needed columns
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "l_orderkey" in line:
+            assert "l_shipdate" not in line and "l_returnflag" not in line
+            break
+    else:
+        pytest.fail("lineitem ReadSchema not found")
+
+
+def test_date_window_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "month_window_scan")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(
+        "GreaterThanOrEqual(o_orderdate" in ln and "LessThan(o_orderdate" in ln
+        for ln in pushed
+    )
+
+
+def test_pricing_summary_single_shuffle(spark):
+    plan = plan_of(spark, "pricing_summary")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert any("LessThanOrEqual(l_shipdate" in ln for ln in plan.splitlines() if "PushedFilters" in ln)
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "recent_sales_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_enrichment_is_broadcast(spark):
+    plan = plan_of(spark, "revenue_denylist_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_single_shuffle_per_side(spark):
+    """The as-of union+window implementation: one partitioning
+    Exchange for the window, nothing quadratic."""
+    plan = plan_of(spark, "asof_join_last_click")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
