@@ -18,6 +18,7 @@ from analytics_etl_spark.queries.registry import REGISTRY, QuerySpec, query  # n
 # import for side effects: each module registers its queries
 from analytics_etl_spark.queries import parity  # noqa: F401,E402
 from analytics_etl_spark.queries import analytics  # noqa: F401,E402
+from analytics_etl_spark.queries import analytics2  # noqa: F401,E402
 from analytics_etl_spark.queries import llm  # noqa: F401,E402
 
 

@@ -1,0 +1,354 @@
+"""Analytics surface, batch 2: SQL API, scalar-function packs, set
+ops, window-function family, time bucketing, unpivot, subquery shapes.
+
+Same determinism rules as batch 1 (decimal money math, total orders on
+limits, single-op float divisions that reproduce bit-exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.queries.registry import query, t
+from analytics_etl_spark.tables import register_views
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+# The SQL API surface: the same engine accepts SQL text (reference BI
+# users speak SQL, reference README.md:274-288).
+@query(
+    "sql_api_revenue_by_status",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sql_api_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+
+
+# AVG without float-sum nondeterminism: exact decimal sum / count.
+@query(
+    "avg_stats_per_nation",
+    oracle="""
+    SELECT c.c_nationkey AS nation_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(MIN(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def avg_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation_id"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(price).cast("double") / F.count("*")).alias("avg_price"),
+            F.min(price).cast("double").alias("min_price"),
+            F.max(price).cast("double").alias("max_price"),
+        )
+    )
+
+
+# Set ops the reference lacks: INTERSECT / EXCEPT.
+@query(
+    "set_intersect_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersect(b)
+
+
+@query(
+    "set_except_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.subtract(b)  # set semantics, matching SQL EXCEPT
+
+
+# String-function pack — one projection, all JVM-side.
+@query(
+    "string_functions_pack",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS upper_name,
+           substr(p_name, 2, 4) AS sub_name,
+           lpad(p_brand, 12, '*') AS padded_brand,
+           replace(p_name, ' ', '_') AS snake_name,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("upper_name"),
+        F.substring("p_name", 2, 4).alias("sub_name"),
+        F.lpad("p_brand", 12, "*").alias("padded_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+# Math-function pack (IEEE-exact ops only: sqrt/abs/floor/ceil/mod).
+@query(
+    "math_functions_pack",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000.0) AS abs_dev,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kilo,
+           CAST(mod(CAST(l_quantity AS BIGINT), 5) AS BIGINT) AS qty_mod5,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           greatest(l_quantity, 25.0) AS qty_floor25,
+           least(l_quantity, 25.0) AS qty_cap25
+    FROM lineitem
+    """,
+)
+def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_kilo"),
+        (F.col("l_quantity").cast("bigint") % 5).cast("bigint").alias("qty_mod5"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
+        F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
+    )
+
+
+# Conditional pack: CASE / NULLIF / IFNULL.
+@query(
+    "conditional_pack",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS price_tier,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_label
+    FROM orders
+    """,
+)
+def conditional_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+    )
+    return o.select(
+        "o_orderkey",
+        tier.alias("price_tier"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+    )
+
+
+# Date-arithmetic pack.
+@query(
+    "date_arithmetic_pack",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS INT) AS days_to_eoy,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INT) AS wk
+    FROM orders
+    """,
+)
+def date_arithmetic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp_ntz").alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("int").alias("days_to_eoy"),
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("wk"),
+    )
+
+
+# 15-minute tumbling buckets via exact integer epoch math.
+@query(
+    "time_bucket_15min",
+    oracle="""
+    SELECT epoch_us(ts) // 900000000 AS bucket_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / 900_000_000).cast("bigint")
+    # floor-division semantics: timestamps are all post-1970 so / + cast == //
+    return ev.groupBy(bucket.alias("bucket_id")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+# Window family: lag/lead/first/ntile/dense_rank/percent_rank.
+@query(
+    "window_function_family",
+    oracle="""
+    SELECT user_id, event_id,
+           LAG(event_id)  OVER w AS prev_event,
+           LEAD(event_id) OVER w AS next_event,
+           FIRST_VALUE(event_id) OVER w AS first_event,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_rank,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id").orderBy("event_type")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.row_number().over(w).cast("int").alias("rn"),
+        F.dense_rank().over(wt).cast("int").alias("type_rank"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+# Unpivot (stack) — wide per-user event counts back to long form.
+@query(
+    "unpivot_event_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+             COUNT(*) FILTER (WHERE event_type = 'view')  AS view
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'click' AS event_type, click AS n FROM wide
+    UNION ALL
+    SELECT user_id, 'view' AS event_type, view AS n FROM wide
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .count()
+        .select(
+            "user_id",
+            F.coalesce("click", F.lit(0)).alias("click"),
+            F.coalesce("view", F.lit(0)).alias("view"),
+        )
+    )
+    return wide.selectExpr(
+        "user_id", "stack(2, 'click', click, 'view', view) as (event_type, n)"
+    )
+
+
+# Correlated-subquery shape: each order vs its customer's max order.
+@query(
+    "latest_order_per_customer",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           CAST(o.o_orderdate = m.max_date AS BOOLEAN) AS is_latest
+    FROM orders o
+    JOIN (SELECT o_custkey, MAX(o_orderdate) AS max_date
+          FROM orders GROUP BY o_custkey) m
+      ON o.o_custkey = m.o_custkey
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("max_date"))
+    return (
+        o.join(m.withColumnRenamed("o_custkey", "ck"), o.o_custkey == F.col("ck"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            (F.col("o_orderdate") == F.col("max_date")).alias("is_latest"),
+        )
+    )
+
+
+# Conditional aggregation: urgent-order share per nation (single-op
+# double division — bit-identical cross-engine).
+@query(
+    "priority_share_per_nation",
+    oracle="""
+    SELECT c.c_nationkey AS nation_id,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS DOUBLE)
+             / COUNT(*) AS urgent_share
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def priority_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    urgent = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (urgent.cast("double") / F.count("*")).alias("urgent_share"),
+        )
+    )

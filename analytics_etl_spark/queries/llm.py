@@ -313,3 +313,110 @@ def doc_fingerprint_winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return binary_meta(synthesize_media(docs))
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dims,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.similarity import as_double_array, dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dims"),
+        F.sqrt(dot(e, e)).alias("l2_norm"),
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH comp AS (
+      SELECT label, u.pos AS pos, u.v AS v
+      FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(pos := i, v := embedding[i]::DOUBLE))) AS u
+        FROM embeddings
+      )
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           list_reduce(list(v ORDER BY v), (a, b) -> a + b) / COUNT(*) AS centroid_component
+    FROM comp
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components. The float fold runs in SORTED
+    value order on both engines — deterministic under any partitioning
+    (the scalable alternative to a partition-order-dependent SUM)."""
+    emb = t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("p0", "v")
+    ).select("label", (F.col("p0") + 1).cast("int").alias("pos"), "v")
+    folded = F.aggregate(
+        F.array_sort(F.collect_list("v")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return comp.groupBy("label", "pos").agg(
+        (folded / F.count("*")).alias("centroid_component")
+    )
+
+
+@query(
+    "top_similar_pairs",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.e, b.e)
+             / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS score
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ORDER BY score DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def top_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine on a bounded subset (the exact kernel that LSH
+    candidates feed at scale), top-20."""
+    from analytics_etl_spark.operators.similarity import as_double_array, cosine
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double_array("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double_array("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
+@query(
+    "docs_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM documents GROUP BY lang, source
+    """,
+)
+def docs_stats_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
