@@ -1,0 +1,50 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join split handles most sort-merge skew automatically
+(spark.sql.adaptive.skewJoin.enabled, on in session.py). Salting is
+the manual fallback for aggregations and for joins where one side's
+hot key would still overwhelm a task: spread the hot key over N
+sub-keys, combine twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_groupby_sum(
+    df: DataFrame, key: str, value_col, out_col: str, salt: int = 16
+) -> DataFrame:
+    """Two-phase aggregation: groupBy((key, salt)) then groupBy(key).
+
+    The first combine spreads a hot key across `salt` tasks; the
+    second reduces `salt` rows per key. For exact decimal values the
+    result is identical to the direct groupBy (associativity).
+    value_col may be a Column expression.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)))
+    partial = salted.groupBy(key, "__salt").agg(F.sum(v).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias(out_col))
+
+
+def salted_join(
+    left: DataFrame, right: DataFrame, key: str, salt: int = 8
+) -> DataFrame:
+    """Skewed-fact ⋈ small-ish dimension with a hot key.
+
+    The left (skewed) side gets a deterministic per-row salt; the
+    right side is replicated `salt`× so every (key, salt) bucket finds
+    its match. Row-for-row equivalent to `left.join(right, key)`.
+    Use when the right side is too big to broadcast but small enough
+    to replicate `salt` times.
+    """
+    l_salted = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_salted.join(r_replicated, [key, "__salt"])
+    return out.drop("__salt")

@@ -420,3 +420,40 @@ def docs_stats_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      {_bucket_sql("embedding")} AS bucket
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v)
+             / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS score
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) >= 0.3
+    """,
+)
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bucket LSH candidates → exact
+    cosine ≥ 0.3. The same candidate-then-verify shape as MinHash-LSH,
+    over vectors: candidate pairs only ever form within a bucket
+    (1/2^bits of the all-pairs space)."""
+    from analytics_etl_spark.operators.similarity import as_double_array, cosine, sign_bucket
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double_array("embedding").alias("v"),
+        sign_bucket("embedding", 8).alias("bucket"),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    score = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", score.alias("score"))
+        .filter(F.col("score") >= 0.3)
+    )

@@ -13,11 +13,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_spark(
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g"},
+        extra_conf={
+            "spark.driver.memory": "4g",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="aes_warehouse_"),
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s

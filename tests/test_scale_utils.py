@@ -1,0 +1,71 @@
+"""Scale utilities: salting equivalence + bucketed shuffle-free joins."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.skew import salted_groupby_sum, salted_join
+from analytics_etl_spark.sinks.bucketed import read_table, write_bucketed
+from analytics_etl_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_groupby_equals_direct(spark):
+    li = load_table(spark, SF, "lineitem")
+    v = F.col("l_extendedprice").cast("decimal(18,2)")
+    direct = {
+        r["l_returnflag"]: r["s"]
+        for r in li.groupBy("l_returnflag").agg(F.sum(v).alias("s")).collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["s"]
+        for r in salted_groupby_sum(li, "l_returnflag", v, "s", salt=16).collect()
+    }
+    assert salted == direct  # exact decimal ⇒ identical, not just close
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    plain = li.join(o, "l_orderkey")
+    salted = salted_join(li, o, "l_orderkey", salt=4)
+    assert salted.count() == plain.count()
+    # spot-check content equivalence on a key
+    k = plain.first()["l_orderkey"]
+    assert sorted(map(tuple, salted.filter(F.col("l_orderkey") == k).collect())) == sorted(
+        map(tuple, plain.filter(F.col("l_orderkey") == k).collect())
+    )
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both fact tables on the join key removes the Exchange
+    — the ingest-time answer to the flagship query's one fact-fact
+    shuffle (SCALING.md)."""
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "li_bucketed", "l_orderkey", buckets=4)
+    write_bucketed(o, "o_bucketed", "o_orderkey", buckets=4)
+
+    # at real scale neither fact side broadcasts; force that regime
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "li_bucketed").join(
+            read_table(spark, "o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        tree = buf.getvalue().split("\n\n(1)")[0]
+        assert "SortMergeJoin" in tree
+        assert "Exchange" not in tree  # co-located buckets: no shuffle at all
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
