@@ -81,12 +81,22 @@ def extract_features(df: DataFrame) -> DataFrame:
     amortized per batch, payloads never hit the driver.
     """
 
+    # NOTE: `run` must be fully self-contained (no references to
+    # module-level names): cloudpickle ships closures by value, so the
+    # Python workers never need this package on their sys.path. The
+    # inline decode mirrors decode_stub — keep them in sync.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import pandas as _pd
+
+        def decode(payload: bytes) -> list[float]:
+            n = len(payload)
+            return [float((payload[i % n] if n else 0) + i) for i in range(8)]
+
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
@@ -94,10 +104,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "sha256": payloads.map(
                         lambda b: hashlib.sha256(b or b"").hexdigest()
                     ),
-                    "feature": [
-                        decode_stub(b or b"", k)
-                        for b, k in zip(payloads, pdf["kind"])
-                    ],
+                    "feature": [decode(b or b"") for b in payloads],
                 }
             )
 

@@ -25,10 +25,12 @@ HEADLINE = [
     "flagship_monthly_revenue",
     "pricing_summary",
     "shipping_priority",
+    "regional_revenue",
     "window_running_revenue",
     "tumbling_window_agg",
     "sessionize_events",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "similarity_topk_cosine",
     "text_quality_score",
 ]
