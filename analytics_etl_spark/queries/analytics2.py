@@ -452,3 +452,103 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# Session windows (native session_window vs derived sessions):
+# Spark merges events whose gap < 30 min; session_end = last + gap.
+@query(
+    "session_window_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ),
+    numbered AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n",
+        )
+    )
+
+
+# Sliding windows: 1 h length, 30 min slide — every event lands in
+# exactly two windows (oracle: union of both window starts).
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH b AS (SELECT *, to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS w0 FROM events)
+    SELECT window_start, event_type, COUNT(*) AS n FROM (
+      SELECT CAST(w0 AS TIMESTAMP) AS window_start, event_type FROM b
+      UNION ALL
+      SELECT CAST(w0 - INTERVAL 30 MINUTE AS TIMESTAMP) AS window_start, event_type FROM b
+    ) GROUP BY 1, 2
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# Array-function pack over a derived array column.
+@query(
+    "array_functions_pack",
+    oracle="""
+    SELECT p_partkey,
+           w AS words,
+           CAST(len(w) AS INT) AS n_words,
+           list_contains(w, 'widget') AS has_widget,
+           list_sort(w) AS sorted_words,
+           list_reverse_sort(w) AS rev_words,
+           array_to_string(list_concat(w, ['x']), '-') AS joined_plus
+    FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    """,
+)
+def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    w = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        w.alias("words"),
+        F.size(w).cast("int").alias("n_words"),
+        F.array_contains(w, "widget").alias("has_widget"),
+        F.array_sort(w).alias("sorted_words"),
+        F.reverse(F.array_sort(w)).alias("rev_words"),
+        F.array_join(F.concat(w, F.array(F.lit("x"))), "-").alias("joined_plus"),
+    )

@@ -1,0 +1,112 @@
+"""Property-based invariants (hypothesis) for core operators.
+
+Small example counts — each example is a Spark job; the point is the
+generator's edge cases (empty strings, nulls, boundary values), not
+volume.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.one_of(st.none(), st.integers(min_value=-100, max_value=100)),  # value
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_quarantine_partitions_every_row(spark, rows):
+    """valid ∪ rejects == input, disjoint — even with NULL predicates."""
+    from analytics_etl_spark.operators.etl import quarantine
+
+    df = spark.createDataFrame(rows, "k int, v int") if rows else spark.createDataFrame(
+        [], "k int, v int"
+    )
+    valid, rejects = quarantine(df, F.col("v") > 0)  # NULL v → reject
+    assert valid.count() + rejects.count() == len(rows)
+    assert valid.filter(~(F.col("v") > 0)).count() == 0
+
+
+@given(
+    cents=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=15)
+)
+@settings(**SETTINGS)
+def test_cents_to_dollars_roundtrip(spark, cents):
+    from analytics_etl_spark.functions.money import cents_to_dollars
+
+    df = spark.createDataFrame([(c,) for c in cents], "cents long")
+    out = df.select(
+        "cents", (cents_to_dollars("cents") * 100).cast("long").alias("back")
+    ).collect()
+    assert all(r["back"] == r["cents"] for r in out)
+
+
+@given(
+    left_times=st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=12),
+    right_times=st.lists(st.integers(min_value=0, max_value=100), min_size=0, max_size=12),
+)
+@settings(**SETTINGS)
+def test_asof_join_invariants(spark, left_times, right_times):
+    """Left row count preserved; payload is the max right time <= t."""
+    import datetime as dt
+
+    from analytics_etl_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, ts(m), i) for i, m in enumerate(left_times)] or [],
+        "k int, t timestamp_ntz, idx int",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(m), m) for m in set(right_times)] or [],
+        "k int, rt timestamp_ntz, rv int",
+    )
+    out = asof_join(left, right, "k", "t", "rt", payload_cols=["rv"]).collect()
+    assert len(out) == len(left_times)
+    by_idx = {r["idx"]: r["rv"] for r in out}
+    for i, m in enumerate(left_times):
+        eligible = [x for x in set(right_times) if x <= m]
+        assert by_idx[i] == (max(eligible) if eligible else None)
+
+
+@given(
+    vals=st.lists(
+        st.decimals(
+            min_value=Decimal("-9999.99"),
+            max_value=Decimal("9999.99"),
+            places=2,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_salted_sum_equals_direct(spark, vals):
+    from analytics_etl_spark.operators.skew import salted_groupby_sum
+
+    df = spark.createDataFrame([(1, v) for v in vals], "k int, v decimal(12,2)")
+    direct = df.groupBy("k").agg(F.sum("v").alias("s")).first()["s"]
+    salted = salted_groupby_sum(df, "k", "v", "s", salt=4).first()["s"]
+    assert direct == salted
