@@ -552,3 +552,190 @@ def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse(F.array_sort(w)).alias("rev_words"),
         F.array_join(F.concat(w, F.array(F.lit("x"))), "-").alias("joined_plus"),
     )
+
+
+# TPC-H Q6 shape: pure scan-filter-aggregate (pushdown showcase).
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+# TPC-H Q12 shape: join + conditional aggregation by category.
+@query(
+    "shipmode_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus AS ship_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def shipmode_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# TPC-H Q14 shape: promo-share ratio of two conditional sums (both
+# exact decimal; the final ratio is one double division).
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+               / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+        )
+        .agg(
+            (F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+            .cast("double")
+            .alias("promo_share")
+        )
+    )
+
+
+# TPC-H Q18 shape: large-order customers (agg-filter-join pipeline).
+@query(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 120
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o, c = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+# The reference's FULL transform chain restated on the star schema:
+# filter (revenue>0, denylist) → project (rename, cents→dollars-style
+# derivation, date parts after tz) → dimension join → constraint check.
+# One query exercising every structural element of the reference ETL.
+@query(
+    "sales_etl_chain",
+    oracle=f"""
+    SELECT p.p_name AS item_name,
+           CAST({_REV_SQL} AS DOUBLE) AS sale_price,
+           CAST(l.l_quantity AS INT) AS qty,
+           strftime(o.o_orderdate, '%Y-%m') AS month,
+           strftime(o.o_orderdate, '%A') AS day_of_week,
+           n.n_name AS location_name
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_extendedprice > 0
+      AND NOT (lower(p.p_name) LIKE '%blue%')
+      AND regexp_matches(strftime(o.o_orderdate, '%Y-%m'), '^\\d{{4}}-\\d{{2}}$')
+    """,
+)
+def sales_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.functions.datetime_fns import day_of_week_name, month_str
+    from analytics_etl_spark.functions.text import contains_any, is_month_format
+
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    p, c, n = t(spark, sf_dir, "part"), t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    month = month_str("o_orderdate")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .filter(F.col("l_extendedprice") > 0)
+        .filter(~contains_any(F.col("p_name"), ["blue"]))
+        .filter(is_month_format(month))
+        .select(
+            F.col("p_name").alias("item_name"),
+            rev.cast("double").alias("sale_price"),
+            F.col("l_quantity").cast("int").alias("qty"),
+            month.alias("month"),
+            day_of_week_name("o_orderdate").alias("day_of_week"),
+            F.col("n_name").alias("location_name"),
+        )
+    )
