@@ -97,3 +97,44 @@ def bucketed_cosine_topk(
             qbucket += 2**i
     pruned = embeddings.filter(sign_bucket(vec_col, bits) == F.lit(qbucket))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def cosine_topk_pandas(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """The Arrow/Pandas-UDF variant of cosine_topk — the documented
+    "slow path" (SURVEY.md §2.7: UDFs only where built-ins can't go).
+
+    Kept as a reference implementation + fallback for scoring logic
+    that outgrows SQL expressions (e.g. a real model head). Numpy
+    vectorizes across the Arrow batch, so this is batch-at-a-time,
+    never row-at-a-time. The JVM higher-order-function path
+    (cosine_topk) remains the default: no serialization toll, plans
+    fuse into codegen.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    q = [float(v) for v in query_vec]
+
+    @pandas_udf("double")
+    def score(vecs):
+        import numpy as np
+        import pandas as _pd
+
+        qv = np.asarray(q, dtype="float64")
+        qn = np.sqrt(qv @ qv)
+        m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
+        dots = m @ qv
+        norms = np.sqrt((m * m).sum(axis=1))
+        return _pd.Series(dots / (norms * qn))
+
+    out = embeddings.select(F.col(id_col), score(F.col(vec_col)).alias("score"))
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

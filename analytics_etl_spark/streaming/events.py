@@ -114,3 +114,46 @@ def write_idempotent_partitions(
         .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def stream_stream_click_purchase_join(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ preceding clicks.
+
+    Both sides are watermarked so the join state is bounded: a click
+    can only match purchases within `max_gap`, after which its state
+    is evicted. The batch analogue is the as-of/range join family
+    (operators/asof.py); this is the streaming form Spark executes
+    with symmetric hash join + state store.
+    """
+    from pyspark.sql import functions as F
+
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id", "purchase_ts", "click_ts"
+    )

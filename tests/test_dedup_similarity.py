@@ -112,3 +112,22 @@ def test_bucketed_topk_is_subset_of_bucket(spark):
         for r in emb.select("vec_id", sign_bucket("embedding", 4).alias("b")).collect()
     }
     assert all(buckets[r["vec_id"]] == qb for r in got)
+
+
+def test_cosine_topk_pandas_matches_jvm(spark):
+    """The Pandas-UDF slow path must rank identically to the JVM
+    higher-order-function path."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.similarity import cosine_topk_pandas
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 12).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[0]]
+    jvm = [(r["vec_id"], round(r["score"], 9)) for r in cosine_topk(emb, q, 8, exclude_ids=(0,)).collect()]
+    pud = [(r["vec_id"], round(r["score"], 9)) for r in cosine_topk_pandas(emb, q, 8, exclude_ids=(0,)).collect()]
+    assert jvm == pud

@@ -76,3 +76,48 @@ def test_idempotent_partition_sink_replay(spark, tmp_path):
     run_once(ckpt2)  # fresh checkpoint → the whole input replays
     second = spark.read.parquet(out).count()
     assert first == second > 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Purchases joined to preceding clicks within 1h, stream-stream.
+    Must equal the same interval join run in batch."""
+    from analytics_etl_spark.streaming.events import stream_stream_click_purchase_join
+
+    stream = read_events_stream(spark, f"{SF}/events.parquet")
+    joined = stream_stream_click_purchase_join(stream, max_gap="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckss"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+
+    from analytics_etl_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("ts").alias("pts")
+    )
+    batch = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
