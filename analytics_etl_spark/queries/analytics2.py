@@ -739,3 +739,60 @@ def sales_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("location_name"),
         )
     )
+
+
+# RANGE-frame window: revenue of all orders within ±15 days of each
+# order (value-based frame, not row-based).
+@query(
+    "range_frame_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                      RANGE BETWEEN INTERVAL 15 DAY PRECEDING
+                                AND INTERVAL 15 DAY FOLLOWING) AS DOUBLE)
+             AS neighborhood_revenue
+    FROM orders
+    """,
+)
+def range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    # RANGE frames with date intervals are cleanest in the SQL API.
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+                          RANGE BETWEEN INTERVAL 15 DAY PRECEDING
+                                    AND INTERVAL 15 DAY FOLLOWING) AS DOUBLE)
+                 AS neighborhood_revenue
+        FROM orders
+        """
+    )
+
+
+# Deterministic mode (most frequent value, ties broken by value) —
+# engines' built-in mode() is tie-arbitrary, so build it from
+# count + rank, which is exactly reproducible.
+@query(
+    "mode_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS modal_priority, cnt FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rk = 1
+    """,
+)
+def mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("cnt"), F.asc("o_orderpriority"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("modal_priority"), "cnt")
+    )
