@@ -23,23 +23,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def word_shingles(
+def shingle_arrays(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     distinct: bool = True,
 ) -> DataFrame:
-    """(id, text) → (id, shingle): word n-gram shingles, exploded.
+    """(id, text) → (doc_id, shingles: array<string>) — NOT exploded.
 
-    Tokenization is a single-space split (the corpus is pre-normalized;
-    swap in a regexp tokenizer for raw text). Narrow op until the
-    optional distinct (one shuffle).
+    Keeping shingles as a per-row array lets downstream minhashing run
+    as pure projections (array_min over transform) with ZERO shuffle;
+    explode only where a relational shape is genuinely needed
+    (word_shingles / the Jaccard verify join).
     """
     # Shingling fans out ~tokens× per row; if the source arrived in
     # fewer partitions than cores (small file, coalesced scan), spread
-    # it first so the explode parallelizes. At real scale the scan
-    # already has >= cores partitions and this is a no-op.
+    # it first so downstream array work parallelizes. At real scale the
+    # scan already has >= cores partitions and this is a no-op.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism, id_col)
@@ -57,7 +58,19 @@ def word_shingles(
         # distinctness is per-document — array_distinct inside the row
         # does it with zero shuffle (vs a corpus-wide DISTINCT).
         shingles = F.array_distinct(shingles)
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+    return docs.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
+
+
+def word_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, text) → (id, shingle): word n-gram shingles, exploded."""
+    arr = shingle_arrays(docs, text_col, id_col, n=n, distinct=distinct)
+    return arr.select("doc_id", F.explode("shingles").alias("shingle"))
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -113,12 +126,35 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 12) -> DataFrame:
     compared lexicographically. All k minhashes are k MIN aggregates
     in ONE groupBy: no k× row fan-out, one shuffle, and partial
     aggregation means one row per (doc, task) crosses the wire.
+
+    Prefer minhash_signatures_from_arrays when the shingles are still
+    per-row arrays — that variant needs no shuffle at all.
     """
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_arrays(
+    shingle_arr: DataFrame, num_hashes: int = 12
+) -> DataFrame:
+    """(doc_id, shingles array) → wide minhash signature, ZERO shuffle.
+
+    h_i = array_min(transform(shingles, s -> md5(i:s))) — a pure
+    per-row projection that fuses into the scan under whole-stage
+    codegen. Identical values to the groupBy formulation (array_min
+    == MIN over the same md5 strings). Docs with no shingles get null
+    signatures and are dropped (they can't pair anyway).
+    """
+    cols = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_arr.filter(F.size("shingles") >= 1).select("doc_id", *cols)
 
 
 def lsh_band_buckets(
@@ -211,11 +247,14 @@ def minhash_lsh_dedup(
     join (shuffle on bucket) → exact-Jaccard verify restricted to the
     candidate pairs (never corpus-wide).
     """
-    # The shingle frame feeds BOTH signature building and the exact
-    # verify stage — cache it so the corpus is shingled once.
-    shingled = word_shingles(docs, text_col, id_col, n=shingle_n, distinct=True).cache()
-    sigs = minhash_signatures(shingled, num_hashes)
+    # The shingle arrays feed BOTH signature building and the exact
+    # verify stage — cache them so the corpus is shingled once.
+    # Signatures + band buckets are then pure projections: candidate
+    # generation costs ONE shuffle (the band/bucket self-join).
+    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=True).cache()
+    sigs = minhash_signatures_from_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band, num_hashes))
+    shingled = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     return verify_jaccard(shingled, cands).filter(F.col("jaccard") >= min_jaccard)
 
 
