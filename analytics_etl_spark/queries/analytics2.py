@@ -796,3 +796,67 @@ def mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("o_orderstatus", F.col("o_orderpriority").alias("modal_priority"), "cnt")
     )
+
+
+# Hypertable-style continuous aggregate: one query maintaining the
+# same measure at multiple time granularities (hour/day/month), each
+# row tagged with its level — the TimescaleDB rollup shape, done as a
+# grouping over a granularity dimension.
+@query(
+    "hypertable_rollup",
+    oracle="""
+    SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'month' AS grain, date_trunc('month', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2, 3
+    """,
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At scale the day/month levels re-aggregate the hour level
+    (compose from the finer grain) instead of rescanning the facts;
+    expressed here as the semantic union the oracle can check."""
+    ev = t(spark, sf_dir, "events")
+    v = F.sum(F.col("value").cast("decimal(18,6)"))
+
+    hour = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).cast("timestamp_ntz").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), v.alias("sv"))
+    )
+    # compose coarser grains FROM the hourly rollup (decimal sums are
+    # exactly re-aggregatable) — the hypertable trick: facts scanned once.
+    day = (
+        hour.groupBy(
+            F.date_trunc("day", "bucket").cast("timestamp_ntz").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    month = (
+        day.groupBy(
+            F.date_trunc("month", "bucket").cast("timestamp_ntz").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+
+    def out(df, grain):
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            "n",
+            F.col("sv").cast("double").alias("total_value"),
+        )
+
+    return out(hour, "hour").unionByName(out(day, "day")).unionByName(out(month, "month"))
