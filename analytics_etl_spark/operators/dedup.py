@@ -268,24 +268,27 @@ def simhash_signatures(
     """SimHash: per-doc `bits`-bit signature from shingle-hash bit votes.
 
     bit_i(doc) = 1 iff more shingles have bit i set than not in their
-    md5-derived integer hash. Returns (doc_id, simhash). Narrow
-    explode + one groupBy; Hamming-distance buckets via prefix.
+    md5-derived integer hash. Like the minhash path, the whole
+    computation is per-row array algebra — shingle → hash-int array →
+    per-bit vote counts via size(filter(...)) — ZERO shuffle.
+    Hamming-distance buckets via signature prefix.
     """
-    shingled = word_shingles(docs, text_col, id_col, n=shingle_n, distinct=False)
-    # 60-bit integer from the first 15 hex chars of md5 (JVM-side conv).
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-    withbits = shingled.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1).alias(f"b{i}")
-            for i in range(bits)
-        ],
+    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=False)
+    # 60-bit integer per shingle from the first 15 hex chars of md5.
+    hashes = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
     )
-    votes = withbits.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"v{i}") for i in range(bits)]
-    )
+    n = F.size("shingles")
+    withh = arrays.filter(n >= 1).select("doc_id", hashes.alias("hs"), n.alias("n"))
+    # bit i wins if set-count > n/2 (strictly more set than unset)
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        ones = F.size(
+            F.filter(F.col("hs"), lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        bit = F.when(ones * 2 > F.col("n"), F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = bit if sig is None else sig + bit
-    return votes.select("doc_id", sig.alias("simhash"))
+    return withh.select("doc_id", sig.alias("simhash"))

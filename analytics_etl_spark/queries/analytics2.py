@@ -860,3 +860,85 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return out(hour, "hour").unionByName(out(day, "day")).unionByName(out(month, "month"))
+
+
+# TPC-H Q4 shape: EXISTS subquery with a date window.
+@query(
+    "orders_with_late_lines",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+)
+def orders_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.joins import semi_join
+
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    windowed = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    # EXISTS with a correlated non-equi condition → left-semi join on
+    # the equi key with the extra predicate in the join condition.
+    late = windowed.join(
+        li,
+        (windowed.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# TPC-H Q19 shape: disjunctive multi-clause predicates (OR of ANDs) —
+# the optimizer must not lose pushdown on the common conjuncts.
+@query(
+    "disjunctive_filter_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size <= 5)
+       OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size <= 10)
+       OR (p.p_brand = 'Brand#3' AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size <= 15)
+    """,
+)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & q.between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & q.between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & (F.col("p_size") <= 15))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+# The paginated REST source through the driver contract — rows-only
+# (the source is hermetic/synthetic; unit tests assert its pushdown
+# and determinism, tests/test_sources.py).
+@query("rest_source_scan", oracle=None)
+def rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.sources.rest import register_rest_source
+
+    register_rest_source(spark)
+    raw = (
+        spark.read.format("rest_orders")
+        .option("locations", "L1,L2,L3")
+        .option("pages_per_location", "2")
+        .option("start_date", "2025-11-01")
+        .option("end_date", "2025-11-30")
+        .load()
+    )
+    return raw.groupBy("location_id", "state").agg(F.count("*").alias("n_orders"))

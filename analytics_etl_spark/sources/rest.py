@@ -128,3 +128,32 @@ class RestOrdersDataSource(DataSource):
 
     def reader(self, schema: StructType) -> RestOrdersReader:
         return RestOrdersReader(schema, self.options)
+
+
+def register_rest_source(spark) -> None:
+    """Register the source AND ship this package to the Python workers.
+
+    Unlike closures (shipped by value), a DataSource CLASS is pickled
+    by module reference — workers must be able to import
+    ``analytics_etl_spark``. On a cluster that's a --py-files deploy;
+    here we addPyFile a zip of the package so registration works no
+    matter what cwd/sys.path the host session has.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import analytics_etl_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(analytics_etl_spark.__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "analytics_etl_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py")
+    ):
+        shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir), "analytics_etl_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    spark.dataSource.register(RestOrdersDataSource)

@@ -17,8 +17,10 @@ def test_registry_shape():
     qs, os_ = queries(), oracle_sql()
     assert len(qs) >= 40
     assert set(os_) <= set(qs)
-    # the vast majority of the surface must be oracle-checked
-    assert len(os_) >= len(qs) - 3
+    # the vast majority of the surface must be oracle-checked; the
+    # rows-only set is the approximate/hermetic ops (approx distinct,
+    # approx quantiles, simhash, the synthetic REST source)
+    assert len(os_) >= len(qs) - 5
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

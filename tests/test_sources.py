@@ -5,11 +5,11 @@ from __future__ import annotations
 import json
 
 from analytics_etl_spark.sources.json_ingest import orders_from_json_strings, read_orders_json
-from analytics_etl_spark.sources.rest import PAGE_SIZE, RestOrdersDataSource
+from analytics_etl_spark.sources.rest import PAGE_SIZE, register_rest_source
 
 
 def _read_rest(spark, **opts):
-    spark.dataSource.register(RestOrdersDataSource)
+    register_rest_source(spark)
     r = spark.read.format("rest_orders")
     for k, v in opts.items():
         r = r.option(k, v)
