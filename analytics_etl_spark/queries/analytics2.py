@@ -942,3 +942,74 @@ def rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     return raw.groupBy("location_id", "state").agg(F.count("*").alias("n_orders"))
+
+
+# TPC-H Q17 shape: correlated scalar subquery (per-part average) —
+# Catalyst decorrelates to an aggregate + join; expressed explicitly
+# so the plan is the one we'd want at scale.
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    # AVG(double) is order-dependent in general; here it only gates a
+    # comparison (l_quantity, integer-valued, vs avg/2) so ulp-level
+    # differences can't flip the predicate except on exact ties, which
+    # integer-valued quantities make impossible off the .5 grid.
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("small_revenue"),
+        )
+    )
+
+
+# TPC-H Q22 shape: above-average customers with no RECENT orders
+# (aggregate threshold + anti join).
+@query(
+    "wealthy_inactive_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
+)
+def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.joins import anti_join
+
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    # exact-decimal sum / count → deterministic threshold
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_bal"))
+        .first()["avg_bal"]
+    )
+    wealthy = c.filter(F.col("c_acctbal") > thr)
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    inactive = anti_join(wealthy, recent, "c_custkey")
+    return inactive.select("c_custkey", "c_name", "c_acctbal")
