@@ -19,6 +19,7 @@ def lookup_join(
     fact_key: str,
     dim_key: str,
     how: str = "left",
+    hint_broadcast: bool = False,
 ) -> DataFrame:
     """J1/J2 — enrich a fact frame from a small dimension.
 
@@ -26,8 +27,16 @@ def lookup_join(
     dimension ships to every executor once. Reference parity:
     get_location_by_square_id (database_service.py:171-211) called
     per batch becomes one per-row join with zero extra I/O.
+
+    ``hint_broadcast`` is opt-in and reserved for dimensions with a
+    *fixed* row count (region/nation-class tables). For dimensions
+    that grow with data volume, leave it False: an explicit hint
+    overrides ``autoBroadcastJoinThreshold`` and becomes a driver-OOM
+    risk at scale, while the optimizer + AQE still broadcast whenever
+    the dimension is genuinely small.
     """
-    return fact.join(F.broadcast(dim), fact[fact_key] == dim[dim_key], how)
+    dim_side = F.broadcast(dim) if hint_broadcast else dim
+    return fact.join(dim_side, fact[fact_key] == dim[dim_key], how)
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:

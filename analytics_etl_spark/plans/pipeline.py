@@ -64,7 +64,12 @@ def sales_pipeline(
 
     # J1: square location id → surrogate int id, broadcast.
     enriched = lookup_join(
-        projected, locations, "square_location_id", "square_id", how="inner"
+        projected,
+        locations,
+        "square_location_id",
+        "square_id",
+        how="inner",
+        hint_broadcast=True,  # locations is a fixed ~dozens-row dimension
     ).select(
         "item_name",
         "sale_price",

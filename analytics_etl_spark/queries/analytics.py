@@ -104,7 +104,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -151,7 +151,7 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nation_id"))
         .agg(F.count_distinct("o_custkey").alias("distinct_buyers"))
     )
@@ -273,8 +273,8 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-             AS n_sessions
+           CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_sessions
     FROM ordered
     GROUP BY user_id
     """,

@@ -56,7 +56,7 @@ def avg_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     price = F.col("o_totalprice").cast("decimal(18,2)")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nation_id"))
         .agg(
             F.count("*").alias("n"),
@@ -345,7 +345,7 @@ def priority_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     urgent = F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nation_id"))
         .agg(
             F.count("*").alias("n_orders"),
@@ -382,7 +382,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -594,10 +594,10 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipmode_priority_counts",
     oracle="""
     SELECT l.l_linestatus AS ship_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate <  TIMESTAMP '1997-01-01'
@@ -640,7 +640,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
@@ -678,7 +678,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(c, c.c_custkey == o.o_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -724,8 +724,8 @@ def sales_etl_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     month = month_str("o_orderdate")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .filter(F.col("l_extendedprice") > 0)
         .filter(~contains_any(F.col("p_name"), ["blue"]))
@@ -919,7 +919,7 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & q.between(20, 30) & (F.col("p_size") <= 15))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
     )
@@ -1089,8 +1089,8 @@ def bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
         .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
         .filter(pair)

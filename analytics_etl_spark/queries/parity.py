@@ -63,7 +63,7 @@ def flagship_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             month_str("o_orderdate").alias("month"),
@@ -146,7 +146,7 @@ def recent_sales_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_denylist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(F.col("l_extendedprice") > 0)
         .filter(~contains_any(F.col("p_name"), ["blue", "cold"]))
         .select(
@@ -210,7 +210,7 @@ def modifier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dim_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, r = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
     return (
-        lookup_join(n, r, "n_regionkey", "r_regionkey", how="inner")
+        lookup_join(n, r, "n_regionkey", "r_regionkey", how="inner", hint_broadcast=True)
         .select(
             F.col("n_nationkey").alias("id"),
             F.col("n_name").alias("name"),
