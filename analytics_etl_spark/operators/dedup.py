@@ -38,11 +38,18 @@ def shingle_arrays(
     (word_shingles / the Jaccard verify join).
     """
     # Shingling fans out ~tokens× per row; if the source arrived in
-    # fewer partitions than cores (small file, coalesced scan), spread
-    # it first so downstream array work parallelizes. At real scale the
-    # scan already has >= cores partitions and this is a no-op.
+    # fewer *files* than cores (small file, coalesced scan), spread it
+    # first so downstream array work parallelizes. File count is a
+    # driver-cheap proxy for scan tasks that avoids touching df.rdd
+    # (which forces a plan conversion); at real scale the scan has
+    # >= cores partitions and this is a no-op. Non-file sources
+    # (in-memory test frames) report no files and are left alone.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < parallelism:
         docs = docs.repartition(parallelism, id_col)
 
     words = F.split(F.col(text_col), " ")
@@ -201,16 +208,21 @@ def verify_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for a GIVEN pair set only (the LSH verify stage).
 
     Unlike jaccard_pairs, this never forms the all-colliding-pairs
-    join: the (small) candidate set is broadcast onto doc_a's
-    shingles, then matched against doc_b's — cost is
+    join: the candidate set is equi-joined onto doc_a's shingles,
+    then matched against doc_b's — cost is
     O(|pairs| · shingles/doc), independent of corpus-wide collisions.
+
+    No broadcast hint: the candidate frame is unbounded (hot LSH
+    buckets can make it large), so a forced broadcast is a driver-OOM
+    risk. The joins are keyed (doc_a, then (doc_b, shingle)); the
+    optimizer/AQE still broadcasts when the pair set is genuinely
+    small, and falls back to a shuffle join when it isn't.
     """
     sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
     ta = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
     tb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
-        F.broadcast(pairs)
-        .join(ta, "doc_a")
+        pairs.join(ta, "doc_a")
         .join(tb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
@@ -248,10 +260,15 @@ def minhash_lsh_dedup(
     candidate pairs (never corpus-wide).
     """
     # The shingle arrays feed BOTH signature building and the exact
-    # verify stage — cache them so the corpus is shingled once.
-    # Signatures + band buckets are then pure projections: candidate
-    # generation costs ONE shuffle (the band/bucket self-join).
-    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=True).cache()
+    # verify stage. Deliberately NOT cached: pinning corpus-sized
+    # shingle arrays in executor memory is itself a hazard at scale,
+    # and recomputing them is a narrow scan+projection that fuses into
+    # each consumer under codegen. (A caller who wants reuse across
+    # *multiple* actions can shingle once, persist, and unpersist on
+    # their own lifecycle.) Signatures + band buckets are pure
+    # projections: candidate generation costs ONE shuffle (the
+    # band/bucket self-join).
+    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=True)
     sigs = minhash_signatures_from_arrays(arrays, num_hashes)
     cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band, num_hashes))
     shingled = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
