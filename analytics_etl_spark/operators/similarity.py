@@ -64,6 +64,33 @@ def cosine_topk(
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def cosine_topk_join(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """cosine_topk with the query vector kept IN the plan.
+
+    ``query_df`` is a 1-row frame holding the query vector (e.g. a
+    filtered row of the embeddings table). Cross-joining it (broadcast
+    of one row) means fetching the vector never runs a separate
+    driver-side job — the whole query is one lazy plan, and Spark
+    still executes the top-k as TakeOrderedAndProject.
+    """
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    out = embeddings.crossJoin(F.broadcast(query_df)).select(
+        F.col(id_col), cosine(e, q).alias("score")
+    )
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def sign_bucket(vec_col: Column | str, bits: int = 8) -> Column:
     """LSH bucket id from the sign pattern of the first `bits` dims.
 
@@ -97,6 +124,242 @@ def bucketed_cosine_topk(
             qbucket += 2**i
     pruned = embeddings.filter(sign_bucket(vec_col, bits) == F.lit(qbucket))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids)
+
+
+def bucketed_cosine_topk_join(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Sign-bucket ANN with the query vector kept in the plan.
+
+    Bucket equality becomes a post-broadcast filter; when the table is
+    written partitioned by bucket, the broadcast side feeds dynamic
+    partition pruning so the scan still touches ~1/2^bits of the data.
+    """
+    pruned = embeddings.crossJoin(F.broadcast(query_df)).filter(
+        sign_bucket(vec_col, bits) == sign_bucket(qvec_col, bits)
+    )
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    out = pruned.select(F.col(id_col), cosine(e, q).alias("score"))
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def multiprobe_bucket_set(
+    qvec_col: Column | str, bits: int = 8, n_probes: int = 4
+) -> Column:
+    """The query's sign bucket plus its (n_probes-1) nearest neighbor
+    buckets, as an array<int> — all computed in-plan.
+
+    Multi-probe LSH: the buckets most likely to hold missed neighbors
+    are the ones reached by flipping the bits whose dimensions have
+    the SMALLEST |value| (the query sits closest to those hyperplanes).
+    Sort dims by |v_i|, flip the lowest-margin bits one at a time.
+    Recall rises with n_probes at a linear scan-cost increase
+    (n_probes/2^bits of the table instead of 1/2^bits).
+    """
+    n_probes = min(n_probes, bits + 1)  # at most one flip per bit + base
+    c = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    base = sign_bucket(c, bits)
+    # (margin, bit) pairs sorted ascending by margin — struct sort
+    # orders by the first field.
+    margins = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(c, i + 1).cast("double")).alias("m"),
+                    F.lit(i).alias("i"),
+                )
+                for i in range(bits)
+            ]
+        )
+    )
+    # 2^i as pow→int (F.shiftleft needs a literal bit count, and i is
+    # a column here); exact for i < 31.
+    probes = [base] + [
+        base.bitwiseXOR(
+            F.pow(F.lit(2.0), F.element_at(margins, j + 1)["i"]).cast("int")
+        )
+        for j in range(n_probes - 1)
+    ]
+    return F.array(*probes)
+
+
+def multiprobe_cosine_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    n_probes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Multi-probe sign-bucket ANN: scan the query bucket AND the
+    lowest-margin neighbor buckets, then exact cosine + top-k.
+
+    Lifts recall over single-probe at n_probes× the pruned scan cost —
+    still a 2^bits/n_probes-fold reduction vs brute force.
+    """
+    probe_set = multiprobe_bucket_set(qvec_col, bits, n_probes)
+    pruned = embeddings.crossJoin(F.broadcast(query_df)).filter(
+        F.array_contains(probe_set, sign_bucket(vec_col, bits))
+    )
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    out = pruned.select(F.col(id_col), cosine(e, q).alias("score"))
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def rademacher_planes(
+    dim: int, bits: int, tables: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """Deterministic ±1 hyperplanes, tables × bits × dim.
+
+    Rademacher (sign) vectors are valid LSH directions — for sign-of-
+    dot hashing only the direction's distribution matters, and ±1
+    coordinates sample directions as uniformly as gaussians do in high
+    dim. Two wins over gaussian planes:
+    - ±1·x is exact in float arithmetic (no coefficient rounding), so
+      the only float work is the summation, whose left-fold order
+      Spark's ``F.aggregate`` and DuckDB's ``list_dot_product`` share
+      bit-for-bit (verified round 1);
+    - the sign comes from md5 (identical in every engine), so an
+      oracle can regenerate — or compactly embed — the same planes.
+
+    Sign rule: plane[t][i][j] = +1 iff the first hex digit of
+    md5("seed:t:i:j") is < 8.
+    """
+    import hashlib
+
+    return [
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{seed}:{t}:{i}:{j}".encode()).hexdigest()[0], 16) < 8
+                else -1.0
+                for j in range(dim)
+            ]
+            for i in range(bits)
+        ]
+        for t in range(tables)
+    ]
+
+
+def hyperplane_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """b-bit LSH bucket: bit i = [v · plane_i > 0] (whole-vector signal,
+    unlike sign_bucket's first-dims projection).
+
+    Pure-expression form — fine for a handful of planes; for the
+    multi-table case (hundreds of planes) use
+    ``hyperplane_signatures``: building hundreds of fold expressions
+    costs tens of seconds of driver-side plan construction alone.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = as_double_array(c)
+    b = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        b = b + F.when(dot(v, p) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def hyperplane_signatures(planes: list[list[list[float]]]):
+    """Arrow-vectorized LSH signature kernel: vec -> array<int> of
+    per-table bucket ids, via ONE (batch × dim) @ (dim × tables·bits)
+    matrix multiply per Arrow batch.
+
+    This is the documented Pandas-UDF escape hatch (SURVEY.md §2.7):
+    hundreds of simultaneous projections per row are exactly what SQL
+    fold expressions can't express efficiently — a literal-expression
+    bucket per plane costs O(tables·bits) aggregate folds in the plan
+    (tens of seconds of py4j plan construction + codegen for 24×6
+    planes, measured) while the matmul is one BLAS call per batch.
+    Bucket SIGNS are the only thing computed here; candidate scores
+    stay on the exact JVM fold path (``cosine``), so oracle parity is
+    unaffected except for dots within float-rounding of zero
+    (|Σ ±v_j| < ~1e-13 — vanishing).
+
+    At 100 TB this kernel is how signatures get PRECOMPUTED at write
+    time into a `sig` column (then bucket joins / partition pruning do
+    query-time work); computing it inline per query is the fallback.
+    """
+    import numpy as np
+    import pandas as pd
+
+    flat = np.array(
+        [p for tp in planes for p in tp], dtype=np.float64
+    )  # (tables*bits, dim)
+    n_tables, n_bits = len(planes), len(planes[0])
+    weights = (2 ** np.arange(n_bits)).astype(np.int64)
+
+    def _sig(v):
+        mat = np.array(v.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (mat @ flat.T) > 0  # (n, tables*bits)
+        buckets = bits.reshape(len(mat), n_tables, n_bits) @ weights  # (n, tables)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    # live annotations (the module-level `from __future__ import
+    # annotations` would stringify inline hints past pandas_udf's
+    # signature inference)
+    _sig.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_sig, "array<int>")
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    bits: int = 6,
+    tables: int = 24,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    exclude_ids: tuple[int, ...] = (),
+    planes: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN (OR-amplification).
+
+    A row is a candidate if it lands in the query's bucket in ANY of
+    the `tables` independent b-bit hash tables: recall ≈
+    1-(1-p^b)^L for per-bit collision p = 1-θ/π, while non-neighbors
+    (p≈0.5) survive with prob ≈ L/2^b. This is the knob single-probe
+    bucketing lacks: L lifts recall without coarsening the buckets.
+    Bucketing runs through the Arrow matmul kernel
+    (``hyperplane_signatures``); candidate scoring stays on the exact
+    JVM fold (``cosine``) so results remain oracle-checkable. Zero
+    shuffle before the final top-k. Measured recall/scan-cost:
+    tests/test_ann_recall.py.
+    """
+    if planes is None:
+        planes = rademacher_planes(dim, bits, tables, seed)
+    sig = hyperplane_signatures(planes)
+    joined = embeddings.crossJoin(F.broadcast(query_df)).withColumns(
+        {"_sig_e": sig(as_double_array(vec_col)), "_sig_q": sig(as_double_array(qvec_col))}
+    )
+    # candidate iff the buckets agree in ANY table (positional match)
+    match_any = F.exists(
+        F.zip_with("_sig_e", "_sig_q", lambda a, b: a == b), lambda x: x
+    )
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    out = joined.filter(match_any).select(F.col(id_col), cosine(e, q).alias("score"))
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
 def cosine_topk_pandas(

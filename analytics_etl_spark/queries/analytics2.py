@@ -231,8 +231,10 @@ def date_arithmetic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / 900_000_000).cast("bigint")
-    # floor-division semantics: timestamps are all post-1970 so / + cast == //
+    # true floor division (matches DuckDB // for pre-1970 timestamps too)
+    bucket = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 900_000_000).cast(
+        "bigint"
+    )
     return ev.groupBy(bucket.alias("bucket_id")).agg(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
@@ -1001,13 +1003,20 @@ def wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.joins import anti_join
 
     c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
-    # exact-decimal sum / count → deterministic threshold
-    thr = (
-        c.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias("avg_bal"))
-        .first()["avg_bal"]
+    # exact-decimal sum / count → deterministic threshold. The 1-row
+    # aggregate stays IN the plan (cross join → auto-broadcast nested
+    # loop): one lazy plan, one Spark job — no driver-side .first().
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
     )
-    wealthy = c.filter(F.col("c_acctbal") > thr)
+    wealthy = (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .drop("avg_bal")
+    )
     recent = o.filter(
         F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
     ).select(F.col("o_custkey").alias("c_custkey"))

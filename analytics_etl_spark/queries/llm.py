@@ -20,7 +20,13 @@ from analytics_etl_spark.operators.dedup import (
     word_shingles,
 )
 from analytics_etl_spark.operators.multimodal import binary_meta, synthesize_media
-from analytics_etl_spark.operators.similarity import bucketed_cosine_topk, cosine_topk
+from analytics_etl_spark.operators.similarity import (
+    bucketed_cosine_topk_join,
+    cosine_topk_join,
+    hyperplane_lsh_topk,
+    multiprobe_cosine_topk,
+    rademacher_planes,
+)
 from analytics_etl_spark.operators.text_analysis import (
     langid_guess,
     quality_features,
@@ -127,14 +133,9 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(docs, bits=32, shingle_n=2)
 
 
-def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = (
-        t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row["embedding"]]
+def _query_frame(emb: DataFrame, vec_id: int = 0) -> DataFrame:
+    """1-row query-vector frame — stays IN the plan (no driver .first())."""
+    return emb.filter(F.col("vec_id") == vec_id).select(F.col("embedding").alias("qv"))
 
 
 _COS_SQL = """
@@ -157,8 +158,7 @@ _COS_SQL = """
 )
 def similarity_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return cosine_topk(emb, qv, k=10, exclude_ids=(0,))
+    return cosine_topk_join(emb, _query_frame(emb, 0), k=10, exclude_ids=(0,))
 
 
 def _bucket_sql(col: str, bits: int = 8) -> str:
@@ -182,8 +182,107 @@ def _bucket_sql(col: str, bits: int = 8) -> str:
 )
 def similarity_ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    qv = _query_vec(spark, sf_dir, 0)
-    return bucketed_cosine_topk(emb, qv, k=5, bits=8, exclude_ids=(0,))
+    return bucketed_cosine_topk_join(
+        emb, _query_frame(emb, 0), k=5, bits=8, exclude_ids=(0,)
+    )
+
+
+def _multiprobe_sql(bits: int = 8, n_probes: int = 4) -> str:
+    """DuckDB probe-set expression mirroring multiprobe_bucket_set:
+    sort dims by |qv[i]| (tie-break on i), flip the lowest-margin bits."""
+    margins = ", ".join(
+        f"{{'m': abs(qv[{i + 1}]), 'i': {i}}}" for i in range(bits)
+    )
+    probes = ["qb"] + [
+        f"CAST(xor(qb, (1 << ms[{j + 1}].i)) AS INT)" for j in range(n_probes - 1)
+    ]
+    return (
+        f"SELECT qv, qb, [{', '.join(probes)}] AS probes "
+        f"FROM (SELECT qv, qb, list_sort([{margins}]) AS ms FROM q)"
+    )
+
+
+@query(
+    "similarity_ann_multiprobe",
+    oracle=f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql("embedding")} AS qb
+               FROM embeddings WHERE vec_id = 0),
+    p AS ({_multiprobe_sql(8, 4)})
+    SELECT e.vec_id, {_COS_SQL.replace("q.qv", "p.qv")} AS score
+    FROM embeddings e, p
+    WHERE e.vec_id <> 0 AND list_contains(p.probes, {_bucket_sql("e.embedding")})
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query bucket + 3 lowest-margin
+    neighbor buckets at 4/2^8 of the brute-force scan cost. Lifts
+    recall over single-probe, but on near-uniform vectors (this
+    test data: top-10 neighbors at cosine ≈0.3) both are low —
+    measured in tests/test_ann_recall.py; the multi-table hyperplane
+    query below is the recall path."""
+    emb = t(spark, sf_dir, "embeddings")
+    return multiprobe_cosine_topk(
+        emb, _query_frame(emb, 0), k=10, bits=8, n_probes=4, exclude_ids=(0,)
+    )
+
+
+_HP_BITS, _HP_TABLES, _HP_DIM = 6, 24, 64
+_HP_PLANES = rademacher_planes(_HP_DIM, _HP_BITS, _HP_TABLES, seed=7)
+
+
+def _hyperplane_oracle(bits: int, tables: int, planes) -> str:
+    """DuckDB mirror of hyperplane_lsh_topk: the SAME ±1 planes are
+    embedded as one literal list-of-lists (md5-derived, so both
+    engines could equally regenerate them), bucket bit = sign of
+    list_dot_product — bit-identical to Spark's F.aggregate fold."""
+    flat = [p for tp in planes for p in tp]
+    pl = "[" + ",".join(
+        "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]" for p in flat
+    ) + "]"
+    tables_match = " OR ".join(
+        "("
+        + " AND ".join(
+            f"((list_dot_product(ev, pl[{t * bits + i + 1}]) > 0) = "
+            f"(list_dot_product(qv, pl[{t * bits + i + 1}]) > 0))"
+            for i in range(bits)
+        )
+        + ")"
+        for t in range(tables)
+    )
+    return f"""
+    WITH p AS (SELECT {pl} AS pl),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    b AS (SELECT e.vec_id AS vec_id, e.embedding::DOUBLE[] AS ev, qv, pl
+          FROM embeddings e, q, p WHERE e.vec_id <> 0)
+    SELECT vec_id,
+           list_dot_product(ev, qv)
+             / sqrt(list_dot_product(ev, ev) * list_dot_product(qv, qv)) AS score
+    FROM b WHERE {tables_match}
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@query("similarity_ann_hyperplane", oracle=_hyperplane_oracle(_HP_BITS, _HP_TABLES, _HP_PLANES))
+def similarity_ann_hyperplane_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN (24 tables × 6 bits,
+    OR-amplified): the recall knob single-probe bucketing lacks.
+    Measured at sf0.01: recall@10 ≈ 0.72 scanning ≈ 1/3 of the table
+    (tests/test_ann_recall.py) — on data whose true top-10 sits at
+    cosine ≈0.3, where any LSH needs amplification to hit recall."""
+    emb = t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(
+        emb,
+        _query_frame(emb, 0),
+        dim=_HP_DIM,
+        k=10,
+        bits=_HP_BITS,
+        tables=_HP_TABLES,
+        exclude_ids=(0,),
+        planes=_HP_PLANES,
+    )
 
 
 @query(
