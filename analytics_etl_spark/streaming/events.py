@@ -93,21 +93,42 @@ def windowed_event_counts(
 
 
 def write_idempotent_partitions(
-    agg: DataFrame, path: str, checkpoint: str, partition_key: str = "event_type"
+    agg: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_key: str = "event_type",
+    window_col: str = "window_start",
 ):
     """foreachBatch sink reproducing the reference's delete-then-reload.
 
     Each micro-batch dynamically overwrites exactly the partitions it
     contains — a replayed batch (after failure) rewrites the same
     partitions with the same content: idempotent, like the
-    reference's DELETE WHERE (location, month) + reload, without the
-    delete race.
+    reference's DELETE WHERE (location, month) + reload
+    (app/services/database_service.py:415-475), without the delete race.
+
+    The partition grain must match the update grain: outputMode
+    ("update") emits only the windows a batch touched, so partitioning
+    by event_type alone would make every batch replace ALL of an event
+    type's windows with just the touched ones — losing earlier
+    finalized windows. Partitioning by (event_type, window) makes each
+    overwrite replace exactly the (type, window) cells present in the
+    batch — the streaming analogue of the reference's (location, month)
+    delete key. ``window_id`` (epoch seconds of the window start) is
+    the partition-safe directory value.
     """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch_df.write.mode("overwrite").partitionBy(partition_key).parquet(path)
+        keys = [partition_key]
+        out = batch_df
+        if window_col in batch_df.columns:
+            out = batch_df.withColumn(
+                "window_id", F.unix_seconds(F.col(window_col).cast("timestamp"))
+            )
+            keys.append("window_id")
+        out.write.mode("overwrite").partitionBy(*keys).parquet(path)
 
     return (
         agg.writeStream.outputMode("update")

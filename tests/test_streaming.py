@@ -78,6 +78,72 @@ def test_idempotent_partition_sink_replay(spark, tmp_path):
     assert first == second > 0
 
 
+def test_idempotent_sink_keeps_windows_across_batches(spark, tmp_path):
+    """Two micro-batches touching DIFFERENT windows of the same event
+    type: the second batch's overwrite must not delete the first
+    batch's finalized windows (the partition grain must match the
+    update grain — (event_type, window), not event_type alone)."""
+    import pyspark.sql.types as T
+
+    # a directory named *.parquet: read_events_stream streams it as-is
+    landing = tmp_path / "events.parquet"
+    landing.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck_multi")
+
+    def mk_events(rows):
+        # (event_id, hour, user) -> EVENTS_DDL rows, ts in nanos
+        base = 1_600_000_000  # epoch seconds, window-aligned enough
+        return spark.createDataFrame(
+            [
+                (eid, (base + h * 3600) * 10**9, u, "click", 1.0, "{}")
+                for (eid, h, u) in rows
+            ],
+            schema=T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("ts", T.LongType()),
+                    T.StructField("user_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("props", T.StringType()),
+                ]
+            ),
+        )
+
+    def stage_file(df, name):
+        # the file stream source lists plain files — write the frame,
+        # then drop its single part-file into the landing dir
+        import shutil
+
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    # batch 1: windows at hour 0 and hour 1
+    stage_file(mk_events([(1, 0, 10), (2, 0, 11), (3, 1, 12)]), "f1.parquet")
+    stream = read_events_stream(spark, str(landing))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = write_idempotent_partitions(agg, out, ckpt).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: only a NEW window at hour 5 (advances the watermark,
+        # finalizing hours 0-1 which this batch does not touch)
+        stage_file(mk_events([(4, 5, 13)]), "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["window_start"], r["n"])
+        for r in spark.read.parquet(out).filter(F.col("event_type") == "click").collect()
+    }
+    starts = sorted(ws for ws, _ in got)
+    assert len(got) == 3, f"earlier windows were lost: {got}"
+    assert {n for _, n in got} == {2, 1}  # hour0: 2 events, hour1: 1, hour5: 1
+    assert starts[0] < starts[1] < starts[2]
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Purchases joined to preceding clicks within 1h, stream-stream.
     Must equal the same interval join run in batch."""
