@@ -54,6 +54,97 @@ def test_rest_source_deterministic_pages(spark):
     assert a == b
 
 
+def test_rest_cursor_mode_matches_index_mode(spark):
+    """pagination=cursor must produce the same rows as the index
+    fan-out (same synthetic pages), with one partition per page token."""
+    base = dict(
+        locations="L1,L2",
+        pages_per_location="3",
+        start_date="2025-11-01",
+        end_date="2025-11-30",
+    )
+    idx = _read_rest(spark, **base)
+    cur = _read_rest(spark, pagination="cursor", **base)
+    assert cur.rdd.getNumPartitions() == 6
+    assert sorted(r["order_id"] for r in cur.collect()) == sorted(
+        r["order_id"] for r in idx.collect()
+    )
+
+
+def test_cursor_walk_is_sequential_and_opaque():
+    """The driver walk must follow the cursor CHAIN: each request's
+    cursor is exactly the previous response's token (reference
+    square_service.py:233-254), and tokens can't be forged."""
+    import pytest
+
+    from analytics_etl_spark.sources.rest import (
+        SyntheticCursorTransport,
+        walk_cursors,
+    )
+
+    class Recording(SyntheticCursorTransport):
+        def __init__(self, pages):
+            super().__init__(pages)
+            self.seen = []
+            self.returned = []
+
+        def fetch(self, loc, cursor, *a):
+            self.seen.append(cursor)
+            rows, nxt = super().fetch(loc, cursor, *a)
+            self.returned.append(nxt)
+            return rows, nxt
+
+    tr = Recording(pages=4)
+    tokens = walk_cursors(tr, "L1", "2025-11-01", "2025-11-30", "COMPLETED")
+    assert len(tokens) == 4
+    # request i used the token returned by response i-1 (None starts)
+    assert tr.seen == [None] + tr.returned[:3]
+    assert tokens == tr.seen
+    # opaque: a forged token is rejected by the server side
+    with pytest.raises(ValueError):
+        tr.fetch("L1", "2|deadbeefdead", "2025-11-01", "2025-11-30", "COMPLETED")
+    # and a token signed for one location is invalid for another
+    with pytest.raises(ValueError):
+        tr.fetch("L2", tokens[1], "2025-11-01", "2025-11-30", "COMPLETED")
+
+
+def test_cursor_walk_retries_transient_failures():
+    """Retry/backoff: transient errors mid-walk recover without
+    breaking the token chain (reference error shape,
+    square_service.py:236-270)."""
+    from analytics_etl_spark.sources.rest import (
+        SyntheticCursorTransport,
+        TransientAPIError,
+        walk_cursors,
+    )
+
+    class Flaky(SyntheticCursorTransport):
+        def __init__(self, pages, fail_on):
+            super().__init__(pages)
+            self.calls = 0
+            self.fail_on = set(fail_on)
+
+        def fetch(self, loc, cursor, *a):
+            self.calls += 1
+            if self.calls in self.fail_on:
+                raise TransientAPIError(f"HTTP 503 (call {self.calls})")
+            return super().fetch(loc, cursor, *a)
+
+    tr = Flaky(pages=3, fail_on={1, 4})
+    tokens = walk_cursors(tr, "L1", "2025-11-01", "2025-11-30", "COMPLETED")
+    assert len(tokens) == 3
+    assert tr.calls == 5  # 3 successes + 2 retried failures
+
+    class AlwaysDown(SyntheticCursorTransport):
+        def fetch(self, *a):
+            raise TransientAPIError("HTTP 503")
+
+    import pytest
+
+    with pytest.raises(TransientAPIError):
+        walk_cursors(AlwaysDown(3), "L1", "2025-11-01", "2025-11-30", "COMPLETED")
+
+
 def test_json_ingest_quarantines_corrupt(spark, tmp_path):
     p = tmp_path / "orders.jsonl"
     good = {
