@@ -65,6 +65,59 @@ def test_sink_dynamic_partition_overwrite(spark, nested_orders, locations_dim, t
     assert after.filter(F.col("month") == "2025-06").count() == 1
 
 
+def test_sink_gated_overwrite_counts_then_confirms(spark, nested_orders, locations_dim, tmp_path):
+    """The reference counts then requires confirm=True before deleting
+    (database_service.py:443-464): dry run reports the doomed rows and
+    touches nothing; confirm replaces exactly those partitions."""
+    from analytics_etl_spark.sinks.writer import overwrite_partitions_gated
+
+    path = str(tmp_path / "sales")
+    sales, _ = sales_pipeline(nested_orders, locations_dim, _config())
+
+    # first load: nothing to replace, dry-run writes nothing
+    n, replaced = overwrite_partitions_gated(sales, path, confirm=False)
+    assert (n, replaced) == (0, False)
+    n, replaced = overwrite_partitions_gated(sales, path, confirm=True)
+    assert (n, replaced) == (0, True)
+    before = read_sales(spark, path).count()
+
+    # re-run over November only: dry run counts November's existing
+    # rows, leaves the table untouched
+    nov_cfg = PipelineConfig(start_date="2025-11-01", end_date="2025-11-30")
+    nov_sales, _ = sales_pipeline(nested_orders, locations_dim, nov_cfg)
+    nov_existing = read_sales(spark, path).filter(F.col("month") == "2025-11").count()
+    n, replaced = overwrite_partitions_gated(nov_sales, path, confirm=False)
+    assert (n, replaced) == (nov_existing, False)
+    assert read_sales(spark, path).count() == before  # untouched
+
+    n, replaced = overwrite_partitions_gated(nov_sales, path, confirm=True)
+    assert (n, replaced) == (nov_existing, True)
+    after = read_sales(spark, path)
+    assert after.count() == before
+    assert after.filter(F.col("month") == "2025-06").count() == 1
+
+
+def test_write_jdbc_batched_roundtrip(spark, nested_orders, locations_dim, tmp_path):
+    """S8 against a real JDBC database (Spark's bundled Derby,
+    in-memory): batched insert → read back → same rows. Mirrors the
+    reference's execute_batch page_size≈100 postgres insert."""
+    from analytics_etl_spark.sinks.writer import write_jdbc
+
+    url = "jdbc:derby:memory:aes_jdbc_test;create=true"
+    sales, _ = sales_pipeline(nested_orders, locations_dim, _config())
+    out = sales.select("item_name", "sale_price", "qty", "month", "location_id")
+    write_jdbc(out, url, "sales", batchsize=50, num_partitions=2)
+
+    back = spark.read.jdbc(url, "sales")
+    assert back.count() == out.count()
+    assert {r["item_name"] for r in back.collect()} == {
+        r["item_name"] for r in out.collect()
+    }
+    # append mode accumulates (reference inserts are append-only)
+    write_jdbc(out, url, "sales", batchsize=50)
+    assert spark.read.jdbc(url, "sales").count() == 2 * out.count()
+
+
 def test_run_sales_pipeline_stats(nested_orders, locations_dim, tmp_path):
     cfg = _config(sales_path=str(tmp_path / "s"))
     stats = run_sales_pipeline(nested_orders, locations_dim, cfg)
