@@ -160,7 +160,10 @@ def distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate distinct (HLL) — no SQL oracle (approximate by design;
 # driver records a rows-only check). At 100 TB this replaces exact
 # distinct to avoid the full shuffle of the key.
-@query("approx_distinct_buyers", oracle=None)
+@query(
+    "approx_distinct_buyers",
+    rows_only="HLL approx_count_distinct: engine-specific sketch, no cross-engine exact value",
+)
 def approx_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return o.groupBy(F.lit(1).alias("one")).agg(

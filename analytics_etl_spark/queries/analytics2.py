@@ -422,7 +422,10 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Approximate quantiles — the 100 TB path (t-digest-style sketch, no
 # full sort); approximate by design → rows-only check.
-@query("quantiles_approx", oracle=None)
+@query(
+    "quantiles_approx",
+    rows_only="approx_percentile sketch: engine-specific, only exact quantiles are oracle-checked",
+)
 def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -930,7 +933,10 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The paginated REST source through the driver contract — rows-only
 # (the source is hermetic/synthetic; unit tests assert its pushdown
 # and determinism, tests/test_sources.py).
-@query("rest_source_scan", oracle=None)
+@query(
+    "rest_source_scan",
+    rows_only="synthetic REST DataSource: no parquet table for DuckDB to mirror",
+)
 def rest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.sources.rest import register_rest_source
 

@@ -127,7 +127,10 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # SimHash — rows-only check (bit-vote arithmetic; signatures are
 # deterministic md5-derived, verified by unit tests instead).
-@query("dedup_simhash", oracle=None)
+@query(
+    "dedup_simhash",
+    rows_only="64-bit simhash needs int64 bit ops DuckDB expresses differently; verified by unit tests",
+)
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return simhash_signatures(docs, bits=32, shingle_n=2)
