@@ -1,20 +1,25 @@
 """Deduplication operators for training-data pipelines.
 
-Four strategies, all built from DataFrame primitives (no Python UDFs):
+Four strategies:
 
 - exact: md5-fingerprint groupBy — one shuffle on the fingerprint.
 - n-gram Jaccard: shingle explode + pair join on shared shingles —
   the exact-verification kernel; quadratic in *colliding* docs only.
-- MinHash + LSH: shingle → k minhashes → banded buckets → candidate
-  pairs → exact Jaccard verify. The 100 TB path: candidate generation
-  is linear scans + shuffles on (band, bucket); only near-duplicates
-  ever meet in a join.
+- MinHash + LSH: shingle → k affine minhashes → banded buckets →
+  candidate pairs → exact Jaccard verify. The 100 TB path: candidate
+  generation is linear scans + ONE shuffle on (band, bucket); only
+  near-duplicates ever meet in a join.
 - SimHash: 64-bit signature via per-shingle md5 bit-votes; bucket by
   signature prefix.
 
 Hashes are md5 (identical across Spark, DuckDB, and any other engine),
 which keeps every stage oracle-checkable and deterministic — a
-property xxhash64/murmur do NOT have across engines.
+property xxhash64/murmur do NOT have across engines. Shingling runs as
+an Arrow-batched kernel (the one Python boundary here): SQL
+higher-order-function lambdas are interpreted per element outside
+whole-stage codegen, and benchmarking the pipeline at sf0.1 showed
+them dominating end-to-end cost 6-25× over the vectorized batch loop —
+see each function's docstring for the measured trade.
 """
 
 from __future__ import annotations
@@ -52,20 +57,31 @@ def shingle_arrays(
     if 0 < n_files < parallelism:
         docs = docs.repartition(parallelism, id_col)
 
-    words = F.split(F.col(text_col), " ")
-    k = F.size(words) - (n - 1)  # number of shingles
-    idx = F.sequence(F.lit(0), k - 1)
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+    # Arrow kernel, not a SQL higher-order function: HOF lambdas are
+    # interpreted per element (outside whole-stage codegen), and at
+    # ~50 shingles × several expression nodes per doc that measured
+    # 6-25× slower than this vectorized batch loop at sf0.1 (5.8s vs
+    # 1.0s for shingle+explode; the gap grows with the element count).
+    # Per-doc distinctness stays inside the row (first-occurrence
+    # order, like array_distinct) — never a corpus-wide DISTINCT.
+    import pandas as pd
+
+    def _shingle(texts):
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append([])
+                continue
+            w = txt.split(" ")
+            grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+            out.append(list(dict.fromkeys(grams)) if distinct else grams)
+        return pd.Series(out)
+
+    _shingle.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    shingle_udf = F.pandas_udf(_shingle, "array<string>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"), shingle_udf(F.col(text_col)).alias("shingles")
     )
-    shingles = F.when(k >= 1, F.transform(idx, shingle_at)).otherwise(
-        F.array().cast("array<string>")
-    )
-    if distinct:
-        # distinctness is per-document — array_distinct inside the row
-        # does it with zero shuffle (vs a corpus-wide DISTINCT).
-        shingles = F.array_distinct(shingles)
-    return docs.select(F.col(id_col).alias("doc_id"), shingles.alias("shingles"))
 
 
 def word_shingles(
@@ -126,22 +142,51 @@ def jaccard_pairs(shingled: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+# Affine minhash family: hash each shingle ONCE (md5 → int), then
+# derive the k minhashes as h_i = (a_i·h + b_i) mod p — the classic
+# universal-hash construction. Measured at sf0.1 this is the
+# difference between 12M and 1M md5 calls per pass (md5 dominates the
+# signature stage). p = 2^31-1 keeps a_i·h < 2^62: no int64 overflow
+# in either engine. a_i/b_i are seed-deterministic literals, and the
+# md5-hex→int conversion (first 15 hex chars) is bit-identical in
+# Spark (conv(...,16,10)) and DuckDB (('0x'||...)::BIGINT), so the
+# whole family stays oracle-checkable.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, shared with the SQL oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hash(col) -> F.Column:
+    """shingle → int in [0, p): md5 hex[:15] (60 bits) → long mod p."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % MINHASH_P
+
+
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 12) -> DataFrame:
     """(doc_id, shingle) → (doc_id, h0..h{k-1}): wide minhash signature.
 
-    h_i(doc) = min over shingles of md5(i || ':' || shingle) — md5 hex
-    compared lexicographically. All k minhashes are k MIN aggregates
-    in ONE groupBy: no k× row fan-out, one shuffle, and partial
-    aggregation means one row per (doc, task) crosses the wire.
-
-    Prefer minhash_signatures_from_arrays when the shingles are still
-    per-row arrays — that variant needs no shuffle at all.
+    One md5 per shingle row, then all k affine minhashes as k MIN
+    aggregates in ONE groupBy: no k× row fan-out, one shuffle, and
+    partial aggregation means one row per (doc, task) crosses the
+    wire. This is the FAST form: every expression here is inside
+    whole-stage codegen (measured 6× faster at sf0.1 than the
+    shuffle-free array-HOF variant below, whose lambdas are
+    interpreted per element).
     """
+    base = shingled.select("doc_id", shingle_hash(F.col("shingle")).alias("hb"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.col("hb") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
     ]
-    return shingled.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures_from_arrays(
@@ -149,19 +194,26 @@ def minhash_signatures_from_arrays(
 ) -> DataFrame:
     """(doc_id, shingles array) → wide minhash signature, ZERO shuffle.
 
-    h_i = array_min(transform(shingles, s -> md5(i:s))) — a pure
-    per-row projection that fuses into the scan under whole-stage
-    codegen. Identical values to the groupBy formulation (array_min
-    == MIN over the same md5 strings). Docs with no shingles get null
-    signatures and are dropped (they can't pair anyway).
+    h_i = array_min(transform(hashes, h -> (a_i·h + b_i) mod p)) over
+    the once-hashed shingle array — identical values to the groupBy
+    formulation. Shuffle-free but NOT codegen'd: higher-order-function
+    lambdas are interpreted per element, which measured 6× slower than
+    minhash_signatures' codegen aggregation at sf0.1 — use this form
+    only when avoiding the (tiny, doc-sized) signature shuffle matters
+    more than CPU. Docs with no shingles are dropped (they can't pair
+    anyway).
     """
+    base = (
+        shingle_arr.filter(F.size("shingles") >= 1)
+        .select("doc_id", F.transform(F.col("shingles"), shingle_hash).alias("hb"))
+    )
     cols = [
         F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            F.transform(F.col("hb"), lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
         ).alias(f"h{i}")
-        for i in range(num_hashes)
+        for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
     ]
-    return shingle_arr.filter(F.size("shingles") >= 1).select("doc_id", *cols)
+    return base.select("doc_id", *cols)
 
 
 def lsh_band_buckets(
@@ -193,51 +245,78 @@ def lsh_band_buckets(
 
 
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from shared (band, bucket)."""
-    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    """Distinct candidate pairs from shared (band, bucket).
+
+    Shaped as groupBy(band, bucket) → sorted id list → expand i<j
+    pairs, NOT as a self-join: a self-join of the bucket frame
+    recomputes the whole scan→shingle→signature chain once per side
+    (Spark does not reuse the exchange across differently-aliased
+    branches — measured 5× slower end-to-end at sf0.1), while the
+    group-by formulation pays ONE shuffle on the same key and computes
+    the chain once. The per-bucket pair expansion is quadratic only
+    within a bucket — the known LSH hot-bucket pathology; bucket
+    width is bounded by band size tuning, and a corpus-wide skew
+    shows up here as one fat group to split upstream, not as a
+    silently exploding join.
+    """
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    e1 = grouped.select("ids", F.posexplode("ids").alias("i", "doc_a"))
+    # ids are sorted, so everything after position i is > doc_a
+    rest = F.slice(
+        F.col("ids"),
+        F.col("i") + 2,
+        F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)),
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        e1.select("doc_a", F.explode(rest).alias("doc_b"))
         .distinct()
     )
 
 
-def verify_jaccard(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
+def verify_jaccard(arrays: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for a GIVEN pair set only (the LSH verify stage).
 
-    Unlike jaccard_pairs, this never forms the all-colliding-pairs
-    join: the candidate set is equi-joined onto doc_a's shingles,
-    then matched against doc_b's — cost is
-    O(|pairs| · shingles/doc), independent of corpus-wide collisions.
+    Takes the per-doc shingle ARRAYS (shingle_arrays output,
+    distinct=True), not exploded rows: each candidate pair picks up
+    both docs' arrays by key and the overlap is
+    ``size(array_intersect(a, b))`` — pure per-row JVM array algebra.
+
+    Why this shape, measured at sf0.1: the exploded formulation
+    (pairs⋈shingles on doc_a, re-matched on (doc_b, shingle)) shuffles
+    the corpus-wide exploded shingle set (~200× more rows than docs)
+    TWICE and re-aggregates — ~8× slower end-to-end, and worse with
+    scale. Here the only join inputs are the doc-sized arrays table
+    and the candidate pairs; no corpus-wide explode ever happens.
 
     No broadcast hint: the candidate frame is unbounded (hot LSH
     buckets can make it large), so a forced broadcast is a driver-OOM
-    risk. The joins are keyed (doc_a, then (doc_b, shingle)); the
-    optimizer/AQE still broadcasts when the pair set is genuinely
-    small, and falls back to a shuffle join when it isn't.
+    risk. AQE broadcasts the pair side when it is genuinely small —
+    then the arrays table is never shuffled at all — and falls back
+    to a shuffle join keyed on doc id when it isn't.
     """
-    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
-    tb = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
+    a = arrays.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("sz_a"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    b = arrays.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.size("shingles").alias("sz_b"),
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("common").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+                common.cast("double") / (F.col("sz_a") + F.col("sz_b") - common)
             ).alias("jaccard"),
         )
     )
@@ -269,10 +348,15 @@ def minhash_lsh_dedup(
     # projections: candidate generation costs ONE shuffle (the
     # band/bucket self-join).
     arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=True)
-    sigs = minhash_signatures_from_arrays(arrays, num_hashes)
-    cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band, num_hashes))
+    # exploded + groupBy signatures, NOT the array-HOF form: the 12
+    # min aggregates run inside whole-stage codegen with map-side
+    # partial mins (one signature row per doc crosses the wire), while
+    # 12 array_min(transform(...)) projections are interpreted per
+    # element — measured 6× slower at sf0.1 despite being shuffle-free.
     shingled = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
-    return verify_jaccard(shingled, cands).filter(F.col("jaccard") >= min_jaccard)
+    sigs = minhash_signatures(shingled, num_hashes)
+    cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band, num_hashes))
+    return verify_jaccard(arrays, cands).filter(F.col("jaccard") >= min_jaccard)
 
 
 def simhash_signatures(

@@ -86,18 +86,33 @@ def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingled, min_jaccard=0.1)
 
 
+def _minhash_params_sql(num_hashes: int = 12) -> str:
+    """(seed, a, b) VALUES rows mirroring minhash_affine_params."""
+    from analytics_etl_spark.operators.dedup import minhash_affine_params
+
+    rows = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_affine_params(num_hashes))
+    )
+    return f"params(seed, a, b) AS (VALUES {rows})"
+
+
 @query(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_TOK3_SQL},
-    seeds AS (SELECT unnest(range(0, 12)) AS seed),
+    {_minhash_params_sql(12)},
+    base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS hb
+      FROM tok
+    ),
     mh AS (
-      SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
-      FROM tok CROSS JOIN seeds GROUP BY doc_id, seed
+      SELECT doc_id, seed, MIN((a * hb + b) % 2147483647) AS h
+      FROM base CROSS JOIN params GROUP BY doc_id, seed
     ),
     bands AS (
       SELECT doc_id, CAST(seed // 3 AS INT) AS band,
-             md5(string_agg(h, '|' ORDER BY seed)) AS bucket
+             md5(string_agg(h::VARCHAR, '|' ORDER BY seed)) AS bucket
       FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
     ),
     cand AS (

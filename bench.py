@@ -4,16 +4,28 @@ Prints ONE JSON line:
   {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
    "queries": {"<name>": <sec>, ...}, "sf": <sf>}
 
-Timing is per-query wall clock over a full execute-and-consume
-(count of the result), after a small warm-up query so JVM/codegen
-startup isn't billed to the first query.
+Per-query numbers are MEDIANS over $SPARK_GRAFT_BENCH_REPS (default 3)
+steady-state runs — sub-second queries jitter ~2× run-to-run, medians
+don't — after one untimed warm-up pass (whole-stage-codegen compile,
+parquet footers, broadcast builds are one-time JVM costs a cluster
+amortizes across the job).
+
+One query per operator family: parity aggregates/joins, window, event
+sessionization, dedup (exact / MinHash-LSH / embedding), similarity
+(brute force + hyperplane LSH), text, fingerprinting, as-of join —
+plus `flagship_bucketed`: the flagship join re-run against tables
+bucketed on the join key (the deployment layout that removes the one
+big shuffle; the bucketed write itself is untimed setup, as at a real
+site where ingest pays it once).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,37 +41,87 @@ HEADLINE = [
     "window_running_revenue",
     "tumbling_window_agg",
     "sessionize_events",
+    "asof_join_last_click",
+    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "similarity_topk_cosine",
+    "similarity_ann_hyperplane",
+    "doc_fingerprint_winnow",
     "text_quality_score",
 ]
 
 
+def _flagship_bucketed(spark, sf_dir: str):
+    """flagship_monthly_revenue over lineitem/orders bucketed on the
+    join key — the fact-fact sort-merge runs with NO Exchange
+    (asserted on the plan in tests/test_scale_utils.py)."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.queries.parity import _rev, month_str
+    from analytics_etl_spark.sinks.bucketed import read_table
+    from analytics_etl_spark.tables import load_table
+
+    li, o = read_table(spark, "bench_li_bucketed"), read_table(spark, "bench_o_bucketed")
+    c, n = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            month_str("o_orderdate").alias("month"),
+            F.col("n_name").alias("location_name"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(_rev()).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def _setup_bucketed(spark, sf_dir: str) -> None:
+    from analytics_etl_spark.sinks.bucketed import write_bucketed
+    from analytics_etl_spark.tables import load_table
+
+    write_bucketed(load_table(spark, sf_dir, "lineitem"), "bench_li_bucketed", "l_orderkey", buckets=8)
+    write_bucketed(load_table(spark, sf_dir, "orders"), "bench_o_bucketed", "o_orderkey", buckets=8)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
 
-    spark = get_spark("bench")
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="aes_bench_wh_")
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up pass: whole-stage-codegen compilation, parquet footer
-    # reads, and broadcast builds are one-time JVM costs — a cluster
-    # amortizes them across the job; a benchmark shouldn't bill them
-    # to the first query. Timed numbers are the steady-state runs.
-    for name in HEADLINE:
-        REGISTRY[name].fn(spark, sf_dir).count()
+    _setup_bucketed(spark, sf_dir)  # untimed: ingest-time layout work
+    plans = {name: REGISTRY[name].fn for name in HEADLINE}
+    plans["flagship_bucketed"] = _flagship_bucketed
+
+    # warm-up pass (untimed)
+    for fn in plans.values():
+        fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for name, fn in plans.items():
+        runs = []
+        for _ in range(reps):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread = f"[{min(runs):.3f}..{max(runs):.3f}]"
+        print(f"# {name}: median {timings[name]:.3f}s {spread} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
