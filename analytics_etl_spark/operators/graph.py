@@ -1,0 +1,77 @@
+"""Connected components over candidate-pair edges.
+
+The missing last mile of near-dup dedup: LSH/verify produces PAIRS,
+but removal needs CLUSTERS (a chain a~b~c must keep ONE canonical doc,
+not drop both ends of each pair independently). Components give each
+doc the min doc_id reachable from it — that minimum is the canonical
+survivor.
+
+Algorithm: min-label propagation (the DataFrame form of the classic
+iterative algorithm; GraphFrames' connectedComponents is the same idea
+with large/small-star optimizations). Each round, every node takes the
+min of its own label and its neighbors' labels; fixpoint in
+O(component diameter) rounds. Near-dup clusters are dense and tiny
+(diameter 2-4 in practice), so the loop converges in a handful of
+rounds even at corpus scale — the per-round cost is one join + one
+groupBy shuffle on the edge list, NEVER corpus² work.
+
+This is one of the engine's two deliberate driver-side loops (the
+other is the REST cursor walk): iteration count is data-dependent, so
+a driver fixpoint test is the honest control flow. Each round
+`localCheckpoint`s the label frame — without it, the lineage doubles
+every round and Catalyst re-analysis dominates past ~10 rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) edge list → (doc_id, cluster_id).
+
+    cluster_id = min doc id in the component (deterministic — the
+    fixpoint is unique regardless of partitioning or join order).
+    Every doc appearing in any edge gets a row; singletons (docs with
+    no edges) are by construction absent — union them in at the call
+    site if needed.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

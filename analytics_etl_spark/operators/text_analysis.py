@@ -135,3 +135,59 @@ def winnowing_fingerprints(
         .where(F.col("r.n_fingerprints").isNotNull())
         .select("doc_id", "r.n_fingerprints", "r.min_fp")
     )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    Heavily repetitive text is the classic low-quality signature in
+    pretraining corpora (boilerplate, keyword stuffing, generation
+    loops). Per doc over word n-grams:
+    - dup_ngram_frac: 1 - distinct/total n-grams (how much of the doc
+      is re-used phrasing);
+    - top_ngram_frac: occurrences of the most frequent n-gram / total
+      (degenerate-loop detector).
+
+    Relational shape: explode n-grams → count per (doc, gram) → one
+    re-aggregation per doc. Two hash-agg shuffles keyed on the doc id
+    (+gram), fully codegen'd — at corpus scale this is the same cost
+    profile as the dedup shingle pass it usually runs beside.
+    """
+    from analytics_etl_spark.operators.dedup import word_shingles
+
+    grams = word_shingles(docs, text_col=text_col, n=n, distinct=False)
+    per_gram = grams.groupBy("doc_id", "shingle").agg(F.count("*").alias("c"))
+    total = F.sum("c")
+    distinct_ = F.count("*")
+    top = F.max("c")
+    return per_gram.groupBy("doc_id").agg(
+        total.cast("bigint").alias("n_ngrams"),
+        distinct_.cast("bigint").alias("n_distinct"),
+        (F.lit(1.0) - distinct_.cast("double") / total).alias("dup_ngram_frac"),
+        (top.cast("double") / total).alias("top_ngram_frac"),
+    )
+
+
+PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PII_PHONE = "\\+1-555-[0-9]{4}"
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", email: str = PII_EMAIL, phone: str = PII_PHONE
+) -> DataFrame:
+    """Count and redact PII patterns (emails, phone numbers).
+
+    Pure JVM regex — one narrow pass, no shuffle. Returns match
+    counts plus an md5 of the redacted text (the fingerprint travels
+    through correctness checks without hauling full documents).
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, email, "[EMAIL]"), phone, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(c, F.lit(email)).cast("bigint").alias("n_emails"),
+        F.regexp_count(c, F.lit(phone)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )

@@ -96,10 +96,7 @@ def _minhash_params_sql(num_hashes: int = 12) -> str:
     return f"params(seed, a, b) AS (VALUES {rows})"
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_TOK3_SQL},
+_LSH_CTES = f"""{_TOK3_SQL},
     {_minhash_params_sql(12)},
     base AS (
       SELECT doc_id,
@@ -126,18 +123,60 @@ def _minhash_params_sql(num_hashes: int = 12) -> str:
       FROM tok x JOIN tok y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
       GROUP BY 1, 2
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
-    FROM cand c
-    JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
-    JOIN sizes sa ON sa.doc_id = c.doc_a
-    JOIN sizes sb ON sb.doc_id = c.doc_b
-    """,
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
+      FROM cand c
+      JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"WITH {_LSH_CTES} SELECT doc_a, doc_b, jaccard FROM verified",
 )
 def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return minhash_lsh_dedup(docs, num_hashes=12, rows_per_band=3, shingle_n=3)
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS → canonical survivor per doc.
+
+    The last mile of dedup: a chain a~b~c must keep one canonical doc
+    (min id of the connected component), not drop both ends of each
+    pair independently. Spark side: iterative min-label propagation
+    (operators/graph.py, O(diameter) joins); oracle side: the same
+    fixpoint as a recursive transitive closure — an honest cross-check
+    of an iterative DataFrame algorithm against declarative SQL.
+    """
+    from analytics_etl_spark.operators.graph import connected_components
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, num_hashes=12, rows_per_band=3, shingle_n=3, min_jaccard=0.5
+    )
+    return connected_components(pairs)
 
 
 # SimHash — rows-only check (bit-vote arithmetic; signatures are
@@ -573,4 +612,107 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", score.alias("score"))
         .filter(F.col("score") >= 0.3)
+    )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM w2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ngram_frac,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_ngram_frac
+    FROM pg GROUP BY doc_id
+    """,
+)
+def text_repetition_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup/top 2-gram
+    fractions) — the standard low-quality-document detectors for
+    pretraining corpora."""
+    from analytics_etl_spark.operators.text_analysis import repetition_metrics
+
+    return repetition_metrics(t(spark, sf_dir, "documents"), n=2)
+
+
+# Synthetic PII is injected deterministically (the corpus itself is
+# clean words): every 2nd doc gets an email, every 3rd a phone — so
+# the redaction operator and its oracle see real matches.
+_PII_AUG_SQL = """
+    text
+      || CASE WHEN doc_id % 2 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+"""
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+1-555-[0-9]{{4}}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g'),
+                              '\\+1-555-[0-9]{{4}}', '[PHONE]', 'g')) AS redacted_fp
+    FROM aug
+    """,
+)
+def text_pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count + redact emails/phones, fingerprint the
+    redacted text (md5 travels through the hash gate without hauling
+    documents)."""
+    from analytics_etl_spark.operators.text_analysis import redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return redact_pii(docs.withColumn("text", aug))
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang,
+             CAST((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000) AS INT) AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang
+        WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 WHEN 'es' THEN 2500
+        WHEN 'fr' THEN 2500 WHEN 'zh' THEN 1000 ELSE 0 END
+    """,
+)
+def docs_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: the training-mix primitive
+    ("50% en, 25% de/es/fr, 10% zh"). Hash-threshold on md5(doc_id),
+    so the subset is a pure function of the data — identical on any
+    partitioning/cluster size, reproducible across backfills (unlike
+    df.sample, whose kept set changes with partition layout)."""
+    from analytics_etl_spark.operators.sampling import hash_bucket, stratified_sample
+
+    docs = t(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.25, "zh": 0.10}
+    return stratified_sample(docs, rates).select(
+        "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
     )

@@ -137,6 +137,28 @@ def write_idempotent_partitions(
     )
 
 
+def deduplicate_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once event stream from an at-least-once transport.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only within
+    the watermark horizon: a redelivered event (same key, timestamp
+    possibly jittered inside the horizon) is suppressed, and state is
+    evicted once the watermark passes — bounded memory on an infinite
+    stream, which plain dropDuplicates (state grows forever) cannot
+    give. This is the streaming face of the batch dedup family: same
+    contract (first occurrence wins), windowed by time instead of
+    corpus-wide.
+    """
+    return events.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(keys))
+
+
 def stream_stream_click_purchase_join(
     events: DataFrame,
     max_gap: str = "1 hour",

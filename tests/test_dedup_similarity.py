@@ -131,3 +131,16 @@ def test_cosine_topk_pandas_matches_jvm(spark):
     jvm = [(r["vec_id"], round(r["score"], 9)) for r in cosine_topk(emb, q, 8, exclude_ids=(0,)).collect()]
     pud = [(r["vec_id"], round(r["score"], 9)) for r in cosine_topk_pandas(emb, q, 8, exclude_ids=(0,)).collect()]
     assert jvm == pud
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A chain a~b~c collapses to one cluster (min id canonical);
+    disjoint components stay separate; fixpoint is order-independent."""
+    from analytics_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

@@ -144,6 +144,65 @@ def test_idempotent_sink_keeps_windows_across_batches(spark, tmp_path):
     assert starts[0] < starts[1] < starts[2]
 
 
+def test_stream_dedup_suppresses_cross_batch_redelivery(spark, tmp_path):
+    """At-least-once transport → exactly-once stream: an event
+    redelivered in a later micro-batch (same event_id, within the
+    watermark horizon) must be dropped; genuinely new events pass."""
+    import pyspark.sql.types as T
+
+    from analytics_etl_spark.streaming.events import deduplicate_stream
+
+    landing = tmp_path / "events.parquet"
+    landing.mkdir()
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    base = 1_600_000_000
+
+    def stage(rows, name):
+        import shutil
+
+        df = spark.createDataFrame(
+            [(eid, (base + mins * 60) * 10**9, u, "click", 1.0, "{}") for eid, mins, u in rows],
+            schema=schema,
+        )
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    stage([(1, 0, 10), (2, 1, 11)], "f1.parquet")
+    stream = read_events_stream(spark, str(landing))
+    deduped = deduplicate_stream(stream, keys=("event_id",), watermark="2 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_dedup"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: event 1 redelivered (jittered ts, +5 min), event 3 new
+        stage([(1, 5, 10), (3, 6, 12)], "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_stream").collect()
+    )
+    assert ids == [1, 2, 3], f"redelivery not suppressed (or new rows lost): {ids}"
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Purchases joined to preceding clicks within 1h, stream-stream.
     Must equal the same interval join run in batch."""
