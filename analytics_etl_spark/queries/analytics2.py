@@ -1112,3 +1112,180 @@ def bination_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
         .agg(F.sum(rev).cast("double").alias("volume"))
     )
+
+
+# TPC-H Q8 shape: national market share within a region — two-level
+# aggregation where the numerator is a conditional slice of the same
+# revenue measure.
+@query(
+    "market_share",
+    oracle=f"""
+    WITH region_sales AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             {_REV_SQL} AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM region_sales GROUP BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, s = t(spark, sf_dir, "customer"), t(spark, sf_dir, "supplier")
+    n, r, p = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region"), t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cn = n.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk"))
+    sn = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), F.col("crk") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
+        .join(p.filter(F.col("p_type") == "PROMO"), li.l_partkey == p.p_partkey)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double")
+        ).cast("double").alias("mkt_share")
+    )
+
+
+# TPC-H Q13 shape: customer order-count distribution (left join that
+# must KEEP zero-order customers, then a histogram of the counts).
+@query(
+    "order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# TPC-H Q15 shape: top supplier(s) by quarterly revenue — the scalar
+# MAX stays IN the plan (1-row aggregate cross join, auto-broadcast),
+# one lazy plan instead of a collect-then-filter two-step.
+@query(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, s = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).cast("double").alias("total_revenue"))
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# TPC-H Q21 shape: sole-late-supplier detection — a semi join (another
+# supplier shipped the same order) stacked with an anti join (no OTHER
+# supplier was late) on derived per-order facts. The testdata has no
+# commit/receipt dates; lateness = shipped > 60 days after order date.
+@query(
+    "sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey FROM li a
+      WHERE a.late
+        AND EXISTS (SELECT 1 FROM li b
+                    WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey AND c.late)
+    ) w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+    )
+    late = base.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    others = base.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"), "late"
+    )
+    multi = late.join(
+        others,
+        (late.l_orderkey == others.ok) & (late.l_suppkey != others.sk),
+        "semi",
+    )
+    other_late = others.filter(F.col("late"))
+    sole = multi.join(
+        other_late,
+        (multi.l_orderkey == other_late.ok) & (multi.l_suppkey != other_late.sk),
+        "anti",
+    )
+    return (
+        sole.join(s, sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
