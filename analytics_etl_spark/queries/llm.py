@@ -716,3 +716,21 @@ def docs_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, rates).select(
         "doc_id", "lang", hash_bucket("doc_id").alias("bucket")
     )
+
+
+@query(
+    "similarity_ann_ivf",
+    rows_only="k-means centroids are float MEANS — not bit-stable across engines; "
+    "recall measured vs brute force in tests/test_ann_recall.py instead",
+)
+def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (trained in 3 deterministic
+    Lloyd iterations) + 4-of-16 probed cells → exact cosine top-10.
+    The FAISS-IVF shape on Spark: train once at index time, probe at
+    query time; with `cell` as a partition column the probe filter is
+    partition pruning."""
+    from analytics_etl_spark.operators.ivf import ivf_topk, kmeans_centroids
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=16, iters=3)
+    return ivf_topk(emb, _query_frame(emb, 0), cents, k=10, n_probe=4, exclude_ids=(0,))

@@ -153,3 +153,31 @@ def test_hyperplane_beats_sign_bucket(emb):
         ),
     )
     assert hyper > single + 0.3
+
+
+def test_ivf_recall_and_cell_balance(emb):
+    """IVF (k-means 16 cells, probe 4 ≈ 25-30% scan): measured
+    recall@10 ≈ 0.46 on this near-uniform data (hyperplane OR-amp
+    reaches 0.72 at a similar budget — LSH wins when there is no
+    cluster structure to quantize; IVF wins when there is). Pins
+    recall ≥ 0.3 and that Lloyd training yields balanced cells (no
+    degenerate quantizer)."""
+    from analytics_etl_spark.operators.ivf import _assign_udf, ivf_topk, kmeans_centroids
+    from analytics_etl_spark.operators.similarity import as_double_array
+
+    cents = kmeans_centroids(emb, k=16, iters=3)
+    rec = _recall(
+        emb,
+        lambda vid: ivf_topk(emb, _qf(emb, vid), cents, k=K, n_probe=4, exclude_ids=(vid,)),
+    )
+    assert rec >= 0.3, f"IVF recall regressed: {rec}"
+
+    sizes = [
+        r["count"]
+        for r in emb.select(_assign_udf(cents)(as_double_array("embedding")).alias("c"))
+        .groupBy("c")
+        .count()
+        .collect()
+    ]
+    assert len(sizes) == 16
+    assert max(sizes) < 3 * (sum(sizes) / len(sizes)), f"degenerate cells: {sizes}"
