@@ -42,8 +42,16 @@ def connected_components(
     no edges) are by construction absent — union them in at the call
     site if needed.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the edge list ONCE: every iteration joins against it,
+    # and without the checkpoint each join would re-run the whole
+    # upstream pipeline that produced the edges (e.g. the full LSH
+    # candidate+verify chain — measured ~3s per iteration at sf0.01).
+    # The edge frame is pair-sized (bounded by near-dup density), never
+    # corpus-sized, so this is cheap to hold.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("u").alias("doc_id"))
@@ -57,21 +65,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nl"))
         )
+        nl = F.coalesce("nl", F.col("label"))
+        # the changed flag rides along in the same pass (the checkpoint
+        # materializes it), so the fixpoint test is a cheap scan of the
+        # checkpointed frame, not another join
         new_labels = (
             labels.join(neigh, labels.doc_id == neigh.u, "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+                F.least(F.col("label"), nl).alias("label"),
+                (nl < F.col("label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

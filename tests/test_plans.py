@@ -83,3 +83,51 @@ def test_asof_join_single_shuffle_per_side(spark):
     Exchange for the window, nothing quadratic."""
     plan = plan_of(spark, "asof_join_last_click")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_share_pushes_filters_no_cartesian(spark):
+    """Q8 shape: region/part predicates reach the scans; the 7-table
+    join chain builds with hash joins, never a cartesian product."""
+    plan = plan_of(spark, "market_share")
+    assert "CartesianProduct" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(r_name,ASIA)" in ln for ln in pushed)
+    assert any("EqualTo(p_type,PROMO)" in ln for ln in pushed)
+
+
+def test_order_count_distribution_keeps_left_join(spark):
+    """Q13 shape: zero-order customers must survive — the optimizer
+    must not degrade LEFT to inner despite the downstream count."""
+    tree = tree_of(plan_of(spark, "order_count_distribution"))
+    assert "LeftOuter" in tree
+
+
+def test_top_supplier_scalar_max_stays_in_plan(spark):
+    """Q15 shape: one lazy plan — the scalar MAX joins back via a
+    broadcast, no second driver-side job."""
+    tree = tree_of(plan_of(spark, "top_supplier_revenue"))
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree
+
+
+def test_sole_late_supplier_semi_anti_shapes(spark):
+    """Q21 shape: the exists/not-exists pair compiles to semi + anti
+    joins, not to subquery re-scans per row."""
+    tree = tree_of(plan_of(spark, "sole_late_supplier"))
+    assert "LeftSemi" in tree
+    assert "LeftAnti" in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Sampling must stay a narrow filter: no shuffle, no join."""
+    tree = tree_of(plan_of(spark, "docs_stratified_sample"))
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+
+
+def test_hyperplane_ann_no_corpus_shuffle(spark):
+    """The ANN candidate stage is scan + broadcast of the 1-row query
+    + Arrow eval + TakeOrdered — the corpus is never shuffled."""
+    tree = tree_of(plan_of(spark, "similarity_ann_hyperplane"))
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Exchange") == tree.count("BroadcastExchange")

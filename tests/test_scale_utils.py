@@ -69,3 +69,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ann_signature_partition_pruning(spark, tmp_path):
+    """The deployment shape for hyperplane ANN at 100 TB: signatures
+    PRECOMPUTED at write time, table partitioned by the first table's
+    bucket — a query probing one bucket then prunes partitions at the
+    scan (PartitionFilters), never touching the other cells' files."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    from analytics_etl_spark.operators.similarity import (
+        as_double_array,
+        hyperplane_signatures,
+        rademacher_planes,
+    )
+
+    planes = rademacher_planes(64, 4, 2, seed=7)
+    sig = hyperplane_signatures(planes)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb_by_bucket")
+    (
+        emb.withColumn("bucket", sig(as_double_array("embedding")).getItem(0))
+        .write.partitionBy("bucket")
+        .parquet(path)
+    )
+
+    probed = spark.read.parquet(path).filter(F.col("bucket") == 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("bucket" in ln and "3" in ln for ln in pf), plan
+    # and the probe really narrows the data read
+    total = spark.read.parquet(path).count()
+    assert 0 < probed.count() < total
