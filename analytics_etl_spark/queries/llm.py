@@ -734,3 +734,98 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     cents = kmeans_centroids(emb, k=16, iters=3)
     return ivf_topk(emb, _query_frame(emb, 0), cents, k=10, n_probe=4, exclude_ids=(0,))
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+      FROM words
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 25),
+    corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 25),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS n_contaminated
+      FROM corpus c JOIN bench b ON c.g = b.g
+      GROUP BY c.doc_id
+    )
+    SELECT h.doc_id,
+           s.n_grams,
+           h.n_contaminated,
+           CAST(h.n_contaminated AS DOUBLE) / s.n_grams AS contamination_frac
+    FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+    """,
+)
+def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: per corpus doc, the fraction
+    of its 3-grams appearing in the eval set's n-gram bank (docs 0-24
+    stand in for the benchmark). The broadcast hint on the bank is
+    justified by the workload, not the scale factor: eval suites are
+    bounded (thousands of docs) while the corpus side streams — so the
+    corpus is scanned once, never shuffled, at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    grams = word_shingles(docs, n=3, distinct=True)
+    bench = grams.filter(F.col("doc_id") < 25).select("shingle").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 25)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contamination_frac"
+        ),
+    )
+
+
+@query(
+    "corpus_filter_pipeline",
+    oracle="""
+    WITH w2 AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM w2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+      FROM pg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN m.n_ngrams < 20 THEN 'too_short'
+                WHEN m.dup_frac > 0.05 THEN 'repetitive'
+                WHEN m.top_frac > 0.06 THEN 'degenerate_loop'
+                ELSE 'keep' END AS decision
+    FROM documents d JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def corpus_filter_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality gate a pretraining pipeline runs per doc:
+    length + repetition signals → keep, or the FIRST failing rule as
+    the reject reason (the documents analogue of the sales quarantine
+    split — every drop is attributable)."""
+    from analytics_etl_spark.operators.text_analysis import repetition_metrics
+
+    docs = t(spark, sf_dir, "documents")
+    m = repetition_metrics(docs, n=2)
+    decision = (
+        F.when(F.col("n_ngrams") < 20, F.lit("too_short"))
+        .when(F.col("dup_ngram_frac") > 0.05, F.lit("repetitive"))
+        .when(F.col("top_ngram_frac") > 0.06, F.lit("degenerate_loop"))
+        .otherwise(F.lit("keep"))
+    )
+    return docs.join(m, "doc_id").select("doc_id", decision.alias("decision"))
