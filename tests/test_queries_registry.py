@@ -57,3 +57,45 @@ def test_query_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF)
     assert df.columns  # non-empty schema
     assert df.count() >= 0
+
+
+def test_oracle_types_match_spark_types(spark):
+    """Type parity for EVERY oracle pair — the round-1 red row was a
+    DuckDB HUGEINT vs Spark BIGINT mismatch invisible to value
+    comparison (the driver hashes typed values). Schema analysis only:
+    neither engine executes anything here."""
+    import duckdb
+
+    from analytics_etl_spark.tables import TABLE_NAMES, table_path
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{table_path(SF, name)}'")
+
+    duck_map = {
+        "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "TINYINT": "i8",
+        "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
+        "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
+        "VARCHAR[]": "array<str>",
+    }
+    spark_map = {
+        "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
+        "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
+        "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+        "array<string>": "array<str>",
+    }
+    bad = []
+    for name, spec in sorted(REGISTRY.items()):
+        if not spec.oracle:
+            continue
+        rel = con.sql(spec.oracle)
+        dd = dict(zip(rel.columns, [duck_map.get(str(t).upper(), str(t)) for t in rel.types]))
+        ss = {
+            f.name: spark_map.get(f.dataType.simpleString(), f.dataType.simpleString())
+            for f in spec.fn(spark, SF).schema.fields
+        }
+        if set(dd) != set(ss):
+            bad.append((name, "columns", sorted(set(dd) ^ set(ss))))
+            continue
+        bad.extend((name, c, f"duck={dd[c]} spark={ss[c]}") for c in dd if dd[c] != ss[c])
+    assert not bad, bad
