@@ -137,6 +137,24 @@ def write_idempotent_partitions(
     )
 
 
+def enrich_stream_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stream-static enrichment: the streaming face of the batch
+    broadcast dim join (J1/J2).
+
+    The static side re-resolves per micro-batch (Spark re-plans it
+    each trigger, so a dim backed by a table picks up slowly-changing
+    updates without restarting the query) and broadcasts — the stream
+    side never shuffles for enrichment, exactly like the batch plan.
+    """
+    d = dim.select(on, *dim_cols) if dim_cols else dim
+    return events.join(F.broadcast(d), on, "left")
+
+
 def deduplicate_stream(
     events: DataFrame,
     keys: tuple[str, ...] = ("event_id",),

@@ -110,3 +110,71 @@ def test_salted_sum_equals_direct(spark, vals):
     direct = df.groupBy("k").agg(F.sum("v").alias("s")).first()["s"]
     salted = salted_groupby_sum(df, "k", "v", "s", salt=4).first()["s"]
     assert direct == salted
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The iterative min-label fixpoint equals a reference union-find
+    on arbitrary small graphs (chains, cycles, self-merging shapes the
+    generator finds)."""
+    from analytics_etl_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    roots: dict[int, int] = {}
+    for n in sorted(nodes):
+        r = find(n)
+        roots.setdefault(r, n)  # min node of the component
+        expected[n] = roots[r]
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True),
+    rate_pct=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_stratified_sample_deterministic_and_monotone(spark, ids, rate_pct):
+    """Hash sampling is a pure function of the row: identical subsets
+    across runs AND monotone in the rate (raising the rate only ADDS
+    rows — the property that makes mix ratios tunable without
+    reshuffling what was already kept)."""
+    from analytics_etl_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    rate = rate_pct / 100
+    kept1 = {r["doc_id"] for r in stratified_sample(df, {"en": rate}).collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(df, {"en": rate}).collect()}
+    assert kept1 == kept2
+    bigger = {r["doc_id"] for r in stratified_sample(df, {"en": min(1.0, rate + 0.2)}).collect()}
+    assert kept1 <= bigger
+    if rate == 0:
+        assert kept1 == set()

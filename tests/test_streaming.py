@@ -246,3 +246,43 @@ def test_stream_stream_interval_join(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: every streamed event picks up its dim row
+    (left join keeps dim-less events), equal to the batch join."""
+    from analytics_etl_spark.streaming.events import enrich_stream_with_dim
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    stream = read_events_stream(spark, f"{SF}/events.parquet")
+    q = (
+        enrich_stream_with_dim(stream, dim, on="event_type", dim_cols=("category",))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_type, category, COUNT(*) AS n FROM enriched GROUP BY 1, 2")
+    rows = {(r["event_type"], r["category"]): r["n"] for r in got.collect()}
+
+    from analytics_etl_spark.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    batch = {
+        (r["event_type"], r["category"]): r["n"]
+        for r in ev.join(dim, "event_type", "left")
+        .groupBy("event_type", "category")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert rows == batch
+    # dim-less event types survive with NULL category (left semantics)
+    assert any(cat is None for _, cat in rows)
