@@ -2,8 +2,10 @@
 
 The reference resolves env vars with fail-fast validation
 (reference app/utils/config.py:38-114). The engine's config is a
-plain dataclass: explicit, testable, no ambient state. Secrets and
-token maps are out of engine scope.
+plain dataclass: explicit, testable, no ambient state. Secret VALUES
+stay out of the engine (ship them via your secret manager); the
+token-map SHAPE — per-location credential with a default fallback and
+fail-fast validation (config.py:89-152) — is `SourceAuth` below.
 """
 
 from __future__ import annotations
@@ -55,3 +57,44 @@ class PipelineConfig:
             test_limit=200 if env.get("TEST", "").lower() in ("1", "true") else None,
             sales_path=env.get("SALES_PATH"),
         )
+
+
+@dataclass(frozen=True)
+class SourceAuth:
+    """Per-location source credentials — the reference's token map
+    (config.py:89-152: SQUARE_ACCESS_TOKEN + optional per-location
+    overrides → LOCATION_TOKEN_MAP, default-token fallback, fail-fast
+    when the default is absent).
+
+    Only the SHAPE lives here; values arrive from env/secret manager.
+    Tokens never appear in Spark plans or logs — `token_for` is called
+    at transport level (the driver cursor walk / executor fetch).
+    """
+
+    default_token: str
+    location_tokens: dict[str, str] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not self.default_token:
+            raise ValueError(
+                "missing default source token (reference: SQUARE_ACCESS_TOKEN "
+                "is required; per-location tokens are optional overrides)"
+            )
+
+    def token_for(self, location_id: str) -> str:
+        """Location override if present, else the default — the
+        reference's _get_headers_for_location (square_service.py:66-90)."""
+        return self.location_tokens.get(location_id, self.default_token)
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None, prefix: str = "SOURCE_TOKEN") -> "SourceAuth":
+        """Fail-fast resolution: `SOURCE_TOKEN` required, any
+        `SOURCE_TOKEN_<LOCATION>` becomes a per-location override."""
+        env = dict(os.environ if env is None else env)
+        default = env.get(prefix, "")
+        overrides = {
+            k[len(prefix) + 1 :].lower(): v
+            for k, v in env.items()
+            if k.startswith(prefix + "_") and v
+        }
+        return cls(default_token=default, location_tokens=overrides)

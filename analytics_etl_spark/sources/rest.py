@@ -133,6 +133,13 @@ class TransientAPIError(Exception):
     """Retryable transport failure (HTTP 429/5xx/timeout analogue)."""
 
 
+class AuthError(Exception):
+    """Non-retryable credential failure (HTTP 401/403 analogue) —
+    deliberately NOT caught by _with_retries: retrying a bad token
+    hammers the API for nothing; fail fast like the reference's
+    config validation (config.py:118-124)."""
+
+
 class SyntheticCursorTransport:
     """Opaque-cursor transport over the synthetic page generator.
 
@@ -140,10 +147,16 @@ class SyntheticCursorTransport:
     the 'server' (this class) validates the signature, so a client can
     only obtain valid cursors from previous responses, exactly like a
     real cursor API. Stateless, so it pickles cleanly to executors.
+
+    ``auth`` (a config.SourceAuth) reproduces the reference's
+    per-location token map: each request carries the location's token
+    (square_service.py:66-90); the synthetic server accepts any
+    non-empty bearer and 401s an empty one.
     """
 
-    def __init__(self, pages_per_location: int = 3):
+    def __init__(self, pages_per_location: int = 3, auth=None):
         self.pages = pages_per_location
+        self.auth = auth
 
     @staticmethod
     def _sign(location_id: str, page: int) -> str:
@@ -167,6 +180,8 @@ class SyntheticCursorTransport:
         state: str,
     ):
         """One request: (rows, next_cursor). next_cursor=None ends."""
+        if self.auth is not None and not self.auth.token_for(location_id):
+            raise AuthError(f"401 for location {location_id}: empty bearer token")
         page = 0 if cursor is None else self._decode(location_id, cursor)
         rows = _fetch_page(location_id, page, start_date, end_date, state)
         nxt = self._sign(location_id, page + 1) if page + 1 < self.pages else None

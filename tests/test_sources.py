@@ -176,3 +176,48 @@ def test_orders_from_json_strings(spark):
     parsed = orders_from_json_strings(spark, df, "raw")
     assert parsed.columns == ["id", "location_id", "closed_at", "line_items"]
     assert parsed.first()["id"] == "o2"
+
+
+def test_source_auth_token_map():
+    """The reference's per-location token map shape (config.py:89-152):
+    default required (fail-fast), per-location overrides optional,
+    fallback to default; bad credentials are NOT retried."""
+    import pytest
+
+    from analytics_etl_spark.config import SourceAuth
+    from analytics_etl_spark.sources.rest import (
+        AuthError,
+        SyntheticCursorTransport,
+        walk_cursors,
+    )
+
+    with pytest.raises(ValueError, match="default source token"):
+        SourceAuth(default_token="")
+    with pytest.raises(ValueError):
+        SourceAuth.from_env({})  # no SOURCE_TOKEN in env
+
+    auth = SourceAuth.from_env(
+        {"SOURCE_TOKEN": "tok-default", "SOURCE_TOKEN_L1": "tok-one", "OTHER": "x"}
+    )
+    assert auth.token_for("l1") == "tok-one"
+    assert auth.token_for("l2") == "tok-default"  # fallback
+
+    # authenticated walk works; a location with an empty override 401s
+    ok = SyntheticCursorTransport(2, auth=auth)
+    assert len(walk_cursors(ok, "l1", "2025-11-01", "2025-11-30", "COMPLETED")) == 2
+
+    class NoTok:
+        def token_for(self, loc):
+            return ""
+
+    calls = {"n": 0}
+
+    class Counting(SyntheticCursorTransport):
+        def fetch(self, *a):
+            calls["n"] += 1
+            return super().fetch(*a)
+
+    bad = Counting(2, auth=NoTok())
+    with pytest.raises(AuthError):
+        walk_cursors(bad, "l1", "2025-11-01", "2025-11-30", "COMPLETED")
+    assert calls["n"] == 1  # 401 is terminal — no retry storm
