@@ -84,6 +84,57 @@ def overwrite_partitions_gated(
     return count, True
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_keys: tuple[str, ...] = DEFAULT_PARTITION_KEYS,
+    files_per_partition: int = 1,
+) -> tuple[int, int]:
+    """Rewrite a partitioned table with few large files per partition.
+
+    Streaming/incremental writers accrete small files (every
+    micro-batch/backfill adds its own), and at scan time each file
+    costs a task + footer read — the classic silent scan-throughput
+    killer at warehouse scale. Compaction is the maintenance pass:
+    read, hash-repartition WITHIN each partition to the target file
+    count, dynamic-overwrite the same partitions (so a concurrent
+    reader never sees a half-compacted table and untouched partitions
+    are untouched). Returns (files_before, files_after).
+
+    Read-then-overwrite-same-path is safe HERE because the repartition
+    shuffle materializes every row before the first file is replaced;
+    a purely narrow plan would race its own input (Spark rejects the
+    direct form). On stores with non-atomic rename (S3 without a
+    committer) prefer compact-to-staging + swap — same plan, two paths.
+    """
+    import glob
+    import os
+
+    def count_files() -> int:
+        return sum(
+            1
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isfile(f)
+        )
+
+    from pyspark.sql import functions as F
+
+    before = count_files()
+    df = spark.read.parquet(path)
+    if files_per_partition == 1:
+        # hash by the partition keys: each table-partition lands whole
+        # in one task (one output file), tasks stay parallel ACROSS
+        # partitions — never a global funnel through one task
+        compacted = df.repartition(*partition_keys)
+    else:
+        salt = F.pmod(F.hash(*df.columns), F.lit(files_per_partition)).alias("_salt")
+        compacted = df.withColumn("_salt", salt).repartition(
+            *partition_keys, "_salt"
+        ).drop("_salt")
+    overwrite_partitions(compacted, path, partition_keys)
+    return before, count_files()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

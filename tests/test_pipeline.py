@@ -123,3 +123,25 @@ def test_run_sales_pipeline_stats(nested_orders, locations_dim, tmp_path):
     stats = run_sales_pipeline(nested_orders, locations_dim, cfg)
     assert stats["sales_rows"] == 3
     assert stats["reject_rows"] == 1  # the malformed-quantity muffin
+
+
+def test_compact_partitions_reduces_files_keeps_rows(spark, nested_orders, locations_dim, tmp_path):
+    """Small-file maintenance: accreted per-batch files collapse to
+    one file per partition; row content identical; the partition
+    layout (and its pruning) survives."""
+    from analytics_etl_spark.sinks.writer import compact_partitions
+
+    path = str(tmp_path / "sales")
+    sales, _ = sales_pipeline(nested_orders, locations_dim, _config())
+    # simulate accretion: several appends, each fragmenting partitions
+    for _ in range(3):
+        sales.repartition(4).write.mode("append").partitionBy(
+            "location_id", "month"
+        ).parquet(path)
+    rows_before = sorted(map(tuple, read_sales(spark, path).collect()))
+
+    before, after = compact_partitions(spark, path)
+    assert after < before
+    parts = {(r["location_id"], r["month"]) for r in read_sales(spark, path).collect()}
+    assert after == len(parts)  # exactly one file per partition
+    assert sorted(map(tuple, read_sales(spark, path).collect())) == rows_before
