@@ -89,11 +89,15 @@ class SourceAuth:
     @classmethod
     def from_env(cls, env: dict[str, str] | None = None, prefix: str = "SOURCE_TOKEN") -> "SourceAuth":
         """Fail-fast resolution: `SOURCE_TOKEN` required, any
-        `SOURCE_TOKEN_<LOCATION>` becomes a per-location override."""
+        `SOURCE_TOKEN_<LOCATION>` becomes a per-location override.
+        The location key keeps its exact casing — lookups are
+        case-sensitive, and silently normalizing here would make an
+        override for location "L1" vanish into a key "l1" that
+        token_for never matches (returning the default credential)."""
         env = dict(os.environ if env is None else env)
         default = env.get(prefix, "")
         overrides = {
-            k[len(prefix) + 1 :].lower(): v
+            k[len(prefix) + 1 :]: v
             for k, v in env.items()
             if k.startswith(prefix + "_") and v
         }

@@ -82,4 +82,11 @@ def connected_components(
         labels = new_labels.drop("chg")
         if changed == 0:
             break
+    else:
+        # silently returning unconverged labels would split one
+        # component into several "canonical" clusters — fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter — raise it for long chains)"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

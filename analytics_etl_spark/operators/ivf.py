@@ -43,7 +43,9 @@ def _assign_udf(centroids: list[list[float]]):
     import pandas as pd
 
     c = np.array(centroids, dtype=np.float64)  # (k, dim)
-    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    # zero-norm guard: an all-zero centroid would turn every cosine
+    # into NaN and make argmax assignments meaningless
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
     def _assign(v):
         mat = np.array(v.tolist(), dtype=np.float64)
@@ -75,6 +77,10 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [list(r["v"]) for r in seed_rows]
+    # tables smaller than k seed fewer cells; clamping k (instead of
+    # letting the empty-cell fallback index past the seed list) keeps
+    # every later centroids[i] valid
+    k = len(centroids)
     for _ in range(iters):
         assigned = embeddings.select(
             _assign_udf(centroids)(v).alias("cell"), F.posexplode(v).alias("dim", "x")
@@ -115,7 +121,7 @@ def ivf_topk(
     import pandas as pd
 
     c = np.array(centroids, dtype=np.float64)
-    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
     def _probes(v):
         mat = np.array(v.tolist(), dtype=np.float64)
@@ -128,8 +134,11 @@ def ivf_topk(
 
     e = as_double_array(vec_col)
     q = as_double_array(qvec_col)
-    joined = embeddings.crossJoin(F.broadcast(query_df)).withColumns(
-        {"_cell": _assign_udf(centroids)(e), "_probes": probes_udf(q)}
+    # probe set computed on the 1-row query frame BEFORE the cross
+    # join — after it, the probe matmul would re-run per corpus row
+    q_probed = query_df.withColumn("_probes", probes_udf(q))
+    joined = embeddings.crossJoin(F.broadcast(q_probed)).withColumn(
+        "_cell", _assign_udf(centroids)(e)
     )
     out = joined.filter(F.array_contains("_probes", F.col("_cell"))).select(
         F.col(id_col), cosine(e, q).alias("score")

@@ -347,8 +347,12 @@ def hyperplane_lsh_topk(
     if planes is None:
         planes = rademacher_planes(dim, bits, tables, seed)
     sig = hyperplane_signatures(planes)
-    joined = embeddings.crossJoin(F.broadcast(query_df)).withColumns(
-        {"_sig_e": sig(as_double_array(vec_col)), "_sig_q": sig(as_double_array(qvec_col))}
+    # sign the query on the 1-ROW frame BEFORE the cross join — signed
+    # after it, the broadcast query vector would re-run the full
+    # tables×bits matmul once per corpus row, doubling the kernel work
+    q_signed = query_df.withColumn("_sig_q", sig(as_double_array(qvec_col)))
+    joined = embeddings.crossJoin(F.broadcast(q_signed)).withColumn(
+        "_sig_e", sig(as_double_array(vec_col))
     )
     # candidate iff the buckets agree in ANY table (positional match)
     match_any = F.exists(

@@ -806,11 +806,11 @@ def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pg GROUP BY doc_id
     )
     SELECT d.doc_id,
-           CASE WHEN m.n_ngrams < 20 THEN 'too_short'
+           CASE WHEN m.doc_id IS NULL OR m.n_ngrams < 20 THEN 'too_short'
                 WHEN m.dup_frac > 0.05 THEN 'repetitive'
                 WHEN m.top_frac > 0.06 THEN 'degenerate_loop'
                 ELSE 'keep' END AS decision
-    FROM documents d JOIN m ON m.doc_id = d.doc_id
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
     """,
 )
 def corpus_filter_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,10 +822,14 @@ def corpus_filter_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     m = repetition_metrics(docs, n=2)
+    # LEFT join: a doc too short to produce ANY n-gram has no metrics
+    # row, and the contract is that every doc gets a decision — an
+    # inner join would silently drop exactly the docs most worth
+    # rejecting (the n_ngrams IS NULL arm labels them too_short)
     decision = (
-        F.when(F.col("n_ngrams") < 20, F.lit("too_short"))
+        F.when(F.col("n_ngrams").isNull() | (F.col("n_ngrams") < 20), F.lit("too_short"))
         .when(F.col("dup_ngram_frac") > 0.05, F.lit("repetitive"))
         .when(F.col("top_ngram_frac") > 0.06, F.lit("degenerate_loop"))
         .otherwise(F.lit("keep"))
     )
-    return docs.join(m, "doc_id").select("doc_id", decision.alias("decision"))
+    return docs.join(m, "doc_id", "left").select("doc_id", decision.alias("decision"))

@@ -70,13 +70,22 @@ def overwrite_partitions_gated(
     count uses a semi join against df's distinct partition tuples —
     partition-pruned at the scan, no full-table read.
     """
+    from pyspark.errors import AnalysisException
+
     spark = df.sparkSession
     keys = list(partition_keys)
     try:
         existing = spark.read.parquet(path)
         doomed = existing.join(df.select(*keys).distinct(), on=keys, how="semi")
         count = doomed.count()
-    except Exception:  # first load: nothing there to replace
+    except AnalysisException as e:
+        # ONLY path-not-found means first load. Any other failure
+        # (permissions, corrupt footers, transient IO) must propagate:
+        # swallowing it would report "0 rows to replace" and let a
+        # confirmed overwrite proceed on a table we couldn't even read
+        # — the exact blind delete this gate exists to prevent.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         count = 0
     if not confirm:
         return count, False
@@ -160,6 +169,10 @@ def write_jdbc(
     Driver jars: the caller's cluster must carry the JDBC driver
     (tests use Spark's bundled Derby; postgres needs the pgjdbc jar).
     """
-    writer = df.repartition(num_partitions) if num_partitions else df
+    # coalesce, not repartition: the cap exists to LIMIT connection
+    # fan-out — coalesce reduces partitions without a shuffle and is a
+    # no-op when the frame already has fewer (repartition would pay a
+    # full shuffle and could RAISE the partition count past the cap)
+    writer = df.coalesce(num_partitions) if num_partitions else df
     props = {"batchsize": str(batchsize), **(properties or {})}
     writer.write.mode(mode).jdbc(url, table, properties=props)

@@ -144,3 +144,20 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than max_iter must fail loudly, not return a
+    silently split component."""
+    import pytest
+
+    from analytics_etl_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough iterations the same chain is one cluster
+    got = {r["cluster_id"] for r in connected_components(chain, max_iter=10).collect()}
+    assert got == {0}

@@ -199,12 +199,15 @@ def test_source_auth_token_map():
     auth = SourceAuth.from_env(
         {"SOURCE_TOKEN": "tok-default", "SOURCE_TOKEN_L1": "tok-one", "OTHER": "x"}
     )
-    assert auth.token_for("l1") == "tok-one"
-    assert auth.token_for("l2") == "tok-default"  # fallback
+    # override keys keep their exact casing — L1 (the casing locations
+    # use everywhere in this repo) must hit the override, not fall
+    # through to the default credential
+    assert auth.token_for("L1") == "tok-one"
+    assert auth.token_for("L2") == "tok-default"  # fallback
 
     # authenticated walk works; a location with an empty override 401s
     ok = SyntheticCursorTransport(2, auth=auth)
-    assert len(walk_cursors(ok, "l1", "2025-11-01", "2025-11-30", "COMPLETED")) == 2
+    assert len(walk_cursors(ok, "L1", "2025-11-01", "2025-11-30", "COMPLETED")) == 2
 
     class NoTok:
         def token_for(self, loc):
