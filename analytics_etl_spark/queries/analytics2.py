@@ -1289,3 +1289,102 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# Fuzzy matching: the edit-distance member of the dedup family —
+# near-identical names that hashing can never group (typos, OCR).
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON substr(a.p_name, 1, 4) = substr(b.p_name, 1, 4)
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join: candidates pair only within a
+    4-char prefix block (the standard blocking trick that keeps fuzzy
+    matching out of O(n²) — at scale the block key is the shuffle key,
+    and levenshtein runs only inside blocks)."""
+    p = t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 4).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
+# Reconciliation diff: the ETL answer to "what changed between loads".
+@query(
+    "table_diff_reconciliation",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate <  TIMESTAMP '1997-07-01'),
+    b AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-04-01'
+            AND o_orderdate <  TIMESTAMP '1997-10-01')
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_orderstatus <> b.o_orderstatus
+                  OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change_kind
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff via FULL OUTER join: classify every key as
+    added / removed / changed / unchanged between two extract windows
+    — the audit step before an idempotent reload, and the only
+    registry query exercising the full-outer join path."""
+    o = t(spark, sf_dir, "orders")
+
+    def win(lo: str, hi: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit(hi).cast("timestamp_ntz"))
+        ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+    a = win("1997-01-01", "1997-07-01").select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_orderstatus").alias("sa"),
+        F.col("o_totalprice").alias("pa"),
+    )
+    b = win("1997-04-01", "1997-10-01").select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_orderstatus").alias("sb"),
+        F.col("o_totalprice").alias("pb"),
+    )
+    kind = (
+        F.when(F.col("ka").isNull(), F.lit("added"))
+        .when(F.col("kb").isNull(), F.lit("removed"))
+        .when(
+            (F.col("sa") != F.col("sb")) | (F.col("pa") != F.col("pb")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, a.ka == b.kb, "full_outer")
+        .select(
+            F.coalesce("ka", "kb").alias("o_orderkey"),
+            kind.alias("change_kind"),
+        )
+    )
