@@ -833,3 +833,37 @@ def corpus_filter_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
     )
     return docs.join(m, "doc_id", "left").select("doc_id", decision.alias("decision"))
+
+
+@query(
+    "docs_balanced_topn",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 40
+    """,
+)
+def docs_balanced_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count balanced subset: N docs per language, chosen by
+    hash rank — the complement of rate-based stratified sampling when
+    the mix spec is absolute counts ("exactly 40 per language").
+    Deterministic (md5 rank, id tie-break), one window shuffle on the
+    stratum key; skewed strata cost nothing extra because only rank
+    <= N survives the window."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.withColumn("rk", rk)
+        .filter(F.col("rk") <= 40)
+        .select("doc_id", "lang")
+    )
