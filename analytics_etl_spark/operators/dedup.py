@@ -294,17 +294,24 @@ def verify_jaccard(arrays: DataFrame, pairs: DataFrame) -> DataFrame:
 
     No broadcast hint: the candidate frame is unbounded (hot LSH
     buckets can make it large), so a forced broadcast is a driver-OOM
-    risk. AQE broadcasts the pair side when it is genuinely small —
-    then the arrays table is never shuffled at all — and falls back
-    to a shuffle join keyed on doc id when it isn't.
+    risk. AQE broadcasts the pair side when it is genuinely small (the
+    JOIN then leaves arrays unshuffled) and falls back to a doc-keyed
+    shuffle join when it isn't. The re-group below DOES exchange two
+    shingle arrays per candidate pair — pair-sized, never corpus-sized,
+    and the price of executing the arrays pipeline once instead of
+    twice: ``arrays`` is typically an unmaterialized scan + Arrow
+    shingling pass, so the old two-side-joins shape re-ran that over
+    the whole corpus per side.
 
-    Join shape: pairs are MELTED to (doc_a, doc_b, doc_id) rows and
-    joined against ``arrays`` ONCE, then re-grouped per pair — not
-    joined once per side. ``arrays`` is typically an unmaterialized
-    pipeline (scan + Arrow shingling); two side-joins would execute
-    that pipeline twice over the corpus.
+    Join shape: pairs are deduplicated, MELTED to (doc_a, doc_b,
+    doc_id) rows, joined against ``arrays`` ONCE, then re-grouped per
+    pair.
     """
-    melted = pairs.select(
+    # dedupe defensively: a duplicated input pair would melt to 4 rows
+    # and trip the exactly-two-sides check below, silently dropping a
+    # genuine near-duplicate (pair-sized shuffle, same key as the
+    # group-by that follows)
+    melted = pairs.select("doc_a", "doc_b").distinct().select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
     j = melted.join(

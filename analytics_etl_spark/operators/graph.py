@@ -83,10 +83,21 @@ def connected_components(
         if changed == 0:
             break
     else:
-        # silently returning unconverged labels would split one
-        # component into several "canonical" clusters — fail loudly
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} iterations "
-            "(component diameter exceeds max_iter — raise it for long chains)"
+        # the loop exhausted with the LAST round still changing labels
+        # — but that round may itself have reached the fixpoint. Probe
+        # once more: only if labels would STILL change is the result
+        # genuinely unconverged, and silently returning it would split
+        # one component into several "canonical" clusters — fail loudly.
+        probe = (
+            sym.join(labels, sym.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nl"))
+            .join(labels, F.col("u") == labels.doc_id)
+            .filter(F.col("nl") < F.col("label"))
         )
+        if probe.limit(1).count() > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations "
+                "(component diameter exceeds max_iter — raise it for long chains)"
+            )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

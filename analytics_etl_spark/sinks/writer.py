@@ -79,12 +79,17 @@ def overwrite_partitions_gated(
         doomed = existing.join(df.select(*keys).distinct(), on=keys, how="semi")
         count = doomed.count()
     except AnalysisException as e:
-        # ONLY path-not-found means first load. Any other failure
-        # (permissions, corrupt footers, transient IO) must propagate:
-        # swallowing it would report "0 rows to replace" and let a
-        # confirmed overwrite proceed on a table we couldn't even read
-        # — the exact blind delete this gate exists to prevent.
-        if "PATH_NOT_FOUND" not in str(e):
+        # first-load shapes: the path doesn't exist, or exists but
+        # holds no parquet yet (pre-created mount dir, died-mid-first-
+        # write leftovers) — both mean "nothing to replace". Any OTHER
+        # failure (permissions, corrupt footers, transient IO) must
+        # propagate: swallowing it would report "0 rows to replace"
+        # and let a confirmed overwrite proceed on a table we couldn't
+        # even read — the exact blind delete this gate exists to
+        # prevent.
+        if not any(
+            code in str(e) for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
             raise
         count = 0
     if not confirm:
@@ -169,10 +174,12 @@ def write_jdbc(
     Driver jars: the caller's cluster must carry the JDBC driver
     (tests use Spark's bundled Derby; postgres needs the pgjdbc jar).
     """
-    # coalesce, not repartition: the cap exists to LIMIT connection
-    # fan-out — coalesce reduces partitions without a shuffle and is a
-    # no-op when the frame already has fewer (repartition would pay a
-    # full shuffle and could RAISE the partition count past the cap)
-    writer = df.coalesce(num_partitions) if num_partitions else df
+    # repartition, not coalesce: coalesce propagates its narrow-
+    # dependency collapse UP the plan, so an expensive 200-partition
+    # transform upstream would itself run in num_partitions tasks —
+    # a wall-clock cliff far costlier than repartition's one shuffle,
+    # which keeps upstream wide and delivers exactly num_partitions
+    # concurrent connections at the sink.
+    writer = df.repartition(num_partitions) if num_partitions else df
     props = {"batchsize": str(batchsize), **(properties or {})}
     writer.write.mode(mode).jdbc(url, table, properties=props)

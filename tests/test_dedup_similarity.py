@@ -158,6 +158,26 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
-    # and with enough iterations the same chain is one cluster
+    # converging EXACTLY on the final allowed round is success, not an
+    # error (the final probe distinguishes "last round still changed"
+    # from "genuinely unconverged")
+    got = {r["cluster_id"] for r in connected_components(chain, max_iter=8).collect()}
+    assert got == {0}
+    # and with headroom the same chain is one cluster
     got = {r["cluster_id"] for r in connected_components(chain, max_iter=10).collect()}
     assert got == {0}
+
+
+def test_verify_jaccard_tolerates_duplicate_pairs(spark):
+    """A duplicated candidate pair must still be scored once — not
+    silently dropped by the exactly-two-sides melt check."""
+    from analytics_etl_spark.operators.dedup import shingle_arrays, verify_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    arrays = shingle_arrays(docs, n=3, distinct=True)
+    pairs = spark.createDataFrame([(1, 2), (1, 2)], "doc_a long, doc_b long")
+    rows = verify_jaccard(arrays, pairs).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12  # {abc,bcd}∩{abc,bce}=1 of 3
