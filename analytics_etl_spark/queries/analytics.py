@@ -426,3 +426,77 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# Hypertable family: gap filling + last-observation-carried-forward —
+# the time_bucket_gapfill/locf shape continuous dashboards need (a
+# missing bucket must render as the last known value, not a hole).
+@query(
+    "gap_fill_locf",
+    oracle="""
+    WITH spine AS (
+      SELECT t AS bucket, et.event_type
+      FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                           TIMESTAMP '2024-01-02 23:00:00',
+                           INTERVAL 1 HOUR) s(t)
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+      GROUP BY 1, 2
+    )
+    SELECT s.bucket, s.event_type,
+           COALESCE(h.n, CAST(0 AS BIGINT)) AS n,
+           last_value(h.total_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS locf_value
+    FROM spine s LEFT JOIN hourly h
+      ON h.bucket = s.bucket AND h.event_type = s.event_type
+    """,
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly spine (sequence+explode — generated IN the plan,
+    no driver loop) left-joined to the sparse aggregates; empty
+    buckets carry the last observed value forward via
+    last(ignorenulls) over an unbounded-preceding frame. One window
+    shuffle on event_type; the spine is rows × types, never data-sized."""
+    ev = t(spark, sf_dir, "events")
+    spine_hours = F.explode(
+        F.sequence(
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+            F.lit("2024-01-02 23:00:00").cast("timestamp_ntz"),
+            F.expr("INTERVAL 1 HOUR"),
+        )
+    ).alias("bucket")
+    types = ev.select("event_type").distinct()
+    spine = spark.range(1).select(spine_hours).crossJoin(types)
+    hourly = (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-01").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz"))
+        )
+        .groupBy(
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["bucket", "event_type"], "left").select(
+        "bucket",
+        "event_type",
+        F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
+        F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
