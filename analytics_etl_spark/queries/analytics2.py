@@ -1388,3 +1388,63 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             kind.alias("change_kind"),
         )
     )
+
+
+# SCD Type-2 history assembly: periodic snapshots → validity ranges.
+# The warehouse-maintenance shape for slowly changing dimensions:
+# collapse consecutive identical snapshots, open a new range at each
+# change, close it at the next change (NULL = current).
+@query(
+    "scd2_customer_status_history",
+    oracle="""
+    WITH snap AS (
+      SELECT o_custkey AS custkey,
+             strftime(o_orderdate, '%Y-%m') AS snap_month,
+             MAX(o_orderstatus) AS status
+      FROM orders GROUP BY 1, 2
+    ),
+    marked AS (
+      SELECT custkey, snap_month, status,
+             lag(status) OVER (PARTITION BY custkey ORDER BY snap_month) AS prev
+      FROM snap
+    ),
+    changes AS (
+      SELECT custkey, snap_month, status FROM marked
+      WHERE prev IS NULL OR status <> prev
+    )
+    SELECT custkey, status,
+           snap_month AS valid_from,
+           lead(snap_month) OVER (
+             PARTITION BY custkey ORDER BY snap_month
+           ) AS valid_to,
+           CAST(lead(snap_month) OVER (
+             PARTITION BY custkey ORDER BY snap_month
+           ) IS NULL AS BOOLEAN) AS is_current
+    FROM changes
+    """,
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 from monthly snapshots: per customer, the max order status
+    per month is the snapshot attribute; consecutive identical
+    snapshots collapse, each change opens a validity range closed by
+    the next change (NULL valid_to = current row). The snapshot agg
+    shuffles on (custkey, month); the lag and lead windows share ONE
+    further exchange on custkey (verified: 2 exchanges, 2 windows in
+    the plan) — the filter between them does not break the reuse."""
+    o = t(spark, sf_dir, "orders")
+    snap = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("snap_month"),
+    ).agg(F.max("o_orderstatus").alias("status"))
+    w = Window.partitionBy("custkey").orderBy("snap_month")
+    changes = snap.withColumn("prev", F.lag("status").over(w)).filter(
+        F.col("prev").isNull() | (F.col("status") != F.col("prev"))
+    )
+    nxt = F.lead("snap_month").over(w)
+    return changes.select(
+        "custkey",
+        "status",
+        F.col("snap_month").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
