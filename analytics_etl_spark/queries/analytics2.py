@@ -1448,3 +1448,39 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# Equi-depth histogram: the data-profiling/optimizer-statistics shape
+# (equal ROW counts per bucket, boundaries wherever the data is dense).
+@query(
+    "equi_depth_histogram",
+    oracle="""
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             -- DuckDB ntile yields BIGINT, Spark INT — cast for parity
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
+      FROM orders
+    ) GROUP BY bucket
+    """,
+)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten equal-count buckets over order totals via ntile — a total
+    order (price, key tie-break) makes bucket membership exact and
+    cross-engine identical. The global sort is the one unavoidable
+    shuffle of any exact equi-depth split; the approximate path at
+    scale is percentile_approx boundaries (quantiles_approx)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
