@@ -500,3 +500,108 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0).cast("bigint")).alias("n"),
         F.last("total_value", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+# Funnel conversion: ordered-stage progression per user (view →
+# click → purchase), each stage's timestamp strictly after the
+# previous stage's first occurrence.
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_after_click
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel: users entering each stage strictly after
+    completing the previous one (first-occurrence semantics). Each
+    stage is one aggregation + one join keyed on user_id — at scale
+    the three stages co-partition on the user key, so AQE plans one
+    shuffle per stage and nothing quadratic. Returned as one summary
+    row (the funnel chart's input)."""
+    ev = t(spark, sf_dir, "events")
+
+    def stage(df_prev, etype, tcol_prev, tcol):
+        e = ev.filter(F.col("event_type") == etype).select("user_id", "ts")
+        return (
+            e.join(df_prev, "user_id")
+            .filter(F.col("ts") > F.col(tcol_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = stage(v, "click", "t_view", "t_click")
+    p = stage(c, "purchase", "t_click", "t_purchase")
+    counts = [
+        df.agg(F.count("*").alias(name)) for df, name in
+        [(v, "n_view"), (c, "n_click_after_view"), (p, "n_purchase_after_click")]
+    ]
+    out = counts[0]
+    for d in counts[1:]:
+        out = out.crossJoin(F.broadcast(d))
+    return out
+
+
+# Cohort retention: users grouped by first-seen week, activity tracked
+# by week offset — the retention-matrix input.
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INT)
+               AS week_offset
+      FROM events e JOIN firstw f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,  -- duckdb date_trunc→DATE, spark→TIMESTAMP
+           week_offset, CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix: (cohort week, week offset) → distinct active
+    users. Two aggregations and one join, all keyed on user_id —
+    co-partitioned at scale; the matrix itself is weeks², never
+    user-sized."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("w")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    active = (
+        ev.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
