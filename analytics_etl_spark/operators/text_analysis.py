@@ -191,3 +191,46 @@ def redact_pii(
         F.regexp_count(c, F.lit(phone)).cast("bigint").alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping word chunks — the context-
+    window preparation step for training/RAG pipelines.
+
+    Chunk i covers words [i·stride, i·stride + chunk_words) with
+    stride = chunk_words - overlap; the final chunk may be short, and
+    a doc shorter than one chunk yields itself. Same Arrow-kernel
+    shape as shingling (per-row tight loop; HOF lambdas are
+    interpreted) — one narrow pass, the explode happens JVM-side
+    after the kernel so the Python boundary moves arrays, not rows.
+    """
+    import pandas as pd
+
+    stride = chunk_words - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_words")
+
+    def _chunks(texts):
+        out = []
+        for txt in texts:
+            if txt is None:
+                out.append([])
+                continue
+            w = txt.split(" ")
+            starts = range(0, max(len(w) - overlap, 1), stride)
+            out.append([" ".join(w[s : s + chunk_words]) for s in starts])
+        return pd.Series(out)
+
+    _chunks.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_chunks, "array<string>")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("cs"))
+        .select("doc_id", F.posexplode("cs").alias("chunk_id", "chunk_text"))
+        .withColumn("n_words", F.size(F.split("chunk_text", " ")))
+    )

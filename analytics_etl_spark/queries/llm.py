@@ -867,3 +867,36 @@ def docs_balanced_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 40)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "docs_chunked_overlap",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT)),
+               i -> struct_pack(
+                 chunk_id := i,
+                 chunk_text := array_to_string(words[i*40 + 1 : i*40 + 50], ' ')
+               ))) AS ch
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(ch.chunk_id AS INT) AS chunk_id,
+           ch.chunk_text,
+           CAST(len(string_split(ch.chunk_text, ' ')) AS INT) AS n_words
+    FROM c
+    """,
+)
+def docs_chunked_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 50-word chunks, 10-word overlap
+    (stride 40). The number of chunks per doc is
+    ceil(max(n_words-overlap, 1)/stride); the oracle reproduces the
+    same slicing with DuckDB list ranges (1-based, end-inclusive)."""
+    from analytics_etl_spark.operators.text_analysis import chunk_documents
+
+    return chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_words=50, overlap=10
+    )
