@@ -900,3 +900,71 @@ def docs_chunked_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         t(spark, sf_dir, "documents"), chunk_words=50, overlap=10
     )
+
+
+@query(
+    "token_budget_packing",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT)),
+               i -> struct_pack(
+                 chunk_id := i,
+                 nw := len(words[i*40 + 1 : i*40 + 50])
+               ))) AS ch
+      FROM w
+    ),
+    chunks AS (
+      SELECT d.lang, c.doc_id, CAST(c.ch.chunk_id AS INT) AS chunk_id,
+             CAST(c.ch.nw AS INT) AS n_words
+      FROM c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    binned AS (
+      SELECT lang,
+             CAST((SUM(n_words) OVER (
+                     PARTITION BY lang ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_words) // 500 AS BIGINT) AS bin,
+             n_words
+      FROM chunks
+    )
+    SELECT lang, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def token_budget_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack chunks into ~500-word training examples per language:
+    bin = floor(running-word-total-before-this-chunk / 500) over the
+    deterministic (doc, chunk) order. Running-total binning is the
+    DISTRIBUTED approximation of greedy packing — a bin can overrun by
+    at most one chunk (never splits a chunk), which is the standard
+    trade for making packing a window function instead of a sequential
+    pass. One window shuffle on the stratum key."""
+    from analytics_etl_spark.operators.text_analysis import chunk_documents
+
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_words=50, overlap=10).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = chunks.select(
+        "lang",
+        "n_words",
+        F.floor((F.sum("n_words").over(w) - F.col("n_words")) / 500)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
