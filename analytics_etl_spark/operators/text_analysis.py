@@ -232,5 +232,5 @@ def chunk_documents(
     return (
         docs.select(F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("cs"))
         .select("doc_id", F.posexplode("cs").alias("chunk_id", "chunk_text"))
-        .withColumn("n_words", F.size(F.split("chunk_text", " ")))
+        .withColumn("n_words", token_count("chunk_text"))
     )

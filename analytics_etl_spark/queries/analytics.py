@@ -532,10 +532,13 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-stage funnel: users entering each stage strictly after
     completing the previous one (first-occurrence semantics). Each
-    stage is one aggregation + one join keyed on user_id — at scale
-    the three stages co-partition on the user key, so AQE plans one
-    shuffle per stage and nothing quadratic. Returned as one summary
-    row (the funnel chart's input)."""
+    stage is one aggregation + one join keyed on user_id; the three
+    per-user stage timestamps are assembled with LEFT joins and all
+    counts come from ONE conditional aggregation over that single
+    lineage — three independent count actions would re-execute the
+    shared stage pipelines once per count (measured as 6 event scans
+    instead of 3). Returned as one summary row (the funnel chart's
+    input)."""
     ev = t(spark, sf_dir, "events")
 
     def stage(df_prev, etype, tcol_prev, tcol):
@@ -554,14 +557,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = stage(v, "click", "t_view", "t_click")
     p = stage(c, "purchase", "t_click", "t_purchase")
-    counts = [
-        df.agg(F.count("*").alias(name)) for df, name in
-        [(v, "n_view"), (c, "n_click_after_view"), (p, "n_purchase_after_click")]
-    ]
-    out = counts[0]
-    for d in counts[1:]:
-        out = out.crossJoin(F.broadcast(d))
-    return out
+    return (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .agg(
+            F.count("*").alias("n_view"),
+            F.count("t_click").alias("n_click_after_view"),
+            F.count("t_purchase").alias("n_purchase_after_click"),
+        )
+    )
 
 
 # Cohort retention: users grouped by first-seen week, activity tracked

@@ -28,6 +28,7 @@ from analytics_etl_spark.operators.similarity import (
     rademacher_planes,
 )
 from analytics_etl_spark.operators.text_analysis import (
+    chunk_documents,
     langid_guess,
     quality_features,
     token_count,
@@ -872,7 +873,10 @@ def docs_balanced_topn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_chunked_overlap",
     oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           -- NULL text yields zero chunks in the kernel; without this
+           -- filter DuckDB's NULL-ignoring greatest() would emit one
+           WHERE text IS NOT NULL),
     c AS (
       SELECT doc_id,
              unnest(list_transform(
@@ -895,8 +899,6 @@ def docs_chunked_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stride 40). The number of chunks per doc is
     ceil(max(n_words-overlap, 1)/stride); the oracle reproduces the
     same slicing with DuckDB list ranges (1-based, end-inclusive)."""
-    from analytics_etl_spark.operators.text_analysis import chunk_documents
-
     return chunk_documents(
         t(spark, sf_dir, "documents"), chunk_words=50, overlap=10
     )
@@ -905,7 +907,10 @@ def docs_chunked_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "token_budget_packing",
     oracle="""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+           -- NULL text yields zero chunks in the kernel; without this
+           -- filter DuckDB's NULL-ignoring greatest() would emit one
+           WHERE text IS NOT NULL),
     c AS (
       SELECT doc_id,
              unnest(list_transform(
@@ -944,8 +949,6 @@ def token_budget_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most one chunk (never splits a chunk), which is the standard
     trade for making packing a window function instead of a sequential
     pass. One window shuffle on the stratum key."""
-    from analytics_etl_spark.operators.text_analysis import chunk_documents
-
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
