@@ -131,3 +131,40 @@ def test_hyperplane_ann_no_corpus_shuffle(spark):
     tree = tree_of(plan_of(spark, "similarity_ann_hyperplane"))
     assert "TakeOrderedAndProject" in tree
     assert tree.count("Exchange") == tree.count("BroadcastExchange")
+
+
+def test_funnel_single_lineage_no_reaggregation(spark):
+    """All three funnel counts come from ONE aggregation over the
+    assembled stage frames — no cartesian of independent counts."""
+    tree = tree_of(plan_of(spark, "funnel_conversion"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """The lag and lead windows run on the same (custkey, month)
+    ordering: one exchange feeds both (the change filter between them
+    must not break sort reuse)."""
+    tree = tree_of(plan_of(spark, "scd2_customer_status_history"))
+    assert tree.count("Window") == 2
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 2  # agg + window
+
+
+def test_cohort_retention_filters_pushed(spark):
+    """The events scan feeding cohorts reads only the needed columns."""
+    plan = plan_of(spark, "cohort_retention")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "user_id" in line:
+            assert "props" not in line and "value" not in line
+            break
+    else:
+        pytest.fail("events ReadSchema not found")
+
+
+def test_gap_fill_spine_is_tiny_cross_join(spark):
+    """The dense spine is buckets × types (in-plan sequence explode
+    cross a distinct-types frame) — the only nested-loop join allowed
+    here is that bounded spine construction, and the sparse aggregate
+    side joins by key."""
+    tree = tree_of(plan_of(spark, "gap_fill_locf"))
+    assert "CartesianProduct" not in tree
