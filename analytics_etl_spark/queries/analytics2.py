@@ -1484,3 +1484,48 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# MapType surface: build a real map column per user (event_type →
+# count), then derive deterministic projections from it. The map is
+# constructed from SORTED entries so downstream key/value order is
+# engine-independent; the oracle derives the same projections
+# relationally (map internals don't hash stably across engines, their
+# projections do).
+@query(
+    "map_event_type_counts",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           list(event_type ORDER BY event_type) AS type_keys,
+           list(n ORDER BY event_type) AS type_counts,
+           MAX(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
+           CAST(COUNT(*) AS INT) AS n_types
+    FROM per GROUP BY user_id
+    """,
+)
+def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram AS A MAP COLUMN (map_from_entries
+    over sorted struct entries), projected back to arrays/scalars via
+    map_keys / map_values / element_at. Exercises MapType end-to-end
+    — construction, lookup, iteration — while keeping the correctness
+    contract on the map's projections."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "n")))
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            "user_id",
+            F.map_keys("m").alias("type_keys"),
+            F.map_values("m").alias("type_counts"),
+            F.element_at("m", "click").alias("n_clicks"),
+            F.size("m").alias("n_types"),
+        )
+    )

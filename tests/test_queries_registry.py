@@ -77,12 +77,18 @@ def test_oracle_types_match_spark_types(spark):
         "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool",
         "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
         "VARCHAR[]": "array<str>",
+        "BIGINT[]": "array<i64>",
+        "INTEGER[]": "array<i32>",
+        "DOUBLE[]": "array<f64>",
     }
     spark_map = {
         "bigint": "i64", "int": "i32", "smallint": "i16", "tinyint": "i8",
         "double": "f64", "float": "f32", "string": "str", "boolean": "bool",
         "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
         "array<string>": "array<str>",
+        "array<bigint>": "array<i64>",
+        "array<int>": "array<i32>",
+        "array<double>": "array<f64>",
     }
     bad = []
     for name, spec in sorted(REGISTRY.items()):
