@@ -224,3 +224,50 @@ def test_source_auth_token_map():
     with pytest.raises(AuthError):
         walk_cursors(bad, "l1", "2025-11-01", "2025-11-30", "COMPLETED")
     assert calls["n"] == 1  # 401 is terminal — no retry storm
+
+
+def test_csv_ingest_quarantines_and_lands(spark, tmp_path):
+    """CSV landing pattern: declared schema, malformed lines
+    quarantined whole, validated rows rewritten as parquet with
+    identical content (and pushdown-capable from then on)."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.sources.csv_ingest import land_to_parquet, read_sales_csv
+
+    p = tmp_path / "sales.csv"
+    p.write_text(
+        "item_name,sale_price,qty,month,location_id\n"
+        "latte,4.50,2,2025-11,1\n"
+        "espresso,3.00,1,2025-11,2\n"
+        "broken,not_a_price,x,2025-11,zzz\n"
+        "muffin,2.25,3,2025-12,1\n"
+    )
+    good, bad = read_sales_csv(spark, str(p))
+    assert good.count() == 3
+    assert bad.count() == 1
+    assert "not_a_price" in bad.first()["_corrupt_record"]
+
+    out = str(tmp_path / "landed")
+    land_to_parquet(good, out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, good.collect()))
+    # landed parquet scans get pushdown the CSV never had
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("location_id") == 1).explain("formatted")
+    assert "PushedFilters: [IsNotNull(location_id), EqualTo(location_id,1)]" in buf.getvalue()
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    """ORC as an alternative columnar sink/source format: write,
+    read back, identical rows (S8 format option)."""
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], "id long, name string, v double"
+    )
+    path = str(tmp_path / "orc_out")
+    df.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
