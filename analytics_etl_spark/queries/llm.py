@@ -971,3 +971,50 @@ def token_budget_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("n_words").cast("bigint").alias("total_words"),
     )
+
+
+@query(
+    "corpus_frequency_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(CAST(SUM(v.freq) AS DECIMAL(28,0)) AS DOUBLE) / COUNT(*) AS mean_freq,
+           MIN(v.freq) AS min_freq,
+           CAST(SUM(CASE WHEN v.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM tok t JOIN vocab v ON v.word = t.word
+    GROUP BY t.doc_id
+    """,
+)
+def corpus_frequency_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency scoring — the integer-exact core of a
+    perplexity-style quality filter (CCNet shape): score each document
+    by how common its words are in the corpus itself. mean_freq low /
+    n_hapax high flags gibberish and OOV-heavy docs; production swaps
+    the frequency for a log-prob from a trained LM, but ln() is not
+    bit-stable across engines, so the oracle-checked form keeps the
+    arithmetic exact (decimal sum of bigint frequencies, one double
+    division at the end). Two shuffles: vocabulary build and the
+    word-keyed join back — the join is on the word key, so the corpus
+    streams and only (word, freq) pairs rendezvous."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = tok.groupBy("word").agg(F.count("*").alias("freq"))
+    return (
+        tok.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            (
+                F.sum("freq").cast("decimal(28,0)").cast("double") / F.count("*")
+            ).alias("mean_freq"),
+            F.min("freq").alias("min_freq"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
