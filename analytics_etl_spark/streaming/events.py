@@ -24,20 +24,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_DDL = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (as stored in the parquet)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos → timestamp).
+    """File-source stream over the events parquet.
+
+    The file streaming source needs an explicit schema, but the on-disk
+    timestamp encoding is the producer's choice (TIMESTAMP(MICROS/NANOS)
+    or a raw int64 of nanos). Infer the schema with a one-off batch read
+    and normalize whatever `ts` arrives as into a session-tz timestamp,
+    so the stream is correct regardless of which writer produced the
+    table.
 
     maxFilesPerTrigger=1 keeps micro-batches small in tests; a real
     deployment points readStream at Kafka/landing-zone paths.
@@ -57,12 +52,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(path, link)
         path = staged
+    schema = spark.read.parquet(path).schema
     raw = (
-        spark.readStream.schema(EVENTS_DDL)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # int64 nanos (nanosAsLong path) → micros → timestamp
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
