@@ -17,9 +17,24 @@ groupBy shuffle on the edge list, NEVER corpus² work.
 
 This is one of the engine's two deliberate driver-side loops (the
 other is the REST cursor walk): iteration count is data-dependent, so
-a driver fixpoint test is the honest control flow. Each round
-`localCheckpoint`s the label frame — without it, the lineage doubles
-every round and Catalyst re-analysis dominates past ~10 rounds.
+a driver fixpoint test is the honest control flow. Two costs bound the
+loop, and both are halved relative to the naive formulation:
+
+- labels are SEEDED with min(self, neighbors) — one groupBy fused into
+  initialization (it replaces the `distinct()` that built the node
+  list, so it costs nothing extra) that is exactly the first
+  propagation round. Diameter-d components then converge in d-1
+  further rounds instead of d.
+- the driver-side fixpoint `count()` and the `localCheckpoint` run
+  every TWO propagation rounds, not every round: two join+groupBy
+  steps compose lazily into one checkpointed plan, so half the
+  materializations and half the driver round-trips. Convergence is
+  tested on the SECOND step's change flag alone — sound, because "step
+  2 changed nothing" means step 1's output was already the fixpoint
+  (and then step 2's output equals it).
+
+Without the checkpoint, the lineage doubles every round and Catalyst
+re-analysis dominates past ~10 rounds.
 """
 
 from __future__ import annotations
@@ -53,31 +68,40 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .localCheckpoint(eager=True)
     )
+    # min-neighbor seed: label(u) = min(u, min neighbor). This IS the
+    # first propagation round, fused into the same groupBy that would
+    # otherwise just build the distinct node list — one round's
+    # convergence for free.
     labels = (
-        sym.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least(F.col("u"), F.col("mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+
+    def _step(lbl: DataFrame) -> DataFrame:
+        """One lazy propagation round: (doc_id, label) -> same + chg."""
         neigh = (
-            sym.join(labels, sym.v == labels.doc_id)
+            sym.join(lbl, sym.v == lbl.doc_id)
             .groupBy("u")
             .agg(F.min("label").alias("nl"))
         )
         nl = F.coalesce("nl", F.col("label"))
-        # the changed flag rides along in the same pass (the checkpoint
-        # materializes it), so the fixpoint test is a cheap scan of the
-        # checkpointed frame, not another join
-        new_labels = (
-            labels.join(neigh, labels.doc_id == neigh.u, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), nl).alias("label"),
-                (nl < F.col("label")).alias("chg"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(neigh, lbl.doc_id == neigh.u, "left").select(
+            "doc_id",
+            F.least(F.col("label"), nl).alias("label"),
+            (nl < F.col("label")).alias("chg"),
         )
+
+    for _ in range((max_iter + 1) // 2):
+        # two rounds composed into ONE checkpointed plan: half the
+        # materializations, half the driver fixpoint round-trips. The
+        # changed flag of the SECOND step alone decides convergence —
+        # if step 2 changed nothing, step 1's output was the fixpoint.
+        new_labels = _step(_step(labels).drop("chg")).localCheckpoint(eager=True)
         changed = new_labels.filter("chg").limit(1).count()
         labels = new_labels.drop("chg")
         if changed == 0:
