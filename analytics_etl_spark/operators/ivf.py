@@ -62,16 +62,40 @@ def kmeans_centroids(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Deterministic spherical k-means (cosine) centroids.
 
     Init: the k rows with the smallest md5 hash of their id — stable
     under any partitioning. Each Lloyd iteration: Arrow assign +
     codegen (cluster, dim) mean + driver collect of k·dim floats.
+
+    ``sample_fraction`` bounds the TRAINING scan: with it set, every
+    Lloyd iteration runs over a deterministic md5-threshold sample of
+    the corpus instead of all of it — at 100 TB, 5 full-corpus
+    training scans at index-build time is the cost that matters, and
+    k-means centroids estimated from a few million vectors are
+    statistically indistinguishable from full-corpus ones (the means
+    concentrate at O(1/√n)). The sample is the hash-SMALLEST prefix of
+    the id space (``hash_bucket(id) < f·2^30``), which has two
+    properties a `.sample()` call lacks: it is stable under any
+    partitioning/ordering, and it CONTAINS the k seed rows (the seeds
+    are the k smallest hashes), so seeded init is unchanged. Falls
+    back to the full corpus when the sample would hold < 4·k rows —
+    fewer vectors than that can't estimate k means.
     """
     v = as_double_array(vec_col)
+    train = embeddings
+    if sample_fraction is not None and sample_fraction < 1.0:
+        n_buckets = 1 << 30
+        thresh = int(sample_fraction * n_buckets)
+        sampled = embeddings.filter(hash_bucket(id_col, n_buckets) < thresh)
+        # one count() at index-build time (driver-side, bounded) to
+        # guard the degenerate tiny-table case
+        if sampled.count() >= 4 * k:
+            train = sampled
     seed_rows = (
-        embeddings.select(F.col(id_col), v.alias("v"), hash_bucket(id_col, 1 << 30).alias("hb"))
+        train.select(F.col(id_col), v.alias("v"), hash_bucket(id_col, 1 << 30).alias("hb"))
         .orderBy("hb", id_col)
         .limit(k)
         .collect()
@@ -82,7 +106,7 @@ def kmeans_centroids(
     # every later centroids[i] valid
     k = len(centroids)
     for _ in range(iters):
-        assigned = embeddings.select(
+        assigned = train.select(
             _assign_udf(centroids)(v).alias("cell"), F.posexplode(v).alias("dim", "x")
         )
         means = (

@@ -733,7 +733,10 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.ivf import ivf_topk, kmeans_centroids
 
     emb = t(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, k=16, iters=3)
+    # training scan bounded to half the corpus (deterministic
+    # md5-threshold sample; see kmeans_centroids) — the index-build
+    # budget knob that matters at 100 TB
+    cents = kmeans_centroids(emb, k=16, iters=3, sample_fraction=0.5)
     return ivf_topk(emb, _query_frame(emb, 0), cents, k=10, n_probe=4, exclude_ids=(0,))
 
 

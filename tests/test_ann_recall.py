@@ -165,12 +165,22 @@ def test_ivf_recall_and_cell_balance(emb):
     from analytics_etl_spark.operators.ivf import _assign_udf, ivf_topk, kmeans_centroids
     from analytics_etl_spark.operators.similarity import as_double_array
 
-    cents = kmeans_centroids(emb, k=16, iters=3)
+    # sample_fraction bounds the Lloyd training scan (the 100 TB
+    # index-build budget); recall must hold when centroids are trained
+    # on the deterministic half-corpus sample, not just the full scan
+    cents = kmeans_centroids(emb, k=16, iters=3, sample_fraction=0.5)
     rec = _recall(
         emb,
         lambda vid: ivf_topk(emb, _qf(emb, vid), cents, k=K, n_probe=4, exclude_ids=(vid,)),
     )
     assert rec >= 0.3, f"IVF recall regressed: {rec}"
+
+    # the md5-threshold sample is the hash-smallest PREFIX of the id
+    # space, so the k seed rows (smallest hashes) are identical with
+    # and without sampling — seeded init is invariant to the budget
+    seeds_full = kmeans_centroids(emb, k=16, iters=0)
+    seeds_half = kmeans_centroids(emb, k=16, iters=0, sample_fraction=0.5)
+    assert seeds_full == seeds_half
 
     sizes = [
         r["count"]
