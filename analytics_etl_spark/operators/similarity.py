@@ -405,3 +405,92 @@ def cosine_topk_pandas(
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    planes: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the multi-table LSH index AT WRITE TIME, partitioned
+    by (table_id, bucket) — the at-scale completion of the ANN story.
+
+    One pass of the Arrow signature kernel over the corpus, then
+    posexplode to L rows per vector (one per hash table) written under
+    `table_id=<t>/bucket=<b>/` directories. Storage is L× the vector
+    payload — the standard LSH index trade (L tables = L postings
+    lists); query-time cost drops from "scan corpus + compute L·b dots
+    per row" to "read exactly L directories": the probe filter is a
+    PARTITION filter, so Spark's file listing skips every other bucket
+    and the signature kernel never runs at query time
+    (tests/test_ann_recall.py asserts both on the plan).
+    """
+    sig = hyperplane_signatures(planes)
+    idx = embeddings.withColumn("_sig", sig(as_double_array(vec_col))).select(
+        F.col(id_col), F.col(vec_col), F.posexplode("_sig").alias("table_id", "bucket")
+    )
+    idx.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(path)
+
+
+def query_signature(query_vec: list[float], planes: list[list[list[float]]]) -> list[int]:
+    """The query vector's per-table bucket ids, computed DRIVER-SIDE.
+
+    L·b·dim flops on one vector — index-metadata-sized work (the same
+    legitimate driver class as the IVF centroid collect), and the
+    price of getting LITERAL bucket predicates into the plan, which is
+    what turns the probe into static partition pruning (no runtime
+    subquery needed).
+    """
+    import numpy as np
+
+    flat = np.array([p for tp in planes for p in tp], dtype=np.float64)
+    n_tables, n_bits = len(planes), len(planes[0])
+    weights = (2 ** np.arange(n_bits)).astype(np.int64)
+    bits = (np.asarray(query_vec, dtype=np.float64) @ flat.T) > 0
+    return [int(x) for x in bits.reshape(n_tables, n_bits) @ weights]
+
+
+def lsh_index_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    planes: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """ANN top-k over a write-time LSH index (``write_lsh_index``).
+
+    The probe predicate OR-combines L literal (table_id, bucket)
+    equalities — both are partition columns, so the scan reads exactly
+    L directories out of L·2^b. A vector matching in several tables
+    appears once per match; the max_by(score-keyed) groupBy dedups to
+    one candidate row before the exact-cosine top-k. Candidate scoring
+    stays on the exact JVM fold (``cosine``), identical to the inline
+    ``hyperplane_lsh_topk`` — same results, none of the query-time
+    kernel work.
+    """
+    import functools
+    import operator
+
+    buckets = query_signature(query_vec, planes)
+    probe = functools.reduce(
+        operator.or_,
+        [
+            (F.col("table_id") == F.lit(t)) & (F.col("bucket") == F.lit(b))
+            for t, b in enumerate(buckets)
+        ],
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    e = as_double_array(vec_col)
+    out = (
+        index.filter(probe)
+        .select(F.col(id_col), cosine(e, q).alias("score"))
+        .groupBy(id_col)
+        .agg(F.max("score").alias("score"))
+    )
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -191,3 +191,43 @@ def test_ivf_recall_and_cell_balance(emb):
     ]
     assert len(sizes) == 16
     assert max(sizes) < 3 * (sum(sizes) / len(sizes)), f"degenerate cells: {sizes}"
+
+
+def test_lsh_index_partition_pruning_and_parity(emb, spark, tmp_path):
+    """The write-time index layout: signatures computed once at write,
+    corpus partitioned by (table_id, bucket). The probe plan must show
+    PartitionFilters on the partition columns (file listing skips all
+    non-probed buckets), contain NO Python node (kernel never runs at
+    query time), and return the same top-k as the inline kernel path."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.similarity import (
+        lsh_index_topk,
+        query_signature,
+        write_lsh_index,
+    )
+
+    planes = rademacher_planes(64, 6, 8, seed=7)
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, path, planes)
+    index = spark.read.parquet(path)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
+    got = lsh_index_topk(index, qvec, planes, k=K, exclude_ids=(17,))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # static partition pruning: the (table_id, bucket) equalities land
+    # in PartitionFilters, not a post-scan Filter
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("table_id" in ln and "bucket" in ln for ln in pf), plan
+    assert "Python" not in plan  # no query-time kernel
+
+    inline = hyperplane_lsh_topk(
+        emb, _qf(emb, 17), dim=64, k=K, exclude_ids=(17,), planes=planes
+    )
+    key = lambda df: [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]  # noqa: E731
+    assert key(got) == key(inline)
