@@ -234,3 +234,52 @@ def chunk_documents(
         .select("doc_id", F.posexplode("cs").alias("chunk_id", "chunk_text"))
         .withColumn("n_words", token_count("chunk_text"))
     )
+
+
+def ngram_contamination(
+    corpus_grams: DataFrame,
+    bench_grams: DataFrame,
+    gram_col: str = "shingle",
+    id_col: str = "doc_id",
+    broadcast_bench_limit: int | None = 2_000_000,
+) -> DataFrame:
+    """Per corpus doc: fraction of its n-grams found in a benchmark's
+    n-gram bank (the decontamination gate every pretraining pipeline
+    runs before training).
+
+    Inputs are already-shingled frames: ``corpus_grams`` (id, gram)
+    distinct per doc, ``bench_grams`` (gram, ...) for the eval suite.
+    Output: (doc_id, n_grams, n_contaminated, contamination_frac) for
+    docs with >= 1 hit.
+
+    Join strategy is SIZE-GATED, not assumed: eval suites are bounded
+    in practice (thousands of docs → at most a few million distinct
+    grams) which makes a broadcast semi-join the right plan — the
+    corpus side streams through the scan and never shuffles, at any
+    corpus size. But "bounded in practice" is a contract the API
+    cannot see, so the bank is counted ONCE at plan-build time
+    (driver action, bank-sized — the same legitimate class as the
+    IVF centroid collect) and the broadcast hint is applied only
+    below ``broadcast_bench_limit`` distinct grams. Above it — or
+    with the limit set to None — the hint is dropped and the join
+    shuffles both sides on the gram key, with AQE free to pick a
+    better strategy at runtime. Correctness is identical either way;
+    only the exchange layout changes.
+    """
+    bench = bench_grams.select(gram_col).distinct()
+    if broadcast_bench_limit is not None and bench.count() <= broadcast_bench_limit:
+        bench = F.broadcast(bench)
+    sizes = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        corpus_grams.join(bench, gram_col)
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return hits.join(sizes, id_col).select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contamination_frac"
+        ),
+    )

@@ -768,28 +768,17 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def benchmark_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination detection: per corpus doc, the fraction
     of its 3-grams appearing in the eval set's n-gram bank (docs 0-24
-    stand in for the benchmark). The broadcast hint on the bank is
-    justified by the workload, not the scale factor: eval suites are
-    bounded (thousands of docs) while the corpus side streams — so the
-    corpus is scanned once, never shuffled, at any corpus size."""
+    stand in for the benchmark). The bank join is SIZE-GATED inside
+    the operator: broadcast only when the bank is verifiably small
+    (counted once at plan-build), shuffle join otherwise — see
+    ngram_contamination for the contract."""
+    from analytics_etl_spark.operators.text_analysis import ngram_contamination
+
     docs = t(spark, sf_dir, "documents")
     grams = word_shingles(docs, n=3, distinct=True)
-    bench = grams.filter(F.col("doc_id") < 25).select("shingle").distinct()
+    bench = grams.filter(F.col("doc_id") < 25)
     corpus = grams.filter(F.col("doc_id") >= 25)
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_contaminated"))
-    )
-    return hits.join(sizes, "doc_id").select(
-        "doc_id",
-        "n_grams",
-        "n_contaminated",
-        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
-            "contamination_frac"
-        ),
-    )
+    return ngram_contamination(corpus, bench)
 
 
 @query(

@@ -95,3 +95,42 @@ def test_resize_and_frame_sample(spark):
     assert {r["media_id"] for r in frames} == {2}  # only videos pass
     assert [r["frame_idx"] for r in frames] == [0, 1, 2, 3]
     assert all(len(r["frame"]) <= 64 for r in frames)
+
+
+def test_ngram_contamination_size_gate(spark):
+    """The bench-bank broadcast is gated on a measured count, not an
+    assumed contract: under the limit the plan carries the broadcast
+    hint (corpus side never shuffles); over it (or with the gate
+    disabled via limit=0) the hint is dropped and the join shuffles —
+    same rows either way."""
+    from analytics_etl_spark.operators.text_analysis import ngram_contamination
+
+    corpus = spark.createDataFrame(
+        [(10, "a b"), (10, "b c"), (10, "x y"), (11, "q r")],
+        "doc_id long, shingle string",
+    )
+    bench = spark.createDataFrame([("a b",), ("b c",)], "shingle string")
+
+    bcast = ngram_contamination(corpus, bench, broadcast_bench_limit=1000)
+    shuffled = ngram_contamination(corpus, bench, broadcast_bench_limit=0)
+
+    import contextlib
+    import io
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().split("\n\n(1)")[0]
+
+    assert "BroadcastHashJoin" in plan(bcast)
+    # gate disabled -> no broadcast HINT survives to the gram join; at
+    # these row counts AQE may still broadcast at runtime, so assert on
+    # the static plan's lack of a hint-forced broadcast over the bench
+    assert "ResolvedHint" not in shuffled._jdf.queryExecution().analyzed().toString()
+
+    rows = {(r["doc_id"], r["n_grams"], r["n_contaminated"]) for r in bcast.collect()}
+    assert rows == {(10, 3, 2)}
+    assert rows == {
+        (r["doc_id"], r["n_grams"], r["n_contaminated"]) for r in shuffled.collect()
+    }
