@@ -28,42 +28,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def shingle_arrays(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    distinct: bool = True,
-) -> DataFrame:
-    """(id, text) → (doc_id, shingles: array<string>) — NOT exploded.
+def shingle_udf(n: int = 3, distinct: bool = True):
+    """The Arrow shingling kernel: text column → array<string> of word
+    n-grams (per-doc first-occurrence distinct when ``distinct``).
 
-    Keeping shingles as a per-row array lets downstream minhashing run
-    as pure projections (array_min over transform) with ZERO shuffle;
-    explode only where a relational shape is genuinely needed
-    (word_shingles / the Jaccard verify join).
+    Arrow kernel, not a SQL higher-order function: HOF lambdas are
+    interpreted per element (outside whole-stage codegen), and at
+    ~50 shingles × several expression nodes per doc that measured
+    6-25× slower than this vectorized batch loop at sf0.1 (5.8s vs
+    1.0s for shingle+explode; the gap grows with the element count).
+    Per-doc distinctness stays inside the row (first-occurrence
+    order, like array_distinct) — never a corpus-wide DISTINCT.
     """
-    # Shingling fans out ~tokens× per row; if the source arrived in
-    # fewer *files* than cores (small file, coalesced scan), spread it
-    # first so downstream array work parallelizes. File count is a
-    # driver-cheap proxy for scan tasks that avoids touching df.rdd
-    # (which forces a plan conversion); at real scale the scan has
-    # >= cores partitions and this is a no-op. Non-file sources
-    # (in-memory test frames) report no files and are left alone.
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(docs.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files < parallelism:
-        docs = docs.repartition(parallelism, id_col)
-
-    # Arrow kernel, not a SQL higher-order function: HOF lambdas are
-    # interpreted per element (outside whole-stage codegen), and at
-    # ~50 shingles × several expression nodes per doc that measured
-    # 6-25× slower than this vectorized batch loop at sf0.1 (5.8s vs
-    # 1.0s for shingle+explode; the gap grows with the element count).
-    # Per-doc distinctness stays inside the row (first-occurrence
-    # order, like array_distinct) — never a corpus-wide DISTINCT.
     import pandas as pd
 
     def _shingle(texts):
@@ -78,10 +54,68 @@ def shingle_arrays(
         return pd.Series(out)
 
     _shingle.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    shingle_udf = F.pandas_udf(_shingle, "array<string>")
+    return F.pandas_udf(_shingle, "array<string>")
+
+
+def _spread_small_scan(docs: DataFrame, id_col: str) -> DataFrame:
+    """Shingling fans out ~tokens× per row; if the source arrived in
+    fewer *files* than cores (small file, coalesced scan), spread it
+    first so downstream array work parallelizes. File count is a
+    driver-cheap proxy for scan tasks that avoids touching df.rdd
+    (which forces a plan conversion); at real scale the scan has
+    >= cores partitions and this is a no-op. Non-file sources
+    (in-memory test frames) report no files and are left alone."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < parallelism:
+        docs = docs.repartition(parallelism, id_col)
+    return docs
+
+
+def shingle_arrays(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, text) → (doc_id, shingles: array<string>) — NOT exploded.
+
+    Keeping shingles as a per-row array lets downstream minhashing run
+    as pure projections (array_min over transform) with ZERO shuffle;
+    explode only where a relational shape is genuinely needed
+    (word_shingles / the Jaccard verify join).
+    """
+    docs = _spread_small_scan(docs, id_col)
     return docs.select(
-        F.col(id_col).alias("doc_id"), shingle_udf(F.col(text_col)).alias("shingles")
+        F.col(id_col).alias("doc_id"),
+        shingle_udf(n, distinct)(F.col(text_col)).alias("shingles"),
     )
+
+
+def with_shingle_column(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = True,
+    out_col: str = "shingles",
+) -> DataFrame:
+    """docs + a persisted-ready ``shingles`` column — the INGEST form.
+
+    The deployment answer to the kernel-runs-twice trade documented in
+    ``minhash_lsh_dedup``: run the Arrow shingling kernel ONCE at
+    ingest, write the array as a table column next to the text, and
+    every downstream consumer (signature building, LSH verify,
+    contamination, fingerprinting) reads it from parquet instead of
+    recomputing. All source columns are kept, so this composes with a
+    normal partitioned/bucketed table write.
+    """
+    docs = _spread_small_scan(docs, id_col)
+    return docs.withColumn(out_col, shingle_udf(n, distinct)(F.col(text_col)))
 
 
 def word_shingles(
@@ -350,6 +384,7 @@ def minhash_lsh_dedup(
     rows_per_band: int = 3,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates + exact verify.
 
@@ -357,18 +392,29 @@ def minhash_lsh_dedup(
     shingle explode (narrow) → minhash agg (shuffle on doc) → bucket
     join (shuffle on bucket) → exact-Jaccard verify restricted to the
     candidate pairs (never corpus-wide).
+
+    ``shingles_col`` names an ALREADY-COMPUTED shingle array column on
+    ``docs`` (written at ingest by ``with_shingle_column``): the Arrow
+    kernel then runs ZERO times at query time and the whole pipeline
+    is parquet scan + JVM expressions (tests/test_dedup_similarity.py
+    asserts the plan has no Python node on this path).
     """
-    # The shingle arrays feed BOTH signature building and the exact
-    # verify stage — the Arrow shingling kernel therefore runs TWICE
-    # over the corpus per action (once per consumer; verify's melted
-    # join shape keeps it to one, not two, passes on its side).
-    # Deliberately NOT cached: pinning corpus-sized shingle arrays in
-    # executor memory is its own hazard at scale, and the second
-    # kernel pass is a measured ~0.5s of the 2s total at sf0.1. At
-    # deployment scale the answer is neither recompute nor cache:
-    # persist `shingles` as a table column at ingest (like the ANN
-    # signature column) and both consumers read it from parquet.
-    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=True)
+    if shingles_col is not None:
+        arrays = docs.select(
+            F.col(id_col).alias("doc_id"), F.col(shingles_col).alias("shingles")
+        )
+    else:
+        # The shingle arrays feed BOTH signature building and the exact
+        # verify stage — the Arrow shingling kernel therefore runs TWICE
+        # over the corpus per action (once per consumer; verify's melted
+        # join shape keeps it to one, not two, passes on its side).
+        # Deliberately NOT cached: pinning corpus-sized shingle arrays in
+        # executor memory is its own hazard at scale, and the second
+        # kernel pass is a measured ~0.5s of the 2s total at sf0.1. At
+        # deployment scale the answer is neither recompute nor cache:
+        # persist `shingles` at ingest (``with_shingle_column``) and pass
+        # ``shingles_col`` so both consumers read it from parquet.
+        arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=True)
     # exploded + groupBy signatures, NOT the array-HOF form: the 12
     # min aggregates run inside whole-stage codegen with map-side
     # partial mins (one signature row per doc crosses the wire), while

@@ -181,3 +181,44 @@ def test_verify_jaccard_tolerates_duplicate_pairs(spark):
     rows = verify_jaccard(arrays, pairs).collect()
     assert len(rows) == 1
     assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-12  # {abc,bcd}∩{abc,bce}=1 of 3
+
+
+def test_minhash_lsh_persisted_shingles_single_scan(spark, tmp_path):
+    """The ingest-time deployment shape: shingles written as a table
+    column once (with_shingle_column), query-time dedup reads them —
+    identical pairs to the compute-at-query form, and the query plan
+    contains ZERO Python nodes (the Arrow kernel never runs)."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.dedup import with_shingle_column
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all here"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+    )
+    path = str(tmp_path / "docs_shingled")
+    with_shingle_column(docs, n=3).write.parquet(path)
+
+    persisted = spark.read.parquet(path)
+    fresh = minhash_lsh_dedup(docs, min_jaccard=0.5)
+    from_col = minhash_lsh_dedup(persisted, min_jaccard=0.5, shingles_col="shingles")
+
+    key = lambda rows: {(r["doc_a"], r["doc_b"]): round(r["jaccard"], 12) for r in rows}  # noqa: E731
+    assert key(from_col.collect()) == key(fresh.collect())
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        from_col.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "Python" not in plan
+    # and the fresh form pays the kernel (twice: signatures + verify)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fresh.explain("formatted")
+    assert "ArrowEvalPython" in buf.getvalue()
