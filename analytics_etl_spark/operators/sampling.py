@@ -47,3 +47,46 @@ def stratified_sample(
     for stratum, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * buckets))).otherwise(thr)
     return df.filter(b < thr)
+
+
+def dataset_split(
+    df: DataFrame,
+    splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    id_col: str = "doc_id",
+    salt: str = "split",
+    buckets: int = HASH_BUCKETS,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — every row gets exactly
+    one split label, forever.
+
+    The other half of the sampling story: a training pipeline must
+    guarantee that a document NEVER migrates between train and eval
+    across reruns, backfills, or cluster resizes (train→test leakage
+    invalidates the eval). Same mechanism as stratified_sample —
+    md5-bucket the id, carve [0, buckets) into cumulative ranges per
+    split fraction — so the assignment is a pure function of the row.
+    The id is SALTED first: the split hash must be independent of the
+    sampling hash (otherwise "keep 10%" and "test = top 5%" would
+    correlate and the test set would be sampled at a different rate).
+
+    Zero shuffle — a projection. Fractions must sum to ≤ 1; any
+    remainder falls into the LAST split (so (0.9, 0.05, 0.05) is
+    airtight against rounding).
+    """
+    salted = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    b = hash_bucket(salted, buckets)
+    names = [n for n, _ in splits]
+    cum, bounds = 0.0, []
+    for _, frac in splits:
+        cum += frac
+        bounds.append(int(round(cum * buckets)))
+    # cumulative CASE, first matching range wins; remainder → last split
+    case = None
+    lo = 0
+    for name, hi in zip(names, bounds):
+        cond = (b >= lo) & (b < hi)
+        case = F.when(cond, F.lit(name)) if case is None else case.when(cond, F.lit(name))
+        lo = hi
+    case = case.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, case)

@@ -1010,3 +1010,32 @@ def corpus_frequency_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hapax"),
         )
     )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST((('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000) AS INT) AS b
+      FROM documents
+    )
+    """,
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5): a document NEVER
+    migrates between train and eval across reruns, backfills, or
+    cluster resizes — the assignment is md5(salt:id) bucketed into
+    cumulative ranges, a pure projection (zero shuffle) that any
+    engine reproduces bit-for-bit. The salt decorrelates the split
+    hash from the sampling hash so "sample 10%" and "test = 5%"
+    compose without biasing either."""
+    from analytics_etl_spark.operators.sampling import dataset_split
+
+    docs = t(spark, sf_dir, "documents")
+    return dataset_split(docs).select("doc_id", "split")
