@@ -44,12 +44,20 @@ HEADLINE = [
     "asof_join_last_click",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "dedup_embedding_cosine",
     "similarity_topk_cosine",
     "similarity_ann_hyperplane",
     "doc_fingerprint_winnow",
     "text_quality_score",
+    "token_budget_packing",
+    "funnel_conversion",
 ]
+
+# jitter-prone entries get extra reps so the median is trustworthy
+# (round-2→3 flagship drift turned out to be spread, not regression —
+# pin that down per-round instead of re-litigating it)
+REPS_OVERRIDE = {"flagship_monthly_revenue": 5, "dedup_minhash_lsh": 5}
 
 
 def _flagship_bucketed(spark, sf_dir: str):
@@ -87,6 +95,34 @@ def _setup_bucketed(spark, sf_dir: str) -> None:
     write_bucketed(load_table(spark, sf_dir, "orders"), "bench_o_bucketed", "o_orderkey", buckets=8)
 
 
+_SHINGLED_PATH: str | None = None
+
+
+def _setup_shingled(spark, sf_dir: str) -> None:
+    """Ingest-time shingle persistence (untimed, paid once at a real
+    site): documents + `shingles` array column written to parquet."""
+    global _SHINGLED_PATH
+    from analytics_etl_spark.operators.dedup import with_shingle_column
+    from analytics_etl_spark.tables import load_table
+
+    _SHINGLED_PATH = os.path.join(tempfile.mkdtemp(prefix="aes_bench_sh_"), "docs")
+    docs = load_table(spark, sf_dir, "documents")
+    with_shingle_column(docs, n=3).write.mode("overwrite").parquet(_SHINGLED_PATH)
+
+
+def _dedup_minhash_persisted(spark, sf_dir: str):
+    """dedup_minhash_lsh reading the ingest-persisted shingle column:
+    the Arrow kernel runs ZERO times at query time (plan asserted in
+    tests/test_dedup_similarity.py) — the deployment layout answer to
+    the kernel-runs-twice trade documented in operators/dedup.py."""
+    from analytics_etl_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(_SHINGLED_PATH)
+    return minhash_lsh_dedup(
+        docs, num_hashes=12, rows_per_band=3, shingle_n=3, shingles_col="shingles"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -104,8 +140,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     _setup_bucketed(spark, sf_dir)  # untimed: ingest-time layout work
+    _setup_shingled(spark, sf_dir)  # untimed: ingest-time shingle column
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
+    plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
 
     # warm-up pass (untimed)
     for fn in plans.values():
@@ -114,7 +152,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, fn in plans.items():
         runs = []
-        for _ in range(reps):
+        for _ in range(max(reps, REPS_OVERRIDE.get(name, 0))):
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
