@@ -494,3 +494,73 @@ def lsh_index_topk(
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+# --- int8 quantization: the 4x storage/bandwidth cut for ANN at scale ---
+#
+# Symmetric per-vector scalar quantization: scale = max|v|/127,
+# q_i = halfup(v_i/scale) in [-127, 127]. Chosen over fancier codes
+# (PQ/OPQ) because it is integer-EXACT end to end: the quantized dot
+# product is a bounded BIGINT sum (|q|<=127, so dim 64 caps the sum at
+# ~10^6), which makes the whole rerank pipeline oracle-checkable —
+# rounding is written as floor(x + 0.5), the same IEEE double ops in
+# Spark, DuckDB, or NumPy, so signatures agree bit-for-bit across
+# engines (the same portability argument as the md5 hash family).
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector quantization scale: max|v| / 127 (double)."""
+    return F.array_max(F.transform(vec, lambda x: F.abs(x))) / F.lit(127.0)
+
+
+def int8_quantize(vec: Column, scale: Column) -> Column:
+    """v → array<int> of halfup(v_i/scale); all-zero vectors → zeros.
+
+    floor(x + 0.5) rather than round(): engines disagree on round()'s
+    tie rule (HALF_UP vs HALF_EVEN), floor is IEEE-exact everywhere.
+    """
+    return F.when(
+        scale == 0, F.transform(vec, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    )
+
+
+def int8_dot(qa: Column, qb: Column) -> Column:
+    """Exact integer dot product of two quantized vectors (bigint)."""
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Top-k by QUANTIZED dot product — the cheap first pass of a
+    quantize-then-rerank pipeline (scan reads int8 arrays, 4x less
+    I/O than float32; survivors get exact float rerank if needed).
+
+    Returns (id, iscore) with iscore the exact bigint dot of the two
+    int8 codes. One narrow pass + TakeOrderedAndProject, zero shuffle;
+    at deployment the codes are a persisted column (same ingest-time
+    pattern as shingles / LSH signatures) and the scan never touches
+    the float vectors.
+    """
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    qe = int8_quantize(e, int8_scale(e))
+    qq = int8_quantize(q, int8_scale(q))
+    out = embeddings.crossJoin(F.broadcast(query_df)).select(
+        F.col(id_col), int8_dot(qe, qq).alias("iscore")
+    )
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("iscore"), F.asc(id_col)).limit(k)

@@ -1039,3 +1039,95 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return dataset_split(docs).select("doc_id", "split")
+
+
+@query(
+    "similarity_topk_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM e
+    ),
+    q8 AS (
+      SELECT vec_id,
+             CASE WHEN sc = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+             END AS q
+      FROM s
+    ),
+    qq AS (SELECT q FROM q8 WHERE vec_id = 0)
+    SELECT e8.vec_id,
+           CAST(list_sum(list_transform(range(1, len(e8.q) + 1),
+                                        i -> e8.q[i] * qq.q[i])) AS BIGINT) AS iscore
+    FROM q8 e8, qq
+    WHERE e8.vec_id <> 0
+    ORDER BY iscore DESC, e8.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-rank: top-10 by int8-quantized dot product — the
+    cheap first pass that reads 4x less than float32 at scan time.
+    Symmetric per-vector scalar quantization with floor(x+0.5)
+    rounding keeps every step integer-exact and IEEE-identical across
+    engines, so unlike float cosine the QUANTIZED ranking is
+    oracle-checked to the bit (any quantization divergence flips a
+    score)."""
+    from analytics_etl_spark.operators.similarity import int8_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return int8_topk(emb, _query_frame(emb, 0), k=10, exclude_ids=(0,))
+
+
+@query(
+    "vocab_coverage_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+    total AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM counts),
+    topn AS (SELECT word, freq FROM counts ORDER BY freq DESC, word LIMIT 200)
+    SELECT word, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS INT) AS rank,
+           CAST(SUM(freq) OVER (ORDER BY freq DESC, word
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE) / total.n
+             AS coverage
+    FROM topn, total
+    """,
+)
+def vocab_coverage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction: the 200 most frequent corpus
+    words with rank and CUMULATIVE coverage ("how much of the corpus
+    does a vocab of size r capture") — the curve a BPE/vocab-size
+    decision is read off.
+
+    Scale shape: the only corpus-sized work is one word-count
+    aggregation (map-side partial sums, one shuffle). The global
+    cumulative window — which would otherwise be a single-partition
+    sort of the whole vocabulary — runs AFTER the top-N cut, over
+    exactly 200 rows; the corpus total rides in as a broadcast 1-row
+    aggregate. Ties broken by word so rank and coverage are total-
+    ordered and engine-identical.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    counts = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
+    total = counts.groupBy().agg(F.sum("freq").cast("bigint").alias("n"))
+    topn = counts.orderBy(F.desc("freq"), "word").limit(200)
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return topn.crossJoin(F.broadcast(total)).select(
+        "word",
+        "freq",
+        F.row_number().over(w).cast("int").alias("rank"),
+        (
+            F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.col("n")
+        ).alias("coverage"),
+    )

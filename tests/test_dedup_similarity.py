@@ -222,3 +222,37 @@ def test_minhash_lsh_persisted_shingles_single_scan(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         fresh.explain("formatted")
     assert "ArrowEvalPython" in buf.getvalue()
+
+
+def test_int8_quantization_bounds_and_ranking(spark):
+    """Quantization invariants: codes stay in [-127, 127], the max-|v|
+    dim hits exactly ±127, reconstruction error per dim is ≤ scale/2,
+    and the all-zero vector quantizes to zeros (no NaN from the scale
+    guard)."""
+    from analytics_etl_spark.operators.similarity import (
+        as_double_array,
+        int8_quantize,
+        int8_scale,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, -0.5, 0.25, 0.1]),
+            (1, [-2.0, 2.0, 0.0, 1.99]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    v = as_double_array("embedding")
+    sc = int8_scale(v)
+    rows = {
+        r["vec_id"]: r
+        for r in emb.select("vec_id", sc.alias("sc"), int8_quantize(v, sc).alias("q"))
+        .collect()
+    }
+    assert rows[2]["q"] == [0, 0, 0, 0] and rows[2]["sc"] == 0.0
+    for vid, vec in ((0, [1.0, -0.5, 0.25, 0.1]), (1, [-2.0, 2.0, 0.0, 1.99])):
+        q, s = rows[vid]["q"], rows[vid]["sc"]
+        assert max(abs(x) for x in q) == 127
+        assert all(-127 <= x <= 127 for x in q)
+        assert all(abs(x - qi * s) <= s / 2 + 1e-12 for x, qi in zip(vec, q))
