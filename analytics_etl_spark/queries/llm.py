@@ -1090,7 +1090,7 @@ def similarity_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE text IS NOT NULL
     ),
     counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word),
-    total AS (SELECT CAST(SUM(freq) AS BIGINT) AS n FROM counts),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
     topn AS (SELECT word, freq FROM counts ORDER BY freq DESC, word LIMIT 200)
     SELECT word, freq,
            CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS INT) AS rank,
@@ -1119,7 +1119,11 @@ def vocab_coverage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = docs.select(F.explode(F.split("text", " ")).alias("word"))
     counts = tok.groupBy("word").agg(F.count("*").cast("bigint").alias("freq"))
-    total = counts.groupBy().agg(F.sum("freq").cast("bigint").alias("n"))
+    # total token count straight off the explode — a partial-count
+    # global agg (no word-keyed shuffle; summing `counts` instead
+    # would re-run the word aggregation, since Spark does not reuse
+    # the exchange across differently-shaped branches)
+    total = tok.groupBy().agg(F.count("*").cast("bigint").alias("n"))
     topn = counts.orderBy(F.desc("freq"), "word").limit(200)
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     return topn.crossJoin(F.broadcast(total)).select(

@@ -168,3 +168,28 @@ def test_gap_fill_spine_is_tiny_cross_join(spark):
     side joins by key."""
     tree = tree_of(plan_of(spark, "gap_fill_locf"))
     assert "CartesianProduct" not in tree
+
+
+def test_dataset_split_zero_shuffle(spark):
+    """Split assignment is a pure projection — no Exchange at all."""
+    tree = tree_of(plan_of(spark, "dataset_split"))
+    assert "Exchange" not in tree
+
+
+def test_int8_topk_narrow_scan(spark):
+    """Quantize-then-rank is one narrow pass: TakeOrderedAndProject,
+    no real shuffle (the only exchange broadcasts the 1-row query)."""
+    tree = tree_of(plan_of(spark, "similarity_topk_int8"))
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Exchange") == tree.count("BroadcastExchange")
+
+
+def test_vocab_window_after_topn(spark):
+    """The global cumulative window must consume the 200-row
+    TakeOrdered output, never the corpus-wide vocabulary (a corpus
+    single-partition sort would be the scale bug here)."""
+    tree = tree_of(plan_of(spark, "vocab_coverage_topk"))
+    assert "TakeOrderedAndProject" in tree
+    # tree prints top-down: the Window node sits ABOVE (consumes) the
+    # TakeOrderedAndProject, and no plain Sort feeds the window
+    assert tree.index("Window") < tree.index("TakeOrderedAndProject")
