@@ -170,3 +170,62 @@ def ivf_topk(
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AT WRITE TIME: one assign pass over
+    the corpus, `cell` written as a partition column (the inverted
+    lists ARE directories). Same ingest-time pattern as the LSH index
+    and the shingle column — pay the kernel once, prune forever.
+    Unlike LSH there is no L× storage blow-up: each vector lands in
+    exactly one cell.
+    """
+    v = as_double_array(vec_col)
+    idx = embeddings.select(
+        F.col(id_col), F.col(vec_col), _assign_udf(centroids)(v).alias("cell")
+    )
+    idx.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_index_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """ANN top-k over a write-time IVF index (``write_ivf_index``).
+
+    The query's probe cells are computed DRIVER-SIDE against the k×dim
+    centroid matrix (index-metadata-sized, the same legitimate class
+    as the LSH ``query_signature``), so the probe predicate is a
+    literal ``cell IN (...)`` over the partition column — static
+    partition pruning, scan touches n_probe of k directories, and no
+    Python kernel runs at query time. Scoring stays on the exact JVM
+    fold (``cosine``); results match the inline ``ivf_topk`` exactly.
+    """
+    import numpy as np
+
+    c = np.array(centroids, dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(x) for x in np.argsort(-(qn @ cn.T))[:n_probe]]
+
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    e = as_double_array(vec_col)
+    out = index.filter(F.col("cell").isin(probes)).select(
+        F.col(id_col), cosine(e, qlit).alias("score")
+    )
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -231,3 +231,39 @@ def test_lsh_index_partition_pruning_and_parity(emb, spark, tmp_path):
     )
     key = lambda df: [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]  # noqa: E731
     assert key(got) == key(inline)
+
+
+def test_ivf_index_partition_pruning_and_parity(emb, spark, tmp_path):
+    """IVF's write-time layout: one assign pass at write, `cell` as
+    the partition column (inverted lists ARE directories). The probe
+    must be static partition pruning (PartitionFilters on cell, no
+    Python node) and match the inline ivf_topk results exactly."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.ivf import (
+        ivf_index_topk,
+        ivf_topk,
+        kmeans_centroids,
+        write_ivf_index,
+    )
+
+    cents = kmeans_centroids(emb, k=16, iters=3, sample_fraction=0.5)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, cents)
+    index = spark.read.parquet(path)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 17).first()["embedding"]]
+    got = ivf_index_topk(index, qvec, cents, k=K, n_probe=4, exclude_ids=(17,))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("cell" in ln for ln in pf), plan
+    assert "Python" not in plan
+
+    inline = ivf_topk(emb, _qf(emb, 17), cents, k=K, n_probe=4, exclude_ids=(17,))
+    key = lambda df: [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]  # noqa: E731
+    assert key(got) == key(inline)
