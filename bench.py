@@ -96,6 +96,55 @@ def _setup_bucketed(spark, sf_dir: str) -> None:
 
 
 _SHINGLED_PATH: str | None = None
+_LSH_INDEX: tuple[object, list] | None = None  # (index df, planes)
+_IVF_INDEX: tuple[object, list] | None = None  # (index df, centroids)
+_QVEC: list[float] | None = None
+
+
+def _setup_ann_indexes(spark, sf_dir: str) -> None:
+    """Write-time ANN index layouts (untimed ingest work): multi-table
+    LSH signatures partitioned by (table_id, bucket), and IVF cells as
+    a partition column. The probe entries below measure QUERY-time
+    cost — the number that matters once the index is paid for."""
+    global _LSH_INDEX, _IVF_INDEX, _QVEC
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.ivf import kmeans_centroids, write_ivf_index
+    from analytics_etl_spark.operators.similarity import (
+        rademacher_planes,
+        write_lsh_index,
+    )
+    from analytics_etl_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _QVEC = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = tempfile.mkdtemp(prefix="aes_bench_ann_")
+    planes = rademacher_planes(len(_QVEC), 6, 24, seed=7)
+    write_lsh_index(emb, os.path.join(base, "lsh"), planes)
+    cents = kmeans_centroids(emb, k=16, iters=3, sample_fraction=0.5)
+    write_ivf_index(emb, os.path.join(base, "ivf"), cents)
+    # the reader DataFrames are built ONCE here: partition discovery
+    # (listing table_id=*/bucket=* directories) is catalog work a real
+    # site pays at table registration, not per query — reusing the
+    # relation keeps the cached InMemoryFileIndex, exactly like
+    # reading a metastore table. Probe-time partition PRUNING is still
+    # measured in the timed runs (and plan-asserted in tests).
+    _LSH_INDEX = (spark.read.parquet(os.path.join(base, "lsh")), planes)
+    _IVF_INDEX = (spark.read.parquet(os.path.join(base, "ivf")), cents)
+
+
+def _ann_lsh_indexed(spark, sf_dir: str):
+    from analytics_etl_spark.operators.similarity import lsh_index_topk
+
+    index, planes = _LSH_INDEX
+    return lsh_index_topk(index, _QVEC, planes, k=10, exclude_ids=(0,))
+
+
+def _ann_ivf_indexed(spark, sf_dir: str):
+    from analytics_etl_spark.operators.ivf import ivf_index_topk
+
+    index, cents = _IVF_INDEX
+    return ivf_index_topk(index, _QVEC, cents, k=10, n_probe=4, exclude_ids=(0,))
 
 
 def _setup_shingled(spark, sf_dir: str) -> None:
@@ -141,9 +190,12 @@ def main() -> None:
 
     _setup_bucketed(spark, sf_dir)  # untimed: ingest-time layout work
     _setup_shingled(spark, sf_dir)  # untimed: ingest-time shingle column
+    _setup_ann_indexes(spark, sf_dir)  # untimed: ingest-time ANN indexes
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
+    plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
+    plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed
 
     # warm-up pass (untimed)
     for fn in plans.values():
