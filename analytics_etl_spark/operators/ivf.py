@@ -190,7 +190,9 @@ def write_ivf_index(
     idx = embeddings.select(
         F.col(id_col), F.col(vec_col), _assign_udf(centroids)(v).alias("cell")
     )
-    idx.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # one file per cell directory (see write_lsh_index for the
+    # small-file rationale)
+    idx.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 def ivf_index_topk(

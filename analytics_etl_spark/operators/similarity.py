@@ -431,7 +431,14 @@ def write_lsh_index(
     idx = embeddings.withColumn("_sig", sig(as_double_array(vec_col))).select(
         F.col(id_col), F.col(vec_col), F.posexplode("_sig").alias("table_id", "bucket")
     )
-    idx.write.mode("overwrite").partitionBy("table_id", "bucket").parquet(path)
+    # repartition on the partition keys first: without it every write
+    # task touches every (table_id, bucket) directory → tasks × L·2^b
+    # tiny files; with it each directory receives exactly the files of
+    # the tasks owning that key (the same small-file discipline as
+    # sinks.writer.compact_partitions)
+    idx.repartition("table_id", "bucket").write.mode("overwrite").partitionBy(
+        "table_id", "bucket"
+    ).parquet(path)
 
 
 def query_signature(query_vec: list[float], planes: list[list[list[float]]]) -> list[int]:
