@@ -460,3 +460,84 @@ def simhash_signatures(
         )
         sig = bit if sig is None else sig + bit
     return withh.select("doc_id", sig.alias("simhash"))
+
+
+def incremental_minhash_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    shingles_col: str | None = None,
+) -> DataFrame:
+    """Incremental (daily-ingest) near-dup check: NEW batch vs EXISTING
+    corpus. Returns (batch_doc, corpus_doc, jaccard) pairs.
+
+    The shape that keeps a 100 TB corpus ingestable: candidates come
+    from joining the batch's band buckets against the corpus's bucket
+    table on (band, bucket) — batch-batch and corpus-corpus pairs are
+    never generated, so per-ingest join work is O(batch × collision
+    rate), not O(corpus²) or even O(corpus): the corpus side of the
+    bucket join is signature-only (32-byte rows), and at deployment it
+    is a PERSISTED table maintained at ingest (the same write-time
+    pattern as ``with_shingle_column`` / ``write_lsh_index``), so a
+    batch arrival recomputes nothing corpus-sized. Pass
+    ``shingles_col`` when both frames carry the ingest-persisted
+    shingle column — then no Arrow kernel runs at all.
+
+    Verification joins each side's shingle arrays by its own key (the
+    sides are different tables, so there is no self-join re-execution
+    hazard here — the melted trick in ``verify_jaccard`` exists for
+    the single-table case); the exchanged rows are candidate-pair
+    sized, never corpus-sized.
+    """
+
+    def _prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        if shingles_col is not None:
+            arrays = df.select(
+                F.col(id_col).alias("doc_id"), F.col(shingles_col).alias("shingles")
+            )
+        else:
+            arrays = shingle_arrays(df, text_col, id_col, n=shingle_n, distinct=True)
+        shingled = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
+        sigs = minhash_signatures(shingled, num_hashes)
+        return arrays, lsh_band_buckets(sigs, rows_per_band, num_hashes)
+
+    arr_c, bk_c = _prep(corpus)
+    arr_b, bk_b = _prep(batch)
+    cands = (
+        bk_b.select("band", "bucket", F.col("doc_id").alias("batch_doc"))
+        .join(
+            bk_c.select("band", "bucket", F.col("doc_id").alias("corpus_doc")),
+            ["band", "bucket"],
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    j = cands.join(
+        arr_b.select(
+            F.col("doc_id").alias("batch_doc"),
+            F.col("shingles").alias("sh_a"),
+            F.size("shingles").alias("sz_a"),
+        ),
+        "batch_doc",
+    ).join(
+        arr_c.select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.col("shingles").alias("sh_b"),
+            F.size("shingles").alias("sz_b"),
+        ),
+        "corpus_doc",
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    out = j.select(
+        "batch_doc",
+        "corpus_doc",
+        (common.cast("double") / (F.col("sz_a") + F.col("sz_b") - common)).alias(
+            "jaccard"
+        ),
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)

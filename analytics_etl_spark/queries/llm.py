@@ -1135,3 +1135,45 @@ def vocab_coverage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("coverage"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH {_LSH_CTES},
+    cand2 AS (
+      SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc
+      FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+      WHERE b.doc_id >= 450 AND c.doc_id < 450
+    ),
+    common2 AS (
+      SELECT x.doc_id AS batch_doc, y.doc_id AS corpus_doc, COUNT(*) AS common
+      FROM tok x JOIN tok y ON x.shingle = y.shingle
+      JOIN cand2 c2 ON c2.batch_doc = x.doc_id AND c2.corpus_doc = y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c2.batch_doc, c2.corpus_doc,
+           CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) AS jaccard
+    FROM cand2 c2
+    JOIN common2 cm ON cm.batch_doc = c2.batch_doc AND cm.corpus_doc = c2.corpus_doc
+    JOIN sizes sa ON sa.doc_id = c2.batch_doc
+    JOIN sizes sb ON sb.doc_id = c2.corpus_doc
+    WHERE CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) >= 0.5
+    """,
+)
+def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: docs arriving today (doc_id >= 450
+    stand in for the new batch) checked against the existing corpus —
+    the O(batch) daily shape: batch buckets join the corpus bucket
+    table on (band, bucket), so batch-batch and corpus-corpus pairs
+    are never generated and the corpus contributes only 32-byte
+    signature rows to the join (persisted at ingest in deployment;
+    see incremental_minhash_dedup)."""
+    from analytics_etl_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        min_jaccard=0.5,
+    )

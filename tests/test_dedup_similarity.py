@@ -256,3 +256,40 @@ def test_int8_quantization_bounds_and_ranking(spark):
         assert max(abs(x) for x in q) == 127
         assert all(-127 <= x <= 127 for x in q)
         assert all(abs(x - qi * s) <= s / 2 + 1e-12 for x, qi in zip(vec, q))
+
+
+def test_incremental_dedup_batch_vs_corpus_only(spark, tmp_path):
+    """Incremental dedup pairs are strictly batch x corpus: identical
+    docs WITHIN the batch (3,4) or within the corpus (0,1) never pair;
+    the cross duplicate (0~3) does. The persisted-shingles path gives
+    identical results with zero query-time Python."""
+    from analytics_etl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        with_shingle_column,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely unrelated words with nothing shared at all here okay"
+    corpus = _docs(spark, [(0, same), (1, same), (2, other)])
+    batch = _docs(spark, [(3, same), (4, same), (5, "entirely novel content never seen before in any document")])
+
+    got = {
+        (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in incremental_minhash_dedup(corpus, batch, min_jaccard=0.5).collect()
+    }
+    assert set(got) == {(3, 0), (3, 1), (4, 0), (4, 1)}
+    assert all(j == 1.0 for j in got.values())
+
+    cpath, bpath = str(tmp_path / "corpus"), str(tmp_path / "batch")
+    with_shingle_column(corpus, n=3).write.parquet(cpath)
+    with_shingle_column(batch, n=3).write.parquet(bpath)
+    got2 = {
+        (r["batch_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in incremental_minhash_dedup(
+            spark.read.parquet(cpath),
+            spark.read.parquet(bpath),
+            min_jaccard=0.5,
+            shingles_col="shingles",
+        ).collect()
+    }
+    assert got2 == got
