@@ -28,7 +28,7 @@ from analytics_etl_spark.queries import llm  # noqa: F401,E402
 # LLM-pipeline operator family (dedup / similarity / text analysis /
 # sampling / chunking / contamination / embeddings / multimodal), then the
 # analytics headliners. Everything else stays registered and locally
-# oracle-checked (tools/check_oracle.py runs all 113); membership changes
+# oracle-checked (tools/check_oracle.py runs all 114); membership changes
 # must update tests/test_queries_registry.py in the same commit.
 DRIVER_WINDOW: tuple[str, ...] = (
     # reference parity (SURVEY.md §2.1-2.6) — 17

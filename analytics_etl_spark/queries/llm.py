@@ -1177,3 +1177,49 @@ def dedup_incremental_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") >= 450),
         min_jaccard=0.5,
     )
+
+
+def _rp_oracle(d_out: int = 16, dim: int = 64) -> str:
+    """Oracle for the random projection: the same md5-derived ±1 plane
+    rows embedded as DOUBLE[] literals, the same left-fold dot product
+    (DuckDB's list_dot_product matches Spark's F.aggregate fold
+    bit-for-bit — verified round 1 for the ANN family)."""
+    from analytics_etl_spark.operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(dim, d_out, tables=1, seed=11)[0]
+    cols = ",\n           ".join(
+        "list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(str(x) for x in plane)
+        + f"]::DOUBLE[]) AS p{i}"
+        for i, plane in enumerate(planes)
+    )
+    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+
+
+@query("embedding_random_projection", oracle=_rp_oracle())
+def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction 64 → 16 dims via deterministic
+    Rademacher (±1) planes — the preprocessing step that makes every
+    downstream distance computation 4× cheaper while approximately
+    preserving geometry (JL: distortion ~ sqrt(log n / d')). ±1
+    coefficients mean the only float work is the summation, whose
+    left-fold order Spark's F.aggregate and DuckDB's list_dot_product
+    share — so even this float-valued op is oracle-checked EXACTLY.
+    Pure projection: zero shuffle, codegen-friendly, and the output is
+    a drop-in `embedding` for every ANN operator in the engine."""
+    from analytics_etl_spark.operators.similarity import (
+        as_double_array,
+        dot,
+        rademacher_planes,
+    )
+
+    planes = rademacher_planes(64, 16, tables=1, seed=11)[0]
+    emb = t(spark, sf_dir, "embeddings")
+    v = as_double_array("embedding")
+    return emb.select(
+        "vec_id",
+        *[
+            dot(v, F.array(*[F.lit(float(x)) for x in plane])).alias(f"p{i}")
+            for i, plane in enumerate(planes)
+        ],
+    )
