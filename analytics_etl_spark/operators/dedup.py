@@ -397,11 +397,17 @@ def minhash_lsh_dedup(
     ``docs`` (written at ingest by ``with_shingle_column``): the Arrow
     kernel then runs ZERO times at query time and the whole pipeline
     is parquet scan + JVM expressions (tests/test_dedup_similarity.py
-    asserts the plan has no Python node on this path).
+    asserts the plan has no Python node on this path). The column must
+    hold DISTINCT shingles (the with_shingle_column default); we apply
+    array_distinct defensively because a distinct=False column would
+    otherwise understate Jaccard silently (F.size counts duplicates
+    while array_intersect dedups) — on an already-distinct column the
+    extra op is a no-op projection, not a shuffle.
     """
     if shingles_col is not None:
         arrays = docs.select(
-            F.col(id_col).alias("doc_id"), F.col(shingles_col).alias("shingles")
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(F.col(shingles_col)).alias("shingles"),
         )
     else:
         # The shingle arrays feed BOTH signature building and the exact
@@ -497,8 +503,11 @@ def incremental_minhash_dedup(
 
     def _prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         if shingles_col is not None:
+            # array_distinct: same silent-understated-Jaccard defense as
+            # minhash_lsh_dedup's shingles_col path (see its docstring)
             arrays = df.select(
-                F.col(id_col).alias("doc_id"), F.col(shingles_col).alias("shingles")
+                F.col(id_col).alias("doc_id"),
+                F.array_distinct(F.col(shingles_col)).alias("shingles"),
             )
         else:
             arrays = shingle_arrays(df, text_col, id_col, n=shingle_n, distinct=True)

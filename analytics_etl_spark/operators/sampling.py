@@ -74,6 +74,12 @@ def dataset_split(
     remainder falls into the LAST split (so (0.9, 0.05, 0.05) is
     airtight against rounding).
     """
+    total = sum(frac for _, frac in splits)
+    if total > 1.0 + 1e-9:
+        raise ValueError(
+            f"split fractions sum to {total}, must be <= 1 — later splits would be "
+            "silently swallowed (an eval-set-construction hazard, not a rounding issue)"
+        )
     salted = F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
     b = hash_bucket(salted, buckets)
     names = [n for n, _ in splits]

@@ -564,9 +564,12 @@ def int8_topk(
     e = as_double_array(vec_col)
     q = as_double_array(qvec_col)
     qe = int8_quantize(e, int8_scale(e))
-    qq = int8_quantize(q, int8_scale(q))
-    out = embeddings.crossJoin(F.broadcast(query_df)).select(
-        F.col(id_col), int8_dot(qe, qq).alias("iscore")
+    # quantize the query on the 1-row frame BEFORE the broadcast join:
+    # evaluated once, not re-derived (array_max + transform) per corpus
+    # row inside the post-join select — mirrors ivf_topk's q_probed.
+    qdf = query_df.withColumn("_qq", int8_quantize(q, int8_scale(q)))
+    out = embeddings.crossJoin(F.broadcast(qdf)).select(
+        F.col(id_col), int8_dot(qe, F.col("_qq")).alias("iscore")
     )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)

@@ -242,6 +242,7 @@ def ngram_contamination(
     gram_col: str = "shingle",
     id_col: str = "doc_id",
     broadcast_bench_limit: int | None = 2_000_000,
+    bench_count: int | None = None,
 ) -> DataFrame:
     """Per corpus doc: fraction of its n-grams found in a benchmark's
     n-gram bank (the decontamination gate every pretraining pipeline
@@ -265,10 +266,21 @@ def ngram_contamination(
     shuffles both sides on the gram key, with AQE free to pick a
     better strategy at runtime. Correctness is identical either way;
     only the exchange layout changes.
+
+    Callers that already know the bank size (e.g. an eval-suite
+    registry) pass ``bench_count`` and the gate costs zero jobs; when
+    it must be counted, the distinct bank is CACHED first so the scan
+    (including any Python shingling feeding it) runs once and the join
+    reuses the materialized bank instead of recomputing it.
     """
     bench = bench_grams.select(gram_col).distinct()
-    if broadcast_bench_limit is not None and bench.count() <= broadcast_bench_limit:
-        bench = F.broadcast(bench)
+    if broadcast_bench_limit is not None:
+        n = bench_count
+        if n is None:
+            bench = bench.cache()
+            n = bench.count()
+        if n <= broadcast_bench_limit:
+            bench = F.broadcast(bench)
     sizes = corpus_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     hits = (
         corpus_grams.join(bench, gram_col)

@@ -1125,6 +1125,10 @@ def vocab_coverage_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exchange across differently-shaped branches)
     total = tok.groupBy().agg(F.count("*").cast("bigint").alias("n"))
     topn = counts.orderBy(F.desc("freq"), "word").limit(200)
+    # Spark WARNs about the partition-less window below; that is
+    # EXPECTED and by design — it runs over the 200 post-limit rows
+    # only (plan-tested in tests/test_plans.py), never the corpus.
+    # Do not "fix" it by partitioning: coverage is a global cumsum.
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     return topn.crossJoin(F.broadcast(total)).select(
         "word",
