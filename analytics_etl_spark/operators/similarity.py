@@ -542,6 +542,30 @@ def int8_dot(qa: Column, qb: Column) -> Column:
     )
 
 
+def with_int8_codes(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """embeddings + persisted-ready ``codes`` (array<int>) and
+    ``scale`` (double) columns — the INGEST form of int8 quantization,
+    mirroring ``with_shingle_column`` / ``write_lsh_index``.
+
+    Quantize ONCE at write time; every downstream quantized scan reads
+    the int codes and column-prunes the float vectors entirely (the
+    4x I/O cut — asserted on the plan in tests/test_ann_recall.py).
+    ``scale`` rides along so survivors of the cheap pass can be
+    dequantized (q_i * scale ≈ v_i) for an exact rerank without
+    touching the float column for non-survivors. All source columns
+    are kept, so this composes with a normal partitioned table write.
+    """
+    v = as_double_array(vec_col)
+    return embeddings.withColumn(scale_col, int8_scale(v)).withColumn(
+        codes_col, int8_quantize(v, F.col(scale_col))
+    )
+
+
 def int8_topk(
     embeddings: DataFrame,
     query_df: DataFrame,
@@ -550,20 +574,29 @@ def int8_topk(
     vec_col: str = "embedding",
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Top-k by QUANTIZED dot product — the cheap first pass of a
     quantize-then-rerank pipeline (scan reads int8 arrays, 4x less
     I/O than float32; survivors get exact float rerank if needed).
 
     Returns (id, iscore) with iscore the exact bigint dot of the two
-    int8 codes. One narrow pass + TakeOrderedAndProject, zero shuffle;
-    at deployment the codes are a persisted column (same ingest-time
-    pattern as shingles / LSH signatures) and the scan never touches
-    the float vectors.
+    int8 codes. One narrow pass + TakeOrderedAndProject, zero shuffle.
+
+    ``codes_col`` names an ALREADY-QUANTIZED int-codes column on
+    ``embeddings`` (written at ingest by ``with_int8_codes``): the
+    corpus-side quantization expressions then run ZERO times at query
+    time and the scan reads only (id, codes) — the float vector column
+    is column-pruned out of the parquet read. Identical results to the
+    inline path (quantization is deterministic), only the scan width
+    changes.
     """
-    e = as_double_array(vec_col)
+    if codes_col is not None:
+        qe: Column = F.transform(F.col(codes_col), lambda x: x.cast("long"))
+    else:
+        e = as_double_array(vec_col)
+        qe = int8_quantize(e, int8_scale(e))
     q = as_double_array(qvec_col)
-    qe = int8_quantize(e, int8_scale(e))
     # quantize the query on the 1-row frame BEFORE the broadcast join:
     # evaluated once, not re-derived (array_max + transform) per corpus
     # row inside the post-join select — mirrors ivf_topk's q_probed.

@@ -52,6 +52,12 @@ HEADLINE = [
     "text_quality_score",
     "token_budget_packing",
     "funnel_conversion",
+    # round-4 additions (every operator family stays benched)
+    "dataset_split",
+    "similarity_topk_int8",
+    "vocab_coverage_topk",
+    "dedup_incremental_batch",
+    "embedding_random_projection",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
@@ -99,6 +105,7 @@ _SHINGLED_PATH: str | None = None
 _LSH_INDEX: tuple[object, list] | None = None  # (index df, planes)
 _IVF_INDEX: tuple[object, list] | None = None  # (index df, centroids)
 _QVEC: list[float] | None = None
+_INT8_CODES: object | None = None  # persisted (vec_id, codes, scale, embedding) reader
 
 
 def _setup_ann_indexes(spark, sf_dir: str) -> None:
@@ -131,6 +138,25 @@ def _setup_ann_indexes(spark, sf_dir: str) -> None:
     # measured in the timed runs (and plan-asserted in tests).
     _LSH_INDEX = (spark.read.parquet(os.path.join(base, "lsh")), planes)
     _IVF_INDEX = (spark.read.parquet(os.path.join(base, "ivf")), cents)
+
+    global _INT8_CODES
+    from analytics_etl_spark.operators.similarity import with_int8_codes
+
+    with_int8_codes(emb).write.mode("overwrite").parquet(os.path.join(base, "codes"))
+    _INT8_CODES = spark.read.parquet(os.path.join(base, "codes"))
+
+
+def _int8_persisted(spark, sf_dir: str):
+    """similarity_topk_int8 over the ingest-persisted codes column:
+    the scan reads (vec_id, codes) only — the float vector column is
+    column-pruned (plan asserted in tests/test_ann_recall.py), the
+    4x-narrower read the 100 TB deployment runs."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.similarity import int8_topk
+
+    qdf = _INT8_CODES.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return int8_topk(_INT8_CODES, qdf, k=10, exclude_ids=(0,), codes_col="codes")
 
 
 def _ann_lsh_indexed(spark, sf_dir: str):
@@ -196,6 +222,7 @@ def main() -> None:
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed
+    plans["similarity_topk_int8_persisted"] = _int8_persisted
 
     # warm-up pass (untimed)
     for fn in plans.values():

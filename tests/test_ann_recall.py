@@ -233,6 +233,90 @@ def test_lsh_index_partition_pruning_and_parity(emb, spark, tmp_path):
     assert key(got) == key(inline)
 
 
+def test_int8_codes_persisted_narrow_scan_and_parity(emb, spark, tmp_path):
+    """The write-time int8 layout (``with_int8_codes``): codes+scale
+    persisted at ingest, the quantized top-k reads ONLY (vec_id,
+    codes) — the float vector column must be column-pruned out of the
+    parquet ReadSchema (the 4x scan cut is real, not claimed), with
+    results identical to the inline quantize-at-query path."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.similarity import int8_topk, with_int8_codes
+
+    path = str(tmp_path / "codes")
+    with_int8_codes(emb).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    inline = int8_topk(emb, _qf(emb, 17), k=K, exclude_ids=(17,))
+    narrow = int8_topk(persisted, _qf(emb, 17), k=K, exclude_ids=(17,), codes_col="codes")
+    key = lambda df: [(r["vec_id"], r["iscore"]) for r in df.collect()]  # noqa: E731
+    assert key(narrow) == key(inline)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        narrow.explain("formatted")
+    plan = buf.getvalue()
+    # exactly one scan reads codes, and THAT scan does not read the
+    # float vectors (the query-frame scan legitimately reads embedding)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    codes_scans = [ln for ln in schemas if "codes" in ln]
+    assert codes_scans and all("embedding" not in ln for ln in codes_scans), plan
+    assert "Python" not in plan  # quantization is pure JVM expressions
+
+
+def test_jl_projection_ann_composition(emb):
+    """JL random projection composed with hyperplane-LSH ANN, measured
+    against the 64-dim brute-force truth (SCALING.md records the
+    numbers). Two pinned facts:
+
+    1. recall is monotone in the projected dimension (d'=32 beats
+       d'=16) — the JL distortion sqrt(ln n / d') is the controlling
+       term, and on this NEAR-UNIFORM data (true neighbors at cosine
+       ~0.3, barely above the bulk) even d'=32 keeps only a fraction
+       of the true top-10. That is the honest story: JL compression
+       before ANN is a win on clustered real-world embeddings
+       (neighbors at cosine >= 0.7 >> distortion), NOT on
+       unstructured data — measured, not assumed.
+    2. LSH over the projection tracks the projection's own exact-
+       cosine ceiling (gap <= 0.15): the composition loses recall to
+       the PROJECTION, not to the LSH — so tuning effort belongs on
+       d', never on more hash tables.
+    """
+    from analytics_etl_spark.operators.similarity import dot
+
+    v = as_double_array("embedding")
+    results = {}
+    for dout in (16, 32):
+        jl = rademacher_planes(64, dout, tables=1, seed=11)[0]
+        proj = emb.select(
+            "vec_id",
+            F.array(
+                *[dot(v, F.array(*[F.lit(float(x)) for x in p])) for p in jl]
+            ).alias("embedding"),
+        ).cache()
+        proj.count()
+        exact = _recall(
+            emb,
+            lambda vid: cosine_topk_join(proj, _qf(proj, vid), k=K, exclude_ids=(vid,)),
+        )
+        lsh_planes = rademacher_planes(dout, 6, 24, seed=7)
+        lsh = _recall(
+            emb,
+            lambda vid: hyperplane_lsh_topk(
+                proj, _qf(proj, vid), dim=dout, k=K, exclude_ids=(vid,), planes=lsh_planes
+            ),
+        )
+        results[dout] = (exact, lsh)
+        proj.unpersist()
+
+    assert results[32][0] > results[16][0], f"recall not monotone in d': {results}"
+    assert abs(results[32][1] - results[32][0]) <= 0.15, (
+        f"LSH lost more than the JL ceiling allows: {results}"
+    )
+    assert results[32][0] >= 0.1, f"JL32 ceiling collapsed: {results}"
+
+
 def test_ivf_index_partition_pruning_and_parity(emb, spark, tmp_path):
     """IVF's write-time layout: one assign pass at write, `cell` as
     the partition column (inverted lists ARE directories). The probe
