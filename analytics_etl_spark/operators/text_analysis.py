@@ -199,6 +199,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     chunk_words: int = 50,
     overlap: int = 10,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into overlapping word chunks — the context-
     window preparation step for training/RAG pipelines.
@@ -229,9 +230,13 @@ def chunk_documents(
 
     _chunks.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_chunks, "array<string>")
+    # keep_cols ride through the kernel projection so a consumer that
+    # needs (chunk, label) — e.g. per-split packing — doesn't have to
+    # join back to the source and replay its upstream plan
+    extra = [F.col(c) for c in keep_cols]
     return (
-        docs.select(F.col(id_col).alias("doc_id"), udf(F.col(text_col)).alias("cs"))
-        .select("doc_id", F.posexplode("cs").alias("chunk_id", "chunk_text"))
+        docs.select(F.col(id_col).alias("doc_id"), *extra, udf(F.col(text_col)).alias("cs"))
+        .select("doc_id", *keep_cols, F.posexplode("cs").alias("chunk_id", "chunk_text"))
         .withColumn("n_words", token_count("chunk_text"))
     )
 

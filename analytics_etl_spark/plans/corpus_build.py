@@ -1,0 +1,176 @@
+"""End-to-end corpus build — the nightly pre-training data job, as
+ONE lazy Spark plan with a BOUNDED number of corpus scans.
+
+Composes the engine's governance surface in the order a real corpus
+build runs it:
+
+    quality gate -> benchmark decontamination -> near-dedup
+    -> train/val/test split -> chunking -> per-split stats
+
+The naive composition (each stage filtering the previous stage's
+DataFrame) is semantically right and catastrophically wrong at scale:
+every branch of a lazy plan REPLAYS its upstream subtree, so nesting
+three gates multiplied the documents scan into ~100 copies at test
+scale (measured before this layout; would be ~100 corpus reads at
+100 TB). This module uses the flat layout instead:
+
+1. Every per-doc decision is computed ONCE directly off the pool —
+   legal because quality and contamination are per-doc (independent
+   of which other docs survive), and MinHash banding is per-doc, so
+   LSH candidate pairs of a survivor subset are exactly the pool's
+   candidate pairs with both endpoints in the subset. Restricting
+   PAIRS after the fact is provably identical to re-running LSH on
+   the survivors.
+2. The decision frames are ID-/PAIR-SIZED (doc ids, near-dup pairs
+   — never text) and are cache()d: the one sanctioned cache class
+   (bounded, metadata-shaped — the same argument as the IVF centroid
+   collect), so the gate combine reads each decision once instead of
+   replaying its scan per branch. At deployment these are the stage
+   tables a nightly build writes; cache is the single-action
+   analogue.
+3. One final text-bearing pass: pool semi-join the surviving ids ->
+   split labels -> chunk kernel (labels ride through via keep_cols)
+   -> per-split aggregate.
+
+Result: the documents parquet appears a CONSTANT ~10 times in the
+plan (quality 2, contamination 4 incl. the bench bank, LSH 3, final
+pass 1) regardless of how many gates compose — pinned by
+tests/test_plans.py. Observation counts ride the same action at every
+stage boundary, so one collect yields the full funnel a 100 TB build
+operator reads every morning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.dedup import minhash_lsh_dedup
+from analytics_etl_spark.operators.dedup import word_shingles
+from analytics_etl_spark.operators.sampling import dataset_split
+from analytics_etl_spark.operators.text_analysis import (
+    chunk_documents,
+    ngram_contamination,
+    repetition_metrics,
+)
+
+DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+
+def corpus_build(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    quality_min_ngrams: int = 20,
+    quality_max_dup_frac: float = 0.05,
+    quality_max_top_frac: float = 0.06,
+    contamination_threshold: float = 0.2,
+    dedup_min_jaccard: float = 0.5,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    chunk_words: int = 50,
+    overlap: int = 10,
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """The composed corpus-build plan over ``docs`` (the training
+    pool) against ``bench`` (the eval suite to decontaminate from).
+
+    Returns ``(result, observations)``: result has one row per split
+    with (split, n_docs, n_chunks, total_words); observations maps
+    stage name -> Observation whose ``n`` metric is the row count
+    crossing that boundary, populated by whatever action consumes the
+    result (executor-side aggregation during the action that already
+    runs — the funnel costs zero extra jobs).
+
+    Stage semantics (all deterministic, all engine-portable):
+    - quality: keep docs with >= min_ngrams word-2-grams, dup-2-gram
+      fraction <= max_dup_frac and top-2-gram share <= max_top_frac
+      (the corpus_filter_pipeline rules; docs too short to produce
+      metrics are dropped).
+    - decontamination: drop docs whose distinct word-3-gram overlap
+      with the bench bank exceeds contamination_threshold (size-gated
+      broadcast semi-join, see ngram_contamination).
+    - near-dedup: MinHash-LSH candidates + exact-Jaccard verify at
+      >= dedup_min_jaccard among the docs surviving both gates; the
+      HIGHER doc_id of each verified pair is dropped (greedy
+      keep-first — no clustering pass needed for a drop decision,
+      and SQL-replayable for the oracle).
+    - split: salted-hash assignment (leakage-proof, see
+      dataset_split).
+    - chunk/pack: overlapping word chunks; output aggregates doc,
+      chunk and word counts per split.
+    """
+    obs = {
+        name: Observation(f"corpus_build_{name}")
+        for name in ("pool", "quality_pass", "decontaminated", "deduped")
+    }
+    count_n = F.count(F.lit(1)).alias("n")
+    pool = docs.observe(obs["pool"], count_n)
+
+    # --- per-doc decisions, each computed ONCE off the pool ----------
+    # quality: docs with no metrics row (too short for any 2-gram)
+    # simply never appear in `m`, so the inner semi-join below drops
+    # them — same contract as corpus_filter_pipeline's too_short arm
+    m = repetition_metrics(pool, n=2)
+    quality_ids = (
+        m.filter(
+            (F.col("n_ngrams") >= quality_min_ngrams)
+            & (F.col("dup_ngram_frac") <= quality_max_dup_frac)
+            & (F.col("top_ngram_frac") <= quality_max_top_frac)
+        )
+        .select("doc_id")
+        # observed BEFORE .cache(): the cached frame is branched (gate
+        # combine + both pair filters), and an Observation must sit
+        # where rows flow exactly once — the cache population pass
+        .observe(obs["quality_pass"], count_n)
+        .cache()
+    )
+    # contamination is per-doc vs the bench bank — independent of the
+    # other gates, so it runs on the pool (identical fractions, one
+    # computation instead of a replay of the quality chain under it)
+    contaminated_ids = (
+        ngram_contamination(
+            word_shingles(pool, n=3, distinct=True),
+            word_shingles(bench, n=3, distinct=True),
+        )
+        .filter(F.col("contamination_frac") > contamination_threshold)
+        .select("doc_id")
+        .cache()
+    )
+    # near-dup pairs on the pool; banding is per-doc, so restricting
+    # PAIRS to gate survivors afterwards equals re-running LSH on the
+    # survivor set (candidates(S) = candidates(pool) ∩ S×S)
+    pairs = (
+        minhash_lsh_dedup(pool, min_jaccard=dedup_min_jaccard)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+
+    # --- gate combine: id-sized joins over the cached decisions ------
+    surv2_ids = (
+        quality_ids.join(contaminated_ids, "doc_id", "left_anti")
+        .observe(obs["decontaminated"], count_n)
+        .cache()
+    )
+    drop_ids = (
+        pairs.join(surv2_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(surv2_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    surv3_ids = surv2_ids.join(drop_ids, "doc_id", "left_anti").observe(
+        obs["deduped"], count_n
+    )
+
+    # --- one final text-bearing pass ---------------------------------
+    assigned = dataset_split(pool.join(surv3_ids, "doc_id", "left_semi"), splits=splits)
+    chunks = chunk_documents(
+        assigned, chunk_words=chunk_words, overlap=overlap, keep_cols=("split",)
+    )
+    result = (
+        chunks.groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+        )
+    )
+    return result, obs

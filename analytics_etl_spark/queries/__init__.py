@@ -23,14 +23,22 @@ from analytics_etl_spark.queries import llm  # noqa: F401,E402
 
 # The external correctness harness compares only the FIRST 50 entries of
 # queries() (dict insertion order), so window membership is a curated,
-# test-pinned artifact — not an accident of module import order. Coverage
-# priority: the 17 reference-parity operators, then one representative per
-# LLM-pipeline operator family (dedup / similarity / text analysis /
-# sampling / chunking / contamination / embeddings / multimodal), then the
-# analytics headliners. Everything else stays registered and locally
-# oracle-checked (tools/check_oracle.py runs all 114); membership changes
-# must update tests/test_queries_registry.py in the same commit.
-DRIVER_WINDOW: tuple[str, ...] = (
+# test-pinned artifact — not an accident of module import order.
+#
+# ROTATION POLICY (round 5+): the window = FIXED_CORE (32 slots that
+# never leave: the 17 reference-parity operators + one flagship per
+# operator family) + ROTATION (18 slots that change every round). The
+# rotation pool is every oracle-paired query not in the core; each
+# round the slots go to the LEAST-RECENTLY driver-checked pool members
+# (history = the CORRECTNESS_r{N}.json artifacts), so over ~4 rounds
+# every registered query earns a driver-verified correctness row —
+# without ever losing a core row. Rows-only queries never occupy a
+# window slot (they'd burn the slot on an err:no_oracle row; their
+# evidence channel is pytest + the local rows-only check). Membership
+# changes must update tests/test_queries_registry.py in the same
+# commit; everything outside the window stays locally oracle-checked
+# every round (tools/check_oracle.py runs all 115).
+FIXED_CORE: tuple[str, ...] = (
     # reference parity (SURVEY.md §2.1-2.6) — 17
     "flagship_monthly_revenue",
     "sales_count_by_location",
@@ -49,42 +57,52 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "cents_to_dollars",
     "month_window_scan",
     "json_extract_props",
-    # LLM-pipeline flagships — 25
+    # one flagship per LLM/analytics operator family — 15
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
     "similarity_topk_cosine",
     "similarity_ann_hyperplane",
-    "similarity_ann_ivf",
     "text_token_count",
     "text_quality_score",
-    "text_langid",
     "doc_fingerprint_winnow",
-    "text_repetition_metrics",
-    "text_pii_redact",
     "docs_stratified_sample",
-    "docs_balanced_topn",
-    "docs_chunked_overlap",
     "token_budget_packing",
     "benchmark_contamination",
-    "corpus_filter_pipeline",
-    "corpus_frequency_score",
     "embedding_norms",
-    "embedding_centroids",
     "dedup_embedding_cosine",
-    "top_similar_pairs",
-    "docs_stats_by_lang",
     "multimodal_binary_meta",
-    # analytics headliners — 8
     "window_function_family",
-    "rollup_revenue",
-    "pricing_summary",
-    "quantiles_exact",
-    "grouping_sets_revenue",
-    "funnel_conversion",
-    "sessionize_events",
-    "asof_join_last_click",
 )
+
+# Round-5 rotation: the 18 least-recently-checked oracle-paired
+# queries — none has EVER had a driver row (they were outside every
+# r1–r4 window), prioritizing the round-4/5 additions and the
+# analytics back-half. similarity_topk_int8 replaces the permanently
+# rows-only similarity_ann_ivf as the ANN family's driver evidence
+# (VERDICT r4 item 1 — gets the artifact to 50/50 green).
+ROTATION: tuple[str, ...] = (
+    "similarity_topk_int8",
+    "corpus_build_pipeline",
+    "dataset_split",
+    "vocab_coverage_topk",
+    "dedup_incremental_batch",
+    "embedding_random_projection",
+    "dedup_ngram_jaccard",
+    "similarity_ann_bucketed",
+    "similarity_ann_multiprobe",
+    "regional_revenue",
+    "topk_per_group",
+    "cube_counts",
+    "semi_join_active_customers",
+    "anti_join_inactive_customers",
+    "range_join_price_bands",
+    "pivot_event_counts",
+    "latest_order_per_customer",
+    "hypertable_rollup",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
 
 
 def queries():

@@ -1200,6 +1200,136 @@ def _rp_oracle(d_out: int = 16, dim: int = 64) -> str:
     return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
 
 
+_CORPUS_BUILD_ORACLE = f"""
+    WITH pool AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),
+    -- stage 1: quality gate (word 2-grams, corpus_filter_pipeline rules)
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM pool),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM w2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_ngrams,
+             1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_frac
+      FROM pg GROUP BY doc_id
+    ),
+    surv1 AS (
+      SELECT p.doc_id, p.text FROM pool p JOIN m ON m.doc_id = p.doc_id
+      WHERE m.n_ngrams >= 20 AND m.dup_frac <= 0.05 AND m.top_frac <= 0.06
+    ),
+    -- stage 2: decontamination (distinct word 3-grams vs the bench bank)
+    {_TOK3_SQL},
+    bench AS (SELECT DISTINCT shingle FROM tok WHERE doc_id < 25),
+    cg AS (SELECT t.doc_id, t.shingle FROM tok t JOIN surv1 s ON s.doc_id = t.doc_id),
+    csize AS (SELECT doc_id, COUNT(*) AS n FROM cg GROUP BY doc_id),
+    hits AS (
+      SELECT cg.doc_id, COUNT(*) AS h FROM cg JOIN bench b ON b.shingle = cg.shingle
+      GROUP BY cg.doc_id
+    ),
+    contaminated AS (
+      SELECT s.doc_id FROM csize s JOIN hits h ON h.doc_id = s.doc_id
+      WHERE CAST(h.h AS DOUBLE) / s.n > 0.2
+    ),
+    surv2 AS (
+      SELECT doc_id, text FROM surv1
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    -- stage 3: near-dedup (MinHash-LSH + exact verify, drop higher id)
+    {_minhash_params_sql(12)},
+    tok_s AS (SELECT t.doc_id, t.shingle FROM tok t JOIN surv2 s ON s.doc_id = t.doc_id),
+    base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS hb
+      FROM tok_s
+    ),
+    mh AS (
+      SELECT doc_id, seed, MIN((a * hb + b) % 2147483647) AS h
+      FROM base CROSS JOIN params GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             md5(string_agg(h::VARCHAR, '|' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    ssz AS (SELECT doc_id, COUNT(*) AS sz FROM tok_s GROUP BY doc_id),
+    common AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+      FROM tok_s x JOIN tok_s y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT c.doc_b AS doc_id FROM cand c
+      JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+      JOIN ssz sa ON sa.doc_id = c.doc_a
+      JOIN ssz sb ON sb.doc_id = c.doc_b
+      WHERE CAST(cm.common AS DOUBLE) / (sa.sz + sb.sz - cm.common) >= 0.5
+    ),
+    surv3 AS (
+      SELECT doc_id, text FROM surv2
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    -- stage 4: deterministic salted split (dataset_split bounds)
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, text,
+               CAST((('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT
+                     % 10000) AS INT) AS b
+        FROM surv3
+      )
+    ),
+    -- stage 5: chunk (50-word windows, 10 overlap) + per-split stats
+    cw AS (
+      SELECT doc_id, split, string_split(text, ' ') AS words
+      FROM assigned WHERE text IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id, split,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT)),
+               i -> len(words[i*40 + 1 : i*40 + 50]))) AS nw
+      FROM cw
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(nw) AS BIGINT) AS total_words
+    FROM ch GROUP BY split
+"""
+
+
+@query("corpus_build_pipeline", oracle=_CORPUS_BUILD_ORACLE)
+def corpus_build_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly corpus build, end to end, as ONE lazy plan: quality
+    gate -> benchmark decontamination (docs 0-24 as the eval suite) ->
+    MinHash-LSH near-dedup (drop the higher id of each verified pair)
+    -> leakage-proof salted split -> chunking -> per-split doc/chunk/
+    word counts. Every stage is the already-oracle-checked operator;
+    this query checks their COMPOSITION — gates applied to the right
+    survivor sets, in order, with per-stage Observation counts riding
+    the same action (see plans/corpus_build.py)."""
+    from analytics_etl_spark.plans.corpus_build import corpus_build
+
+    docs = t(spark, sf_dir, "documents")
+    result, _ = corpus_build(
+        docs.filter(F.col("doc_id") >= 25).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") < 25).select("doc_id", "text"),
+    )
+    return result
+
+
 @query("embedding_random_projection", oracle=_rp_oracle())
 def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss reduction 64 → 16 dims via deterministic

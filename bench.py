@@ -58,6 +58,9 @@ HEADLINE = [
     "vocab_coverage_topk",
     "dedup_incremental_batch",
     "embedding_random_projection",
+    # the end-to-end nightly corpus build (quality -> decontaminate ->
+    # near-dedup -> split -> chunk) as one action
+    "corpus_build_pipeline",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
