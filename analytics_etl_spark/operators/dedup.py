@@ -468,6 +468,52 @@ def simhash_signatures(
     return withh.select("doc_id", sig.alias("simhash"))
 
 
+def substring_span_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT substring-span dedup (the Lee et al. 2022 "Deduplicating
+    Training Data" shape): find every ``span_words``-word span that
+    occurs verbatim in >= ``min_docs`` distinct documents. Near-dup
+    methods (MinHash) miss this case — two long documents sharing one
+    boilerplate paragraph are NOT near-duplicates, but the paragraph
+    still leaks between train and eval and gets memorized.
+
+    Returns (span_hash, n_docs, n_occurrences). Pure JVM expressions:
+    rolling spans come from transform over a 0..n-span index sequence
+    (slice + array_join + md5 per position — no Python kernel, unlike
+    shingling, because spans need no normalization pass), then one
+    explode + the two-phase distinct aggregate on the 32-char hash
+    (shuffle on (hash, doc) for countDistinct, then on hash). At
+    100 TB both shuffles carry one md5 row per word position — the
+    standard cost of suffix-free exact dedup; stride>1 or a
+    min-frequency pre-filter (count-min on the map side) are the
+    documented cheapenings, both at recall cost.
+    """
+    w = F.split(F.col(text_col), " ")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size(w) - F.lit(span_words)),
+        lambda i: F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")),
+    )
+    exploded = (
+        # size guard: sequence(0, negative) would generate a DESCENDING
+        # range, fabricating spans for short docs
+        docs.filter(F.col(text_col).isNotNull() & (F.size(w) >= span_words))
+        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
+    )
+    return (
+        exploded.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def incremental_minhash_dedup(
     corpus: DataFrame,
     batch: DataFrame,

@@ -607,3 +607,54 @@ def int8_topk(
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("iscore"), F.asc(id_col)).limit(k)
+
+
+def int8_rerank_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    exclude_ids: tuple[int, ...] = (),
+    codes_col: str | None = None,
+) -> DataFrame:
+    """The FULL quantize-then-rerank deployment pattern in one plan:
+    int8 coarse pass selects a ``shortlist`` (reads codes, 4x less
+    I/O), exact float cosine re-scores ONLY the shortlist, final top-k
+    by the exact score.
+
+    Returns (id, score) with score the exact cosine — identical
+    ranking quality to brute force whenever the true top-k survives
+    the shortlist (shortlist/k = 5 by default; the coarse pass's
+    integer ranking approximates the float one to quantization error,
+    so survivors are near-certain in practice and the whole thing is
+    oracle-checkable: both passes are deterministic).
+
+    Scale shape: coarse = narrow scan + TakeOrdered(shortlist);
+    rerank = shortlist-sized semi-join back to the float vectors +
+    shortlist·dim flops. The rerank fetch is a join against the
+    corpus scan — at deployment the float table is bucketed by id
+    (sinks/bucketed.py) so the fetch prunes to the shortlist's
+    buckets instead of re-scanning; with ``codes_col`` persisted
+    (``with_int8_codes``) the coarse pass never touches floats at
+    all.
+    """
+    coarse = int8_topk(
+        embeddings,
+        query_df,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        qvec_col=qvec_col,
+        exclude_ids=exclude_ids,
+        codes_col=codes_col,
+    )
+    cand = embeddings.join(coarse.select(id_col), id_col, "left_semi")
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    out = cand.crossJoin(F.broadcast(query_df)).select(
+        F.col(id_col), cosine(e, q).alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -241,6 +241,53 @@ def chunk_documents(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document distinctive terms by corpus-weighted frequency —
+    TF-IDF with a LINEARIZED idf: score = tf · N / df instead of
+    tf · log(N/df).
+
+    Why linear: log()'s last ulp differs across libm implementations,
+    which would make the ranking engine-dependent exactly at ties —
+    the one thing a correctness-gated operator can't have. tf·N/df is
+    a single exact integer product and one IEEE division (bit-stable
+    everywhere), preserves the "frequent here, rare in the corpus"
+    ordering within a document for fixed tf or fixed df, and keeps
+    the oracle exact. Production scoring swaps in log-idf (or a real
+    LM) the same way corpus_frequency_score documents for ln().
+
+    Returns (doc_id, term, tf, df, score, rank), top_k terms per doc,
+    rank total-ordered (score desc, term asc). Shuffle census: one
+    (doc, term) count, one term-keyed df agg + join, one window on
+    the doc key; the corpus-sized frames carry counts, never text.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n = tok.select("doc_id").distinct().groupBy().agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def ngram_contamination(
     corpus_grams: DataFrame,
     bench_grams: DataFrame,

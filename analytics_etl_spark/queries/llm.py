@@ -1330,6 +1330,123 @@ def corpus_build_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 20
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 18),
+                    i -> md5(array_to_string(w[i:i+19], ' ')))) AS span_hash
+      FROM w
+    )
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-span dedup (Lee et al. 2022): every 20-word
+    span occurring verbatim in >= 2 distinct documents — the
+    boilerplate/memorization leak that near-dup methods structurally
+    miss (two long docs sharing one paragraph are not near-dups).
+    Pure JVM rolling-hash expressions, one explode + one groupBy on
+    32-char hashes."""
+    from analytics_etl_spark.operators.dedup import substring_span_duplicates
+
+    return substring_span_duplicates(t(spark, sf_dir, "documents"), span_words=20)
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, d.df,
+             CAST(tf.tf AS DOUBLE) * n.n / d.df AS score
+      FROM tf JOIN d ON d.term = tf.term, n
+    )
+    SELECT doc_id, term, tf, df, score, rank FROM (
+      SELECT doc_id, term, tf, df, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+             ) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def text_tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document by linearized TF-IDF
+    (score = tf·N/df — exact integer product + one IEEE division, so
+    the ranking is bit-stable across engines where log-idf's libm
+    last-ulp would not be; see tfidf_top_terms)."""
+    from analytics_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), top_k=5)
+
+
+@query(
+    "similarity_topk_rerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
+      FROM e
+    ),
+    q8 AS (
+      SELECT vec_id,
+             CASE WHEN sc = 0
+                  THEN list_transform(v, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(floor(x / sc + 0.5) AS BIGINT))
+             END AS q
+      FROM s
+    ),
+    qq AS (SELECT q FROM q8 WHERE vec_id = 0),
+    coarse AS (
+      SELECT e8.vec_id,
+             CAST(list_sum(list_transform(range(1, len(e8.q) + 1),
+                                          i -> e8.q[i] * qq.q[i])) AS BIGINT) AS iscore
+      FROM q8 e8, qq
+      WHERE e8.vec_id <> 0
+      ORDER BY iscore DESC, e8.vec_id
+      LIMIT 50
+    ),
+    qv AS (SELECT v FROM e WHERE vec_id = 0)
+    SELECT c.vec_id,
+           list_dot_product(e.v, qv.v)
+             / sqrt(list_dot_product(e.v, e.v) * list_dot_product(qv.v, qv.v))
+             AS score
+    FROM coarse c JOIN e ON e.vec_id = c.vec_id, qv
+    ORDER BY score DESC, c.vec_id
+    LIMIT 10
+    """,
+)
+def similarity_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize-then-RERANK, end to end: int8 coarse top-50 (narrow
+    codes scan) -> exact float cosine over only the 50 survivors ->
+    top-10 by exact score. The full two-pass ANN deployment pattern
+    in one oracle-checked plan — both passes deterministic (integer
+    dot; left-fold float cosine shared with DuckDB), so unlike most
+    rerank pipelines the WHOLE composition hash-matches."""
+    from analytics_etl_spark.operators.similarity import int8_rerank_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return int8_rerank_topk(
+        emb, _query_frame(emb, 0), k=10, shortlist=50, exclude_ids=(0,)
+    )
+
+
 @query("embedding_random_projection", oracle=_rp_oracle())
 def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss reduction 64 → 16 dims via deterministic

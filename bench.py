@@ -61,6 +61,10 @@ HEADLINE = [
     # the end-to-end nightly corpus build (quality -> decontaminate ->
     # near-dedup -> split -> chunk) as one action
     "corpus_build_pipeline",
+    # round-5 additions
+    "dedup_substring_spans",
+    "similarity_topk_rerank",
+    "text_tfidf_topterms",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -193,3 +193,27 @@ def test_vocab_window_after_topn(spark):
     # tree prints top-down: the Window node sits ABOVE (consumes) the
     # TakeOrderedAndProject, and no plain Sort feeds the window
     assert tree.index("Window") < tree.index("TakeOrderedAndProject")
+
+
+def test_substring_spans_pure_jvm_one_shuffle(spark):
+    """Exact span dedup: the rolling hashes are built by JVM
+    expressions (transform/slice/md5 — unlike shingling there is no
+    Python kernel to pay for), and the aggregation is the standard
+    two-phase distinct shape (shuffle on (hash, doc) for the distinct,
+    then on hash) — both keyed on 32-char hashes, never text."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    tree = tree_of(plan)
+    assert "Python" not in plan
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2
+
+
+def test_rerank_no_full_sort_no_python(spark):
+    """Quantize-then-rerank: both passes end in TakeOrderedAndProject
+    (coarse shortlist + final top-k), the candidate fetch is a semi
+    join, and nothing global-sorts the corpus."""
+    plan = plan_of(spark, "similarity_topk_rerank")
+    tree = tree_of(plan)
+    assert "Python" not in plan
+    assert tree.count("TakeOrderedAndProject") >= 2
+    assert "LeftSemi" in tree
+    assert "CartesianProduct" not in tree
