@@ -278,7 +278,9 @@ def lsh_band_buckets(
     )
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct candidate pairs from shared (band, bucket).
 
     Shaped as groupBy(band, bucket) → sorted id list → expand i<j
@@ -288,16 +290,26 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     branches — measured 5× slower end-to-end at sf0.1), while the
     group-by formulation pays ONE shuffle on the same key and computes
     the chain once. The per-bucket pair expansion is quadratic only
-    within a bucket — the known LSH hot-bucket pathology; bucket
-    width is bounded by band size tuning, and a corpus-wide skew
-    shows up here as one fat group to split upstream, not as a
-    silently exploding join.
+    within a bucket — the known LSH hot-bucket pathology.
+
+    ``max_bucket_size`` is the at-scale guard for that pathology: a
+    boilerplate-heavy corpus (SEO spam, templated pages) produces a
+    few buckets with 10^5+ members, and ONE such bucket is 10^10
+    pairs — a job-killer no cluster size absorbs. Capping drops those
+    buckets' pairs entirely (the standard production trade: members
+    of a mega-bucket are near-identical templates better handled by
+    exact dedup upstream; every real pipeline — and the reference
+    literature — caps or splits hot buckets). Default None keeps the
+    exact semantics for the oracle-checked queries; corpus-scale
+    deployments set a cap around 10^3–10^4.
     """
     grouped = (
         buckets.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket_size)
     e1 = grouped.select("ids", F.posexplode("ids").alias("i", "doc_a"))
     # ids are sorted, so everything after position i is > doc_a
     rest = F.slice(
@@ -385,6 +397,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
     shingles_col: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates + exact verify.
 
@@ -428,7 +441,10 @@ def minhash_lsh_dedup(
     # element — measured 6× slower at sf0.1 despite being shuffle-free.
     shingled = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = minhash_signatures(shingled, num_hashes)
-    cands = lsh_candidate_pairs(lsh_band_buckets(sigs, rows_per_band, num_hashes))
+    cands = lsh_candidate_pairs(
+        lsh_band_buckets(sigs, rows_per_band, num_hashes),
+        max_bucket_size=max_bucket_size,
+    )
     return verify_jaccard(arrays, cands).filter(F.col("jaccard") >= min_jaccard)
 
 

@@ -1529,3 +1529,143 @@ def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("m").alias("n_types"),
         )
     )
+
+
+# TPC-H Q9 shape: product-type profit by supplier nation and year.
+# The reference schema has no partsupp, so supply cost is proxied by
+# p_retailprice·quantity — same plan shape (5-way join, pattern filter
+# on part, two-key aggregate), exact decimal arithmetic throughout.
+@query(
+    "product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM({_REV_SQL}
+                    - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit per (supplier nation, order year) over parts
+    matching a name pattern. Plan: the part-side pattern filter prunes
+    lineitem FIRST (the selective join), dims broadcast, one two-key
+    aggregate shuffle; money stays DECIMAL until the final cast."""
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    o, s = t(spark, sf_dir, "orders"), t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = F.col("p_retailprice").cast("decimal(18,2)") * F.col("l_quantity").cast(
+        "decimal(18,2)"
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_name").like("%red%"))),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(rev - cost).cast("double").alias("profit"))
+    )
+
+
+# TPC-H Q16 shape: supplier diversity per part attribute bucket, with
+# a NOT-IN exclusion. partsupp is proxied by the (l_partkey,
+# l_suppkey) pairs actually observed in lineitem.
+@query(
+    "parts_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5, 11, 28, 37)
+      AND p.p_brand <> 'Brand#2'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier count per (brand, type, size) over
+    a size whitelist, excluding denylisted suppliers via anti-join
+    (the NOT IN compiles to LeftAnti — no per-row subquery). The
+    exclusion list is dim-sized and broadcasts; the distinct count is
+    the standard two-phase expand."""
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_p = p.filter(
+        F.col("p_size").isin(1, 2, 3, 4, 5, 11, 28, 37) & (F.col("p_brand") != "Brand#2")
+    )
+    return (
+        li.join(F.broadcast(keep_p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# TPC-H Q20 shape: nested IN-subqueries — suppliers who moved more
+# than a threshold quantity of pattern-matched parts in a year.
+@query(
+    "excess_quantity_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+          )
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 50
+      )
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: two nested IN-subqueries compile to a semi-join
+    chain — part pattern list prunes lineitem (broadcast), per-
+    supplier quantity HAVING filters, then supplier semi-joins the
+    surviving keys; never a correlated per-row subquery. Total order
+    on s_suppkey for the stable result."""
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    s, n = t(spark, sf_dir, "supplier"), t(spark, sf_dir, "nation")
+    red_parts = p.filter(F.col("p_name").like("%red%")).select("p_partkey")
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -1,0 +1,119 @@
+"""Streaming corpus ingest with near-dup gating — the incremental
+dedup story (operators/dedup.incremental_minhash_dedup) run the way a
+production corpus actually grows: as a Structured Streaming
+foreachBatch pipeline over document arrivals.
+
+Per micro-batch:
+1. shingle ONCE (``with_shingle_column`` — the ingest-time kernel
+   pass; the written column serves every future batch for free);
+2. drop batch-INTERNAL near-dups (MinHash-LSH over the batch only,
+   higher id loses — batches are small, this is cheap);
+3. drop docs near-duplicating the EXISTING corpus: the batch's band
+   buckets join the corpus bucket table — O(batch), the corpus side
+   reads its persisted shingle column, nothing corpus-sized is
+   recomputed (see incremental_minhash_dedup);
+4. append survivors (WITH shingles) under ``epoch=<id>/`` —
+   overwriting the epoch directory, so a replayed micro-batch after
+   a failure rewrites the same directory with the same rows:
+   IDEMPOTENT, the same delete-then-reload contract as
+   ``write_idempotent_partitions``;
+5. optionally record (batch_doc, corpus_doc, jaccard) rejects for
+   audit — every dropped doc is attributable, the same quarantine
+   discipline as the sales pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_lsh_dedup,
+    with_shingle_column,
+)
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    corpus_path: str,
+    rejects_path: str | None = None,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+) -> None:
+    """One micro-batch of the gated ingest (module-level so failure
+    replay is directly testable: same (batch, epoch) in, same corpus
+    state out)."""
+    spark = batch_df.sparkSession
+    shingled = with_shingle_column(batch_df, n=shingle_n)
+
+    # batch-internal near-dups: higher id of each verified pair loses
+    internal = minhash_lsh_dedup(
+        shingled, shingles_col="shingles", min_jaccard=min_jaccard
+    )
+    internal_drop = internal.select(F.col("doc_b").alias("doc_id")).distinct()
+    batch_clean = shingled.join(internal_drop, "doc_id", "left_anti")
+
+    try:
+        # exclude THIS epoch's directory from the corpus side: on a
+        # failure replay the previous attempt's output is already on
+        # disk, and gating the batch against its own prior write would
+        # self-dedup every doc to zero — the replay must see exactly
+        # the corpus state the first attempt saw
+        corpus = spark.read.parquet(corpus_path).filter(
+            F.col("epoch") != int(epoch_id)
+        )
+        have_corpus = True
+    except Exception:  # first batch: nothing ingested yet
+        have_corpus = False
+
+    if have_corpus:
+        pairs = incremental_minhash_dedup(
+            corpus,
+            batch_clean,
+            shingles_col="shingles",
+            min_jaccard=min_jaccard,
+        )
+        # pair-sized frame consumed twice (rejects + anti-join):
+        # materialize once instead of re-running both LSH chains
+        pairs = pairs.localCheckpoint(eager=True)
+        if rejects_path is not None:
+            pairs.withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+                "overwrite"
+            ).parquet(f"{rejects_path}/epoch={int(epoch_id)}")
+        vs_corpus_drop = pairs.select(
+            F.col("batch_doc").alias("doc_id")
+        ).distinct()
+        batch_clean = batch_clean.join(vs_corpus_drop, "doc_id", "left_anti")
+
+    # epoch-directory overwrite = idempotent under foreachBatch replay
+    batch_clean.write.mode("overwrite").parquet(f"{corpus_path}/epoch={int(epoch_id)}")
+
+
+def streaming_corpus_ingest(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    rejects_path: str | None = None,
+    min_jaccard: float = 0.5,
+    shingle_n: int = 3,
+):
+    """Wire the gated ingest into a streaming writer. Returns the
+    DataStreamWriter (caller .start()s it)."""
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_batch(
+            batch_df,
+            epoch_id,
+            corpus_path,
+            rejects_path=rejects_path,
+            min_jaccard=min_jaccard,
+            shingle_n=shingle_n,
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -63,6 +63,22 @@ def test_minhash_lsh_finds_identical_and_skips_disjoint(spark):
     assert all(3 not in k for k in pairs)
 
 
+def test_lsh_mega_bucket_cap(spark):
+    """The hot-bucket guard: a capped mega-bucket contributes ZERO
+    pairs (its quadratic expansion is the 100 TB job-killer); small
+    buckets are untouched. Default None preserves exact semantics."""
+    from analytics_etl_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(i, 0, "fat") for i in range(5)] + [(10, 0, "small"), (11, 0, "small")]
+    buckets = spark.createDataFrame(rows, "doc_id long, band int, bucket string")
+    assert lsh_candidate_pairs(buckets).count() == 10 + 1
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(buckets, max_bucket_size=4).collect()
+    }
+    assert capped == {(10, 11)}
+
+
 def test_simhash_identical_docs_equal_signature(spark):
     docs = _docs(
         spark,

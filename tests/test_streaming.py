@@ -286,3 +286,94 @@ def test_stream_static_enrichment(spark, tmp_path):
     assert rows == batch
     # dim-less event types survive with NULL category (left semantics)
     assert any(cat is None for _, cat in rows)
+
+
+def test_streaming_corpus_ingest_gates_near_dups(spark, tmp_path):
+    """The incremental-dedup story under Structured Streaming: batch 1
+    seeds the corpus (internal near-dups dropped), batch 2 is gated
+    against the PERSISTED corpus state (its shingle column — nothing
+    corpus-sized recomputed), rejects are attributable, and a replayed
+    micro-batch leaves the corpus byte-identical (epoch-directory
+    overwrite = idempotent)."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from analytics_etl_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+    from analytics_etl_spark.streaming.ingest import ingest_batch, streaming_corpus_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") < 450)
+    b2 = docs.filter(F.col("doc_id") >= 450)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus_path = str(tmp_path / "corpus")
+    rejects_path = str(tmp_path / "rejects")
+
+    def stage(df, name):
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stage(b1, "f1.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    q = streaming_corpus_ingest(
+        stream,
+        corpus_path,
+        str(tmp_path / "ck"),
+        rejects_path=rejects_path,
+        min_jaccard=0.5,
+    ).start()
+    try:
+        q.processAllAvailable()
+        stage(b2, "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    corpus = spark.read.parquet(corpus_path)
+    got_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+
+    # expectation from the BATCH operators (the streaming path must
+    # reproduce the batch semantics exactly)
+    def internal_drop(df):
+        pairs = minhash_lsh_dedup(df, min_jaccard=0.5)
+        return {r["doc_b"] for r in pairs.select("doc_b").distinct().collect()}
+
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()} - internal_drop(b1)
+    b2_clean = b2.join(
+        spark.createDataFrame([(i,) for i in internal_drop(b2)] or [(-1,)], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+    corpus_b1 = b1.join(
+        spark.createDataFrame([(i,) for i in b1_ids], "doc_id long"), "doc_id", "left_semi"
+    )
+    vs_corpus = incremental_minhash_dedup(corpus_b1, b2_clean, min_jaccard=0.5)
+    b2_ids = {r["doc_id"] for r in b2_clean.select("doc_id").collect()} - {
+        r["batch_doc"] for r in vs_corpus.select("batch_doc").distinct().collect()
+    }
+    assert got_ids == b1_ids | b2_ids
+
+    # near-dups were actually present and are attributable in rejects
+    rejects = spark.read.parquet(rejects_path)
+    assert rejects.count() == vs_corpus.count() > 0
+    assert {"batch_doc", "corpus_doc", "jaccard"} <= set(rejects.columns)
+    # survivors carry the persisted shingle column for future batches
+    assert "shingles" in corpus.columns
+
+    # failure replay: re-running epoch 1 with the same batch leaves
+    # the corpus identical (overwrite of the same epoch directory)
+    before = corpus.count()
+    ingest_batch(b2, 1, corpus_path, rejects_path=rejects_path, min_jaccard=0.5)
+    assert spark.read.parquet(corpus_path).count() == before
