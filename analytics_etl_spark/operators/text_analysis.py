@@ -241,6 +241,52 @@ def chunk_documents(
     )
 
 
+def pack_training_examples(
+    chunks: DataFrame,
+    budget_words: int = 500,
+    stratum_col: str = "split",
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    n_col: str = "n_words",
+) -> DataFrame:
+    """Materialize packed training EXAMPLES: chunks greedily binned to
+    ~``budget_words`` per example (the token_budget_packing window,
+    same running-total bin rule), then each bin collapsed to ONE row —
+    (stratum, example_id, texts array, n_chunks, total_words) — the
+    record a training loader actually reads.
+
+    Determinism: bin assignment and within-bin order both follow the
+    total (doc, chunk) order, so the written examples are byte-stable
+    across reruns/partitionings (array_sort on the position-keyed
+    structs fixes collect_list's arrival order). Two shuffles per
+    stratum: the packing window and the example groupBy — both keyed
+    on (stratum, bin), never wider than the chunk table.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col, chunk_id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = chunks.withColumn(
+        "example_id",
+        F.floor((F.sum(n_col).over(w) - F.col(n_col)) / budget_words).cast("bigint"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col(chunk_id_col), F.col(text_col)))
+    )
+    return (
+        binned.groupBy(stratum_col, "example_id")
+        .agg(
+            F.transform(ordered, lambda s: s[text_col]).alias("texts"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(n_col).cast("bigint").alias("total_words"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

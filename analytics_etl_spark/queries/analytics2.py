@@ -1669,3 +1669,39 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# Operational: join-key skew census — the diagnosis you run BEFORE
+# choosing a mitigation (salted join/agg in operators/skew.py, AQE
+# skew-join). A key holding >1% of a 100 TB fact table is the straggler
+# that decides the job's wall clock.
+@query(
+    "skew_key_census",
+    oracle="""
+    WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM k)
+    SELECT k.key, CAST(k.n AS BIGINT) AS n_rows,
+           CAST(k.n AS DOUBLE) / tot.total AS share
+    FROM k, tot
+    ORDER BY n_rows DESC, k.key
+    LIMIT 20
+    """,
+)
+def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest join keys with their share of the fact table.
+    One map-side-combined count shuffle + a broadcast 1-row total;
+    TakeOrdered for the top-k. Total-ordered (count desc, key) so the
+    report is stable run to run."""
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count("*").alias("n"))
+    tot = k.groupBy().agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n_rows"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(20)
+    )

@@ -966,6 +966,55 @@ def token_budget_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "packed_examples",
+    oracle="""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT)),
+               i -> struct_pack(
+                 chunk_id := i,
+                 chunk_text := array_to_string(words[i*40 + 1 : i*40 + 50], ' ')
+               ))) AS ch
+      FROM w
+    ),
+    chunks AS (
+      SELECT lang, doc_id, CAST(ch.chunk_id AS BIGINT) AS chunk_id, ch.chunk_text,
+             len(string_split(ch.chunk_text, ' ')) AS n_words
+      FROM c
+    ),
+    binned AS (
+      SELECT lang, doc_id, chunk_id, chunk_text, n_words,
+             CAST((SUM(n_words) OVER (
+                     PARTITION BY lang ORDER BY doc_id, chunk_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_words) // 500 AS BIGINT) AS example_id
+      FROM binned_src
+    )
+    SELECT lang, example_id,
+           list(chunk_text ORDER BY doc_id, chunk_id) AS texts,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM binned GROUP BY 1, 2
+    """.replace("binned_src", "chunks"),
+)
+def packed_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training-example MATERIALIZATION: the token_budget_packing
+    bins, but emitting the actual example records — ordered chunk-text
+    arrays per ~500-word bin per language — the rows a training loader
+    consumes. Deterministic end to end (total (doc, chunk) order fixes
+    both bin assignment and within-example order), so even the
+    array<string> payload hash-matches the oracle."""
+    from analytics_etl_spark.operators.text_analysis import pack_training_examples
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_words=50, overlap=10, keep_cols=("lang",))
+    return pack_training_examples(chunks, budget_words=500, stratum_col="lang")
+
+
+@query(
     "corpus_frequency_score",
     oracle="""
     WITH tok AS (

@@ -205,6 +205,24 @@ def _dedup_minhash_persisted(spark, sf_dir: str):
     )
 
 
+def _dedup_incremental_persisted(spark, sf_dir: str):
+    """dedup_incremental_batch over the persisted shingle column on
+    BOTH sides — the daily-ingest deployment number (no Arrow kernel
+    at ingest-check time; compare the registered query, which
+    shingles both sides inline)."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.dedup import incremental_minhash_dedup
+
+    docs = spark.read.parquet(_SHINGLED_PATH)
+    return incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") < 450),
+        docs.filter(F.col("doc_id") >= 450),
+        shingles_col="shingles",
+        min_jaccard=0.5,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -227,6 +245,7 @@ def main() -> None:
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
+    plans["dedup_incremental_persisted"] = _dedup_incremental_persisted
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed
     plans["similarity_topk_int8_persisted"] = _int8_persisted
