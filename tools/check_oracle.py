@@ -5,6 +5,19 @@ the given sf dir, then compares row count, column names, and values
 (order-insensitive, exact). Exit code 1 if anything mismatches.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+STANDING GATES (run both before ending a round; record the tallies in
+ROUND{N}.md):
+
+    python tools/check_oracle.py /root/testdata/sf0.01   # driver SF
+    python tools/check_oracle.py /root/testdata/sf0.1    # 10x scale
+
+The sf0.1 sweep is the scale gate: same bit-exact hash comparison at
+10x the driver's data (catches size-dependent nondeterminism — float
+summation order, LIMIT ties, hash collisions — that sf0.01 can miss).
+Takes ~15 min; named-subset runs print the FULL registry size as the
+denominator (historical quirk) — only an unfiltered run's tally is a
+sweep.
 """
 
 from __future__ import annotations
