@@ -145,3 +145,34 @@ def test_compact_partitions_reduces_files_keeps_rows(spark, nested_orders, locat
     parts = {(r["location_id"], r["month"]) for r in read_sales(spark, path).collect()}
     assert after == len(parts)  # exactly one file per partition
     assert sorted(map(tuple, read_sales(spark, path).collect())) == rows_before
+
+
+def test_merge_upsert_replaces_keyed_rows(spark, tmp_path):
+    """MERGE semantics on plain parquet: matched keys replaced, new
+    keys inserted, untouched rows survive byte-identical; the temp-
+    write+swap means the target is never read and overwritten in the
+    same job (the lazy-read self-overwrite trap)."""
+    from analytics_etl_spark.sinks.writer import merge_upsert
+
+    path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, name string, v long"
+    ).write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [(2, "b2", 21), (4, "d", 40)], "id long, name string, v long"
+    )
+    merge_upsert(spark, path, updates, key_cols=("id",))
+
+    got = {
+        (r["id"], r["name"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "a", 10), (2, "b2", 21), (3, "c", 30), (4, "d", 40)}
+
+    # re-running the same merge is idempotent
+    merge_upsert(spark, path, updates, key_cols=("id",))
+    again = {
+        (r["id"], r["name"], r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert again == got

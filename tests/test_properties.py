@@ -178,3 +178,56 @@ def test_stratified_sample_deterministic_and_monotone(spark, ids, rate_pct):
     assert kept1 <= bigger
     if rate == 0:
         assert kept1 == set()
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=30, unique=True),
+    f1=st.integers(min_value=0, max_value=100),
+    f2=st.integers(min_value=0, max_value=100),
+)
+@settings(**SETTINGS)
+def test_dataset_split_partitions_every_row(spark, ids, f1, f2):
+    """The split is a PARTITION of the input: every row gets exactly
+    one label, labels come only from the declared splits, the
+    assignment is rerun-stable, and over-unit fraction sums are
+    rejected (the silent eval-truncation hazard)."""
+    import pytest as _pytest
+
+    from analytics_etl_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    fa, fb = f1 / 100, f2 / 100
+    splits = (("train", fa), ("val", fb), ("test", max(0.0, 1.0 - fa - fb)))
+    if fa + fb > 1.0 + 1e-9:
+        with _pytest.raises(ValueError):
+            dataset_split(df, splits=splits)
+        return
+    out1 = {(r["doc_id"], r["split"]) for r in dataset_split(df, splits=splits).collect()}
+    out2 = {(r["doc_id"], r["split"]) for r in dataset_split(df, splits=splits).collect()}
+    assert out1 == out2
+    assert len(out1) == len(ids)  # exactly one label per row
+    assert {s for _, s in out1} <= {"train", "val", "test"}
+
+
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]), min_size=0, max_size=12
+    ),
+    span=st.integers(min_value=2, max_value=4),
+)
+@settings(**SETTINGS)
+def test_substring_spans_detects_verbatim_copy(spark, words, span):
+    """A doc and its verbatim copy share EVERY span (each flagged with
+    n_docs=2); a doc shorter than the span yields no spans at all
+    (the sequence-guard edge: no fabricated descending ranges)."""
+    from analytics_etl_spark.operators.dedup import substring_span_duplicates
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    got = substring_span_duplicates(df, span_words=span, min_docs=2).collect()
+    n_spans = max(len(words) - span + 1, 0) if len(words) >= span else 0
+    distinct_spans = len(
+        {" ".join(words[i : i + span]) for i in range(max(len(words) - span + 1, 0))}
+    )
+    assert len(got) == (distinct_spans if n_spans else 0)
+    assert all(r["n_docs"] == 2 for r in got)
