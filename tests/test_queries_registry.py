@@ -107,6 +107,17 @@ def test_query_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF)
     assert df.columns  # non-empty schema
     assert df.count() >= 0
+    # global plan hygiene: no query may compile to an unbounded
+    # cartesian — every intentional cross join in the engine rides a
+    # broadcast 1-row/dim frame (BroadcastNestedLoopJoin), so a bare
+    # CartesianProduct is always an accident that explodes at scale
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "CartesianProduct" not in buf.getvalue(), name
 
 
 def test_oracle_types_match_spark_types(spark):
