@@ -69,6 +69,7 @@ def corpus_build(
     splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
     chunk_words: int = 50,
     overlap: int = 10,
+    shingles_col: str | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """The composed corpus-build plan over ``docs`` (the training
     pool) against ``bench`` (the eval suite to decontaminate from).
@@ -125,12 +126,26 @@ def corpus_build(
     )
     # contamination is per-doc vs the bench bank — independent of the
     # other gates, so it runs on the pool (identical fractions, one
-    # computation instead of a replay of the quality chain under it)
+    # computation instead of a replay of the quality chain under it).
+    # With an ingest-persisted shingle column (``shingles_col``, the
+    # with_shingle_column n=3 form) BOTH contamination and LSH read it
+    # instead of running the Arrow kernel — they share the same
+    # 3-gram definition by design, so one persisted column serves
+    # both gates (quality's 2-gram metrics and chunking still tokenize
+    # inline; persisting those too is the same pattern).
+    if shingles_col is not None:
+        def _grams(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id",
+                F.explode(F.array_distinct(F.col(shingles_col))).alias("shingle"),
+            )
+
+        corpus_grams, bench_grams = _grams(pool), _grams(bench)
+    else:
+        corpus_grams = word_shingles(pool, n=3, distinct=True)
+        bench_grams = word_shingles(bench, n=3, distinct=True)
     contaminated_ids = (
-        ngram_contamination(
-            word_shingles(pool, n=3, distinct=True),
-            word_shingles(bench, n=3, distinct=True),
-        )
+        ngram_contamination(corpus_grams, bench_grams)
         .filter(F.col("contamination_frac") > contamination_threshold)
         .select("doc_id")
         .cache()
@@ -139,7 +154,9 @@ def corpus_build(
     # PAIRS to gate survivors afterwards equals re-running LSH on the
     # survivor set (candidates(S) = candidates(pool) ∩ S×S)
     pairs = (
-        minhash_lsh_dedup(pool, min_jaccard=dedup_min_jaccard)
+        minhash_lsh_dedup(
+            pool, min_jaccard=dedup_min_jaccard, shingles_col=shingles_col
+        )
         .select("doc_a", "doc_b")
         .cache()
     )

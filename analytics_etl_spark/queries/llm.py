@@ -1015,6 +1015,59 @@ def packed_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_index",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(n_chars * 10 AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, n_bytes, duration_ms,
+             unnest(range(0, greatest(least(n_bytes // 64, 4), 1))) AS frame_idx
+      FROM v
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 64 AS BIGINT) AS byte_start,
+           CAST(duration_ms * (frame_idx * 64) // n_bytes AS BIGINT) AS ts_ms
+    FROM f
+    """,
+)
+def multimodal_frame_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling PLAN from metadata alone: per video, the
+    sampled frame positions (byte offset + interpolated timestamp)
+    as pure integer JVM expressions — demonstrating that the 1→N
+    sampling decision never needs the Python boundary; only the
+    payload slicing does (operators/multimodal.sample_frames). At
+    100 TB this is the pushdown that matters: the planner touches
+    metadata columns, the decoder touches exactly the chosen
+    byte ranges."""
+    media = synthesize_media(t(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "video"
+    )
+    n_bytes = F.length("payload").cast("bigint")
+    n_frames = F.greatest(
+        F.least(F.floor(n_bytes / 64).cast("bigint"), F.lit(4)), F.lit(1)
+    )
+    f = media.select(
+        "media_id",
+        n_bytes.alias("n_bytes"),
+        F.col("meta.duration_ms").cast("bigint").alias("duration_ms"),
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_frames - 1)).alias("frame_idx"),
+    )
+    return f.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx") * 64).cast("bigint").alias("byte_start"),
+        F.floor(F.col("duration_ms") * (F.col("frame_idx") * 64) / F.col("n_bytes"))
+        .cast("bigint")
+        .alias("ts_ms"),
+    )
+
+
+@query(
     "corpus_frequency_score",
     oracle="""
     WITH tok AS (

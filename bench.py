@@ -205,6 +205,23 @@ def _dedup_minhash_persisted(spark, sf_dir: str):
     )
 
 
+def _corpus_build_persisted(spark, sf_dir: str):
+    """The five-stage corpus build with contamination + LSH reading
+    the ingest-persisted shingle column (three of the five text-kernel
+    passes gone — the nightly-build deployment number)."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.plans.corpus_build import corpus_build
+
+    docs = spark.read.parquet(_SHINGLED_PATH)
+    result, _ = corpus_build(
+        docs.filter(F.col("doc_id") >= 25).select("doc_id", "text", "shingles"),
+        docs.filter(F.col("doc_id") < 25).select("doc_id", "text", "shingles"),
+        shingles_col="shingles",
+    )
+    return result
+
+
 def _dedup_incremental_persisted(spark, sf_dir: str):
     """dedup_incremental_batch over the persisted shingle column on
     BOTH sides — the daily-ingest deployment number (no Arrow kernel
@@ -246,6 +263,7 @@ def main() -> None:
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
     plans["dedup_incremental_persisted"] = _dedup_incremental_persisted
+    plans["corpus_build_persisted"] = _corpus_build_persisted
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed
     plans["similarity_topk_int8_persisted"] = _int8_persisted

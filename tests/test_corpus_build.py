@@ -55,6 +55,32 @@ def test_scan_count_bounded(spark):
     assert "InMemoryTableScan" in tree or "TableCacheQueryStage" in tree
 
 
+def test_persisted_shingles_parity(spark, tmp_path):
+    """corpus_build(shingles_col=...) — contamination and LSH reading
+    the ingest-persisted 3-gram column instead of running the Arrow
+    kernel — must produce the identical result and funnel (the same
+    deployment-path equivalence with_shingle_column guarantees for
+    the standalone dedup ops)."""
+    from analytics_etl_spark.operators.dedup import with_shingle_column
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "shingled")
+    with_shingle_column(docs.select("doc_id", "text"), n=3).write.parquet(path)
+    shingled = spark.read.parquet(path)
+
+    inline_result, inline_obs = _build(spark)
+    pers_result, pers_obs = corpus_build(
+        shingled.filter(F.col("doc_id") >= 25),
+        shingled.filter(F.col("doc_id") < 25),
+        shingles_col="shingles",
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(pers_result) == key(inline_result)
+    assert {k: o.get for k, o in pers_obs.items()} == {
+        k: o.get for k, o in inline_obs.items()
+    }
+
+
 def test_funnel_counts_from_one_action(spark):
     result, obs = _build(spark)
     rows = {r["split"]: r for r in result.collect()}
