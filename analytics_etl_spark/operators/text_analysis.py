@@ -287,6 +287,69 @@ def pack_training_examples(
     )
 
 
+def pack_training_examples_exact(
+    chunks: DataFrame,
+    budget_words: int = 500,
+    stratum_col: str = "split",
+    id_col: str = "doc_id",
+    chunk_id_col: str = "chunk_id",
+    n_col: str = "n_words",
+) -> DataFrame:
+    """EXACT greedy sequential packing per stratum — the ground truth
+    the window-based ``pack_training_examples`` approximates.
+
+    Greedy first-fit is inherently sequential (bin of chunk i depends
+    on every earlier assignment), so it cannot be a window function;
+    this is the legitimate use of ``applyInPandas``: one Arrow batch
+    per stratum, a tight Python loop over the stratum's chunks in
+    total (doc, chunk) order. Difference from the window form: a bin
+    CLOSES when the next chunk would overflow (never overruns), where
+    the window form lets the last chunk of a bin overrun. Both are
+    deterministic; the window form scales to strata of any size (no
+    single-group materialization), this one is exact — a training
+    build picks per its tokenizer tolerance.
+
+    Returns (stratum, example_id, n_chunks, total_words) per bin.
+    Scale note: each stratum's chunk METADATA (ids + counts, not
+    text) must fit one task — fine for per-language strata; for
+    unbounded strata, pre-split by a hash prefix and accept bin
+    breaks at the seams (documented trade).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{stratum_col} string, example_id bigint, n_chunks bigint, total_words bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, chunk_id_col])
+        bins, cur_id, cur_n, cur_w = [], 0, 0, 0
+        for n in pdf[n_col]:
+            n = int(n)
+            if cur_n > 0 and cur_w + n > budget_words:
+                bins.append((cur_id, cur_n, cur_w))
+                cur_id, cur_n, cur_w = cur_id + 1, 0, 0
+            cur_n += 1
+            cur_w += n
+        if cur_n:
+            bins.append((cur_id, cur_n, cur_w))
+        stratum = pdf[stratum_col].iloc[0]
+        return pd.DataFrame(
+            {
+                stratum_col: [stratum] * len(bins),
+                "example_id": [b[0] for b in bins],
+                "n_chunks": [b[1] for b in bins],
+                "total_words": [b[2] for b in bins],
+            }
+        )
+
+    return (
+        chunks.select(stratum_col, id_col, chunk_id_col, n_col)
+        .groupBy(stratum_col)
+        .applyInPandas(pack, out_schema)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

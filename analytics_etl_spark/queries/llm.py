@@ -1015,6 +1015,27 @@ def packed_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "packed_examples_exact",
+    rows_only="greedy first-fit packing is inherently sequential (bin of chunk i "
+    "depends on every earlier assignment) — not expressible in DuckDB SQL short "
+    "of a recursive CTE over every chunk; invariants vs the window form are "
+    "pinned in tests/test_text_multimodal.py instead",
+)
+def packed_examples_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT greedy packing (applyInPandas per language): bins never
+    overrun the 500-word budget — the ground truth the window-based
+    packed_examples approximates (its bins may overrun by one chunk).
+    The one legitimate batch applyInPandas in the engine: sequential
+    state per stratum, metadata-only rows through the Python
+    boundary."""
+    from analytics_etl_spark.operators.text_analysis import pack_training_examples_exact
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_words=50, overlap=10, keep_cols=("lang",))
+    return pack_training_examples_exact(chunks, budget_words=500, stratum_col="lang")
+
+
+@query(
     "multimodal_frame_index",
     oracle="""
     WITH v AS (

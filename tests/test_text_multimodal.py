@@ -134,3 +134,47 @@ def test_ngram_contamination_size_gate(spark):
     assert rows == {
         (r["doc_id"], r["n_grams"], r["n_contaminated"]) for r in shuffled.collect()
     }
+
+
+def test_exact_packing_invariants_vs_window_form(spark):
+    """The exact greedy packer (applyInPandas) against the window
+    approximation: exact bins NEVER overrun the budget (chunks are
+    <= 50 words, so no single-chunk exception here), both conserve
+    chunks and words exactly, and exact produces at least as many
+    bins (it closes early instead of overrunning). Deterministic
+    across runs."""
+    import pyspark.sql.functions as F
+
+    from analytics_etl_spark.operators.text_analysis import (
+        chunk_documents,
+        pack_training_examples,
+        pack_training_examples_exact,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, chunk_words=50, overlap=10, keep_cols=("lang",))
+    window_form = pack_training_examples(chunks, budget_words=500, stratum_col="lang")
+    exact = pack_training_examples_exact(chunks, budget_words=500, stratum_col="lang")
+
+    ex_rows = exact.collect()
+    assert all(r["total_words"] <= 500 for r in ex_rows)
+
+    def per_lang(df, col):
+        return {
+            r["lang"]: r["s"]
+            for r in df.groupBy("lang").agg(F.sum(col).alias("s")).collect()
+        }
+
+    assert per_lang(exact, "n_chunks") == per_lang(window_form, "n_chunks")
+    assert per_lang(exact, "total_words") == per_lang(window_form, "total_words")
+
+    n_bins = lambda df: {  # noqa: E731
+        r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    nb_exact, nb_window = n_bins(exact), n_bins(window_form)
+    assert all(nb_exact[lang] >= nb_window[lang] for lang in nb_window)
+
+    again = sorted(map(tuple, pack_training_examples_exact(
+        chunks, budget_words=500, stratum_col="lang"
+    ).collect()))
+    assert sorted(map(tuple, ex_rows)) == again
