@@ -107,3 +107,31 @@ def test_ann_signature_partition_pruning(spark, tmp_path):
     # and the probe really narrows the data read
     total = spark.read.parquet(path).count()
     assert 0 < probed.count() < total
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """The determinism contract, exercised: the same query collected
+    under 5 and 32 shuffle partitions yields IDENTICAL values — the
+    point of routing every money sum through DECIMAL (associative,
+    partition-order independent) and total-ordering every LIMIT.
+    Float sums would differ in the last ulp across layouts; a hash
+    gate like the driver's would flag exactly that."""
+    from analytics_etl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    names = ["flagship_monthly_revenue", "pricing_summary", "vocab_coverage_topk"]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run_all():
+        return {
+            n: sorted(map(tuple, REGISTRY[n].fn(spark, sf).collect())) for n in names
+        }
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        a = run_all()
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = run_all()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
