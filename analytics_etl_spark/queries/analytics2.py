@@ -1705,3 +1705,123 @@ def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(20)
     )
+
+
+# TPC-H Q2 shape: argmin-per-group with join-back — the cheapest
+# observed supplier per part (partsupp proxied by lineitem's observed
+# (part, supplier, unit price) triples).
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, u.l_suppkey AS s_suppkey, u.unit_price
+    FROM (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_price,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_extendedprice / l_quantity, l_suppkey
+             ) AS rk
+      FROM lineitem
+    ) u JOIN part p ON p.p_partkey = u.l_partkey
+    WHERE u.rk = 1
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: one window shuffle on the part key picks the argmin
+    (price, supplier) — never a correlated per-row MIN subquery; the
+    dimension join-back broadcasts. unit_price is one double division
+    (identical bits in both engines), ties broken by suppkey."""
+    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice") / F.col("l_quantity")
+    rk = F.row_number().over(
+        Window.partitionBy("l_partkey").orderBy(price.asc(), F.col("l_suppkey").asc())
+    )
+    u = (
+        li.select("l_partkey", "l_suppkey", price.alias("unit_price"), rk.alias("rk"))
+        .filter(F.col("rk") == 1)
+    )
+    return u.join(F.broadcast(p), u.l_partkey == p.p_partkey).select(
+        "p_partkey", "p_name", F.col("l_suppkey").alias("s_suppkey"), "unit_price"
+    )
+
+
+# Pareto concentration: the 80/20 read-off for revenue — top-100
+# customers with cumulative share of TOTAL revenue. Same global-window
+# discipline as vocab_coverage_topk: the cumsum runs over the 100
+# post-limit rows only; the corpus-sized work is one aggregate.
+@query(
+    "revenue_pareto",
+    oracle="""
+    WITH cr AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(rev) AS t FROM cr),
+    top AS (SELECT o_custkey, rev FROM cr ORDER BY rev DESC, o_custkey LIMIT 100)
+    SELECT o_custkey,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS INT) AS rank,
+           CAST(SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(tot.t AS DOUBLE) AS cum_share
+    FROM top, tot
+    """,
+)
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 customers by exact decimal revenue with rank and
+    cumulative share of the TOTAL (not just the top-100) — the Pareto
+    curve. The partition-less window below is over exactly 100
+    post-limit rows by design (see vocab_coverage_topk); total rides
+    in as a broadcast 1-row aggregate."""
+    o = t(spark, sf_dir, "orders")
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = cr.groupBy().agg(F.sum("rev").alias("t"))
+    top = cr.orderBy(F.desc("rev"), "o_custkey").limit(100)
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    return top.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        F.col("rev").cast("double").alias("revenue"),
+        F.row_number().over(w).cast("int").alias("rank"),
+        (
+            F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.col("t").cast("double")
+        ).alias("cum_share"),
+    )
+
+
+# Engagement: daily active users + 7-day rolling activity via a RANGE
+# frame keyed on the calendar day. The window input is per-DAY
+# aggregates — bounded by the calendar, not the data size, so the
+# partition-less range window is safe at any scale.
+@query(
+    "events_dau",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    )
+    SELECT day, CAST(dau AS BIGINT) AS dau,
+           CAST(SUM(dau) OVER (
+             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS dau_7d_sum
+    FROM d
+    """,
+)
+def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + trailing-7-day activity sum: distinct users per day (one
+    expand shuffle), then a RANGE window over epoch-days — gaps in the
+    calendar are handled by the range frame (a missing day simply
+    contributes nothing), which a rows-frame would get wrong."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy(F.unix_date("day")).rangeBetween(-6, 0)
+    return d.select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.sum("dau").over(w).cast("bigint").alias("dau_7d_sum"),
+    )
