@@ -1825,3 +1825,33 @@ def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dau").cast("bigint").alias("dau"),
         F.sum("dau").over(w).cast("bigint").alias("dau_7d_sum"),
     )
+
+
+# Mergeable-sketch distinct rollup: the incremental form of
+# COUNT(DISTINCT) at 100 TB. Daily HLL sketches (the pay-once ingest
+# pass you'd persist) are UNIONED per event_type — register-wise max,
+# so the result is bit-identical to sketching the whole range directly
+# (pinned by tests/test_sketches.py::test_union_equals_direct, along
+# with a tolerance bound vs exact). Estimates are engine-specific
+# (DataSketches HLL vs DuckDB's HLL differ by construction), hence
+# rows_only; the equality + tolerance pins are the correctness
+# evidence. Reference analog: monthly_etl.py re-aggregates raw rows on
+# every refresh — this is what replaces that at scale.
+@query(
+    "approx_distinct_sketch_union",
+    rows_only="DataSketches HLL estimate is engine-specific; lossless union vs "
+    "direct sketch + tolerance vs exact are pinned in tests/test_sketches.py",
+)
+def approx_distinct_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via union of per-day sketches —
+    two shuffles of KB-sized sketches; the raw table is scanned once
+    (in deployment: never, the daily sketch table is persisted)."""
+    from analytics_etl_spark.operators.sketches import group_sketches, union_rollup
+
+    ev = t(spark, sf_dir, "events")
+    daily = group_sketches(
+        ev.withColumn("day", F.to_date(F.col("ts").cast("timestamp"))),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return union_rollup(daily, ["event_type"]).orderBy("event_type")

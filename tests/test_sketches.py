@@ -1,0 +1,93 @@
+"""Mergeable-sketch invariants (operators/sketches.py).
+
+The sketch path's correctness story is NOT an oracle hash (estimates
+are engine-specific) — it's two pinned properties:
+
+1. union-of-partition-sketches == direct whole-range sketch, EXACTLY
+   (HLL union is register-wise max → the incremental rollup IS the
+   batch computation, not an approximation of it);
+2. the estimate lands within the HLL error envelope of the exact
+   COUNT(DISTINCT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.sketches import (
+    distinct_estimate,
+    group_sketches,
+    union_rollup,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _events(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("day", F.to_date(F.col("ts").cast("timestamp")))
+    )
+
+
+def test_union_equals_direct(spark):
+    """Lossless merge: rolling daily sketches up to event_type gives the
+    SAME estimate as sketching each event_type in one pass."""
+    ev = _events(spark)
+    daily = group_sketches(ev, ["event_type", "day"], "user_id")
+    via_union = {
+        r["event_type"]: r["approx_distinct"]
+        for r in union_rollup(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["approx_distinct"]
+        for r in distinct_estimate(ev, ["event_type"], "user_id").collect()
+    }
+    assert via_union == direct and len(direct) > 0
+
+
+def test_estimate_within_error_envelope(spark):
+    """lg_k=12 → RSE ~1.6%; assert every group within 5% of exact
+    (3 standard errors)."""
+    ev = _events(spark)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_distinct"]
+        for r in distinct_estimate(ev, ["event_type"], "user_id").collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(3, 0.05 * n), (k, n, approx[k])
+
+
+def test_union_partition_invariant(spark):
+    """Sketching under a DIFFERENT partitioning of the same rows (week
+    instead of day, shuffled input) unions to the same estimate — the
+    property that makes backfills and re-partitioned ingests safe."""
+    ev = _events(spark)
+    daily = group_sketches(ev, ["event_type", "day"], "user_id")
+    weekly = group_sketches(
+        ev.repartition(7).withColumn("wk", F.weekofyear("day")),
+        ["event_type", "wk"],
+        "user_id",
+    )
+    a = {r["event_type"]: r["approx_distinct"] for r in union_rollup(daily, ["event_type"]).collect()}
+    b = {r["event_type"]: r["approx_distinct"] for r in union_rollup(weekly, ["event_type"]).collect()}
+    assert a == b
+
+
+def test_sketch_plan_is_jvm_aggregate(spark):
+    """No Python in the plan; sketch agg is an ObjectHashAggregate with
+    a partial pass before the exchange (map-side combine — the shuffle
+    moves sketches, not raw rows)."""
+    ev = _events(spark)
+    plan = union_rollup(
+        group_sketches(ev, ["event_type", "day"], "user_id"), ["event_type"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
