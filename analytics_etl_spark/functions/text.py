@@ -52,3 +52,22 @@ def is_valid_day_name(col: Column | str) -> Column:
     """F11 — day-name whitelist (reference etl_service.py:408-410)."""
     c = F.col(col) if isinstance(col, str) else col
     return c.isin(*DAY_NAMES)
+
+
+def canonicalize_text(col: Column | str) -> Column:
+    """Dedup-grade text canonicalization: lowercase, strip everything
+    but [a-z0-9], collapse whitespace runs, trim.
+
+    Exact dedup on raw bytes misses the web's trivial variants —
+    case, punctuation, whitespace/formatting churn (the same article
+    re-rendered by two CMSes). Canonical-form hashing catches that
+    whole class for the cost of three codegen string expressions,
+    BEFORE the expensive near-dup machinery runs; at 100 TB every
+    document removed here is one that never reaches shingling.
+    Deliberately ASCII-scoped: [^a-z0-9] on lowered text is
+    locale-independent and reproduces bit-identically in any engine
+    (a Unicode-class form would hash differently per ICU version).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    squashed = F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")
+    return F.trim(squashed)

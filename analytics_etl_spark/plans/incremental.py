@@ -1,0 +1,121 @@
+"""Incremental materialized-view maintenance for the monthly rollup.
+
+The reference's nightly job re-aggregates the WHOLE raw table on every
+run (reference monthly_etl.py; database_service.py's delete-by-month →
+reload is the manual form of this). At 100 TB a full recompute per
+night is the single biggest avoidable cost in the pipeline: yesterday's
+ingest touched a handful of months, and every other month's aggregate
+is already correct on disk.
+
+The maintenance contract here:
+
+* ONE aggregation definition (`monthly_rollup`) shared by the full
+  build and the refresh — the incremental path can't drift from the
+  batch path because they are the same plan over different inputs.
+* The refresh recomputes ONLY the changed months, from a fact scan
+  whose o_orderdate predicate is an OR of per-month ranges — a plain
+  pushed parquet filter (PushedFilters in the scan; on a
+  date-partitioned 100 TB fact table this is directory pruning).
+  Recomputing the month from scratch (rather than applying a delta to
+  the stored aggregate) keeps the refresh idempotent and correct under
+  updates/deletes in the re-delivered month, not just appends.
+* The write is dynamic partition overwrite on `month`: changed months
+  are replaced atomically-per-partition, untouched months keep their
+  existing files byte-for-byte (asserted by test via file listing).
+
+`changed_months` comes from the ingest batch (distinct months of the
+delta — an index-sized driver list, same class as the IVF centroid
+collects; at 1000 executors this is a list of maybe 3 strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.functions.datetime_fns import month_str
+from analytics_etl_spark.sinks.writer import overwrite_partitions
+from analytics_etl_spark.tables import load_table
+
+
+def monthly_rollup(li: DataFrame, o: DataFrame, c: DataFrame, n: DataFrame) -> DataFrame:
+    """The flagship monthly-revenue aggregate (queries/parity.py
+    flagship_monthly_revenue), factored so full build and incremental
+    refresh share one definition."""
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            month_str("o_orderdate").alias("month"),
+            F.col("n_name").alias("location_name"),
+        )
+        .agg(
+            F.count("*").alias("order_count"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def month_range_predicate(months: list[str], date_col: str = "o_orderdate") -> Column:
+    """OR of half-open [first-of-month, first-of-next-month) ranges —
+    plain comparisons on the raw date column, so parquet row-group
+    stats (and date partitioning, where present) prune the scan.
+    Deliberately NOT `month_str(col).isin(...)`: a predicate wrapped in
+    a formatting expression never reaches PushedFilters."""
+    if not months:
+        return F.lit(False)
+    pred = None
+    for m in sorted(set(months)):
+        start = F.to_timestamp(F.lit(f"{m}-01"))
+        end = F.to_timestamp(F.add_months(F.lit(f"{m}-01").cast("date"), 1))
+        rng = (F.col(date_col) >= start) & (F.col(date_col) < end)
+        pred = rng if pred is None else (pred | rng)
+    return pred
+
+
+def build_monthly_rollup(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Full (re)build — the bootstrap, and the escape hatch if the
+    rollup is ever suspected stale."""
+    out = monthly_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    out.write.mode("overwrite").partitionBy("month").parquet(path)
+
+
+def refresh_monthly_rollup(
+    spark: SparkSession, sf_dir: str, path: str, changed_months: list[str]
+) -> int:
+    """Recompute exactly `changed_months` from the fact tables and
+    dynamic-overwrite those rollup partitions. Returns the number of
+    rollup rows rewritten. No-op (zero scans) for an empty month list."""
+    if not changed_months:
+        return 0
+    o = load_table(spark, sf_dir, "orders").filter(
+        month_range_predicate(changed_months)
+    )
+    out = monthly_rollup(
+        load_table(spark, sf_dir, "lineitem"),
+        o,
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    # month is re-derived inside monthly_rollup from the filtered fact,
+    # so the frame contains exactly the changed partitions; dynamic
+    # overwrite therefore touches exactly those directories.
+    overwrite_partitions(out, path, ("month",))
+    return spark.read.parquet(path).filter(F.col("month").isin(changed_months)).count()
+
+
+def changed_months_of(delta_orders: DataFrame, date_col: str = "o_orderdate") -> list[str]:
+    """Distinct months present in an ingest batch — the index-sized
+    driver list that parameterizes the refresh."""
+    return sorted(
+        r["m"] for r in delta_orders.select(month_str(date_col).alias("m")).distinct().collect()
+    )

@@ -62,6 +62,31 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs).select("fingerprint", "kept_doc_id", "n_copies")
 
 
+# Canonical-form exact dedup: hash AFTER case/punct/whitespace
+# normalization — catches the re-rendered-same-article class raw-byte
+# hashing misses, still a 32-byte-key groupBy. DuckDB's regexp_replace
+# needs the explicit 'g' flag (Spark replaces all matches by default) —
+# dialect trap pinned by this oracle pair.
+@query(
+    "dedup_exact_canonical",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint,
+           MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.functions.text import canonicalize_text
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "canon", canonicalize_text("text")
+    )
+    return exact_dedup(docs, text_col="canon").select(
+        "fingerprint", "kept_doc_id", "n_copies"
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""

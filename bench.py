@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "similarity_topk_rerank",
     "text_tfidf_topterms",
+    "approx_distinct_sketch_union",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
@@ -240,6 +241,67 @@ def _dedup_incremental_persisted(spark, sf_dir: str):
     )
 
 
+_SKETCH_DAILY: object | None = None
+_ROLLUP_PATH: str | None = None
+_ROLLUP_MONTH: str | None = None
+
+
+def _setup_sketches(spark, sf_dir: str) -> None:
+    """Ingest-time daily HLL sketch table (untimed): the pay-once pass
+    a real site runs per arriving partition."""
+    global _SKETCH_DAILY
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.sketches import group_sketches
+    from analytics_etl_spark.tables import load_table
+
+    path = os.path.join(tempfile.mkdtemp(prefix="aes_bench_hll_"), "daily")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp"))
+    )
+    group_sketches(ev, ["event_type", "day"], "user_id").write.mode("overwrite").parquet(path)
+    _SKETCH_DAILY = spark.read.parquet(path)
+
+
+def _sketch_union_persisted(spark, sf_dir: str):
+    """approx_distinct_sketch_union reading the persisted daily-sketch
+    table: the refresh scans KB-sized sketches, never the raw events —
+    the incremental-distinct deployment number."""
+    from analytics_etl_spark.operators.sketches import union_rollup
+
+    return union_rollup(_SKETCH_DAILY, ["event_type"])
+
+
+def _setup_rollup(spark, sf_dir: str) -> None:
+    """Bootstrap the monthly rollup MV (untimed full build)."""
+    global _ROLLUP_PATH, _ROLLUP_MONTH
+    from analytics_etl_spark.plans.incremental import build_monthly_rollup
+
+    _ROLLUP_PATH = os.path.join(tempfile.mkdtemp(prefix="aes_bench_mv_"), "rollup")
+    build_monthly_rollup(spark, sf_dir, _ROLLUP_PATH)
+    _ROLLUP_MONTH = (
+        spark.read.parquet(_ROLLUP_PATH).agg({"month": "max"}).first()[0]
+    )
+
+
+def _rollup_refresh_month(spark, sf_dir: str):
+    """Nightly MV maintenance: recompute ONE changed month from a
+    pushed-predicate fact scan and dynamic-overwrite that partition —
+    vs rollup_full_rebuild, the cost the reference pays every night."""
+    from analytics_etl_spark.plans.incremental import refresh_monthly_rollup
+
+    n = refresh_monthly_rollup(spark, sf_dir, _ROLLUP_PATH, [_ROLLUP_MONTH])
+    return spark.range(max(n, 1))
+
+
+def _rollup_full_rebuild(spark, sf_dir: str):
+    """The non-incremental baseline: full recompute + full rewrite."""
+    from analytics_etl_spark.plans.incremental import build_monthly_rollup
+
+    build_monthly_rollup(spark, sf_dir, _ROLLUP_PATH)
+    return spark.range(1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -259,6 +321,8 @@ def main() -> None:
     _setup_bucketed(spark, sf_dir)  # untimed: ingest-time layout work
     _setup_shingled(spark, sf_dir)  # untimed: ingest-time shingle column
     _setup_ann_indexes(spark, sf_dir)  # untimed: ingest-time ANN indexes
+    _setup_sketches(spark, sf_dir)  # untimed: ingest-time daily HLL sketches
+    _setup_rollup(spark, sf_dir)  # untimed: rollup MV bootstrap
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -267,6 +331,9 @@ def main() -> None:
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed
     plans["similarity_topk_int8_persisted"] = _int8_persisted
+    plans["sketch_union_persisted"] = _sketch_union_persisted
+    plans["rollup_refresh_month"] = _rollup_refresh_month
+    plans["rollup_full_rebuild"] = _rollup_full_rebuild
 
     # warm-up pass (untimed)
     for fn in plans.values():
