@@ -1855,3 +1855,74 @@ def approx_distinct_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
     )
     return union_rollup(daily, ["event_type"]).orderBy("event_type")
+
+
+def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
+    """Unrolled integer-PageRank SQL — same fixed-point arithmetic as
+    operators/graph.py::pagerank_int, iteration by iteration, so the
+    iterative DataFrame loop is held to a bit-exact oracle."""
+    base = (15 * scale) // 100
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      UNION
+      SELECT DISTINCT 2 * l.l_suppkey + 1 AS src, 2 * o.o_custkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM n)"""
+    for i in range(iters):
+        sql += f""",
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(s.in_sum, 0)) // 100 AS BIGINT) AS rank
+      FROM n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank // d.deg) AS in_sum
+        FROM e JOIN r{i} r ON r.node = e.src
+               JOIN deg d ON d.src = e.src
+        GROUP BY 1
+      ) s ON s.node = n.node)"""
+    sql += f"""
+    SELECT (node - 1) // 2 AS supp_id, rank AS pagerank
+    FROM r{iters} WHERE node % 2 = 1
+    ORDER BY pagerank DESC, supp_id LIMIT 20
+    """
+    return sql
+
+
+# Iterative graph centrality: PageRank over the symmetrized
+# customer↔supplier purchase graph, EXACT integer fixed-point (see
+# operators/graph.py::pagerank_int) — the quality-prior computation a
+# crawl-scale corpus runs over its link graph, here held to a bit-exact
+# unrolled-SQL oracle (float PageRank could only ever be rows_only).
+@query("supplier_pagerank", oracle=_pagerank_oracle())
+def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by purchase-graph PageRank. Edge build: one
+    fact-fact join + distinct; then 3 iterations of join+groupBy on
+    the edge list (see pagerank_int docstring for the scale story)."""
+    from analytics_etl_spark.operators.graph import pagerank_int
+
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_int(edges, iters=3)
+    return (
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            ((F.col("node") - 1) / 2).cast("bigint").alias("supp_id"),
+            F.col("rank").alias("pagerank"),
+        )
+        .orderBy(F.col("pagerank").desc(), "supp_id")
+        .limit(20)
+    )

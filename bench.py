@@ -66,6 +66,7 @@ HEADLINE = [
     "similarity_topk_rerank",
     "text_tfidf_topterms",
     "approx_distinct_sketch_union",
+    "supplier_pagerank",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

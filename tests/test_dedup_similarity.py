@@ -309,3 +309,28 @@ def test_incremental_dedup_batch_vs_corpus_only(spark, tmp_path):
         ).collect()
     }
     assert got2 == got
+
+
+def test_pagerank_int_partition_invariant_and_sane(spark):
+    """Integer fixed-point PageRank: identical bits under a different
+    partitioning (the property float PageRank lacks), higher-degree
+    hubs outrank leaves, total mass stays near n·scale (truncation
+    loses < deg/scale per node per round)."""
+    from analytics_etl_spark.operators.graph import pagerank_int
+
+    # star (hub 0 ↔ 1..4) plus a detached pair (10 ↔ 11), symmetrized
+    fwd = [(0, i) for i in range(1, 5)] + [(10, 11)]
+    edges = spark.createDataFrame(
+        fwd + [(b, a) for a, b in fwd], ["src", "dst"]
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank_int(edges, iters=4).collect()}
+    r2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(edges.repartition(7), iters=4).collect()
+    }
+    assert r1 == r2
+    assert r1[0] > r1[1]  # hub beats leaf
+    assert r1[1] == r1[2] == r1[3] == r1[4]  # symmetric leaves tie exactly
+    scale = 10**12
+    total = sum(r1.values())
+    assert 0 <= (len(r1) * scale - total) < len(r1) * 4 * 10 * 4  # tiny truncation loss
