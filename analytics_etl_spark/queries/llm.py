@@ -1622,3 +1622,33 @@ def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame
             for i, plane in enumerate(planes)
         ],
     )
+
+
+# Inverted-index conjunctive search (operators/search.py): postings
+# intersection as ONE filter + ONE aggregation regardless of term
+# count — never a k-way self-join. The registered form builds postings
+# inline for oracle comparability; the deployment form reads the
+# ingest-persisted term-partitioned index (bench probe
+# text_search_indexed; pruning plan-asserted in tests/test_search.py).
+@query(
+    "text_search_conjunctive",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    p AS (
+      SELECT term, doc_id, COUNT(*) AS tf
+      FROM tok WHERE term IN ('filter', 'join', 'window') GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+    FROM p GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def text_search_conjunctive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing ALL of {filter, join, window}, ranked by exact
+    Σ tf — the decontamination/audit lookup pattern."""
+    from analytics_etl_spark.operators.search import build_postings, conjunctive_search
+
+    docs = t(spark, sf_dir, "documents")
+    return conjunctive_search(build_postings(docs), ["filter", "join", "window"], k=20)
