@@ -1926,3 +1926,123 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "supp_id")
         .limit(20)
     )
+
+
+# Statistical anomaly detection with EXACT arithmetic: flag days whose
+# revenue sits ≥2σ from the mean. z-scores are the textbook float
+# hazard (variance via float sums re-associates), so the test
+# z² ≥ k² is cross-multiplied into integers:
+#   (n·s_d − T)² ≥ k²·(n·T2 − T²)
+# with s in integer cents (FLOOR(x·100) — IEEE-exact in any engine),
+# T = Σs, T2 = Σs². Spark computes in DECIMAL(38,0), DuckDB in
+# HUGEINT — both exact at these magnitudes (≤10^26 at sf1), so a
+# boolean that depends on the 20th digit still hash-matches. The
+# global stats ride a broadcast 1-row frame (never a shuffle).
+@query(
+    "revenue_anomaly_days",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(CAST(revenue_cents AS HUGEINT)) AS t,
+             SUM(CAST(revenue_cents AS HUGEINT) * CAST(revenue_cents AS HUGEINT)) AS t2
+      FROM d
+    )
+    SELECT day, revenue_cents,
+           (CAST(n AS HUGEINT) * revenue_cents - t)
+             * (CAST(n AS HUGEINT) * revenue_cents - t)
+             >= 4 * (CAST(n AS HUGEINT) * t2 - t * t) AS is_anomaly
+    FROM d, g ORDER BY day
+    """,
+)
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days with |revenue − μ| ≥ 2σ, decided in exact integer
+    arithmetic (see comment above): one day-agg shuffle + a broadcast
+    1-row global-stats frame; scales as a single pass at any size."""
+    o = t(spark, sf_dir, "orders")
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents")
+    )
+    s = F.col("revenue_cents")
+    g = d.agg(
+        F.count("*").alias("n"),
+        F.sum(d19(s)).alias("t"),
+        F.sum(d19(s) * d19(s)).alias("t2"),
+    )
+    nd = d19(F.col("n"))
+    diff = nd * d19(s) - F.col("t")
+    rhs = F.lit(4).cast("decimal(19,0)") * (nd * F.col("t2") - F.col("t") * F.col("t"))
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select("day", "revenue_cents", (diff * diff >= rhs).alias("is_anomaly"))
+        .orderBy("day")
+    )
+
+
+# Data-quality census: per-column null/distinct/min/max over orders in
+# ONE scan — the profiling pass a 100 TB ingest runs before accepting a
+# partition (ReadSchema stays full-width here by intent: the profile IS
+# about every column). Multiple count_distincts ride Spark's Expand
+# (one pass, k-way row expansion), then the 1-row aggregate unpivots
+# via stack(). The float column is profiled for nulls/distinct but its
+# min/max are left out of the string surface — double→string
+# formatting is engine-specific, everything else here is exact.
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_val FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority), MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    aggs += [
+        (F.count("*") - F.count("o_orderdate")).alias("o_orderdate__nulls"),
+        F.count_distinct(F.col("o_orderdate")).alias("o_orderdate__distinct"),
+        F.min(F.to_date("o_orderdate")).cast("string").alias("o_orderdate__min"),
+        F.max(F.to_date("o_orderdate")).cast("string").alias("o_orderdate__max"),
+    ]
+    one = o.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols + ["o_orderdate"]
+    )
+    return one.selectExpr(
+        f"stack(5, {parts}) AS (col_name, n_nulls, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
