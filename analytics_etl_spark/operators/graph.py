@@ -160,10 +160,17 @@ def pagerank_int(
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     base = (15 * scale) // 100
     for i in range(iters):
-        contrib = (
-            edges.join(ranks, edges[src] == ranks["node"])
-            .join(deg, on=src)
-            .select(F.col(dst).alias("node"), F.expr("rank div deg").alias("c"))
+        # join order matters at scale: rank÷degree is computed on the
+        # NODE-sized frame first, so the edge list is touched by exactly
+        # one (edge-sized) join per iteration instead of two
+        per_src = (
+            ranks.join(deg, ranks["node"] == deg[src])
+            .select(
+                F.col("node").alias("_s"), F.expr("rank div deg").alias("c")
+            )
+        )
+        contrib = edges.join(per_src, edges[src] == per_src["_s"]).select(
+            F.col(dst).alias("node"), "c"
         )
         inbound = contrib.groupBy("node").agg(F.sum("c").alias("in_sum"))
         ranks = nodes.join(inbound, "node", "left").select(
