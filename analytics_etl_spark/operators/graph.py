@@ -155,6 +155,11 @@ def pagerank_int(
     is cut with localCheckpoint every 2 rounds past iters=3 (same
     policy and rationale as the CC loop above).
     """
+    # Materialize the edge list ONCE (same policy and rationale as the
+    # CC loop above): every iteration joins it, and lazily it would
+    # re-run the whole upstream edge build — here a fact-fact join +
+    # distinct — once per iteration per side.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(src).agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col(src).alias("node")).distinct()
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
