@@ -2046,3 +2046,34 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(5, {parts}) AS (col_name, n_nulls, n_distinct, min_val, max_val)",
         "n_rows",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+# Provenance census: rows per physical input file via input_file_name()
+# — the ingest-governance primitive behind quarantine attribution and
+# bad-file rollback ("which file did these rows come from?" must be
+# answerable BEFORE a reload); at deployment scale it doubles as the
+# small-file/compaction monitor (sinks.writer.compact_partitions).
+# rows_only for the driver: its oracle runs against pre-registered
+# VIEWS, which hide file identity — but the census IS exactly
+# DuckDB-reproducible via read_parquet(filename=true) with a concrete
+# path, and tests/test_provenance.py pins that equality per SF dir.
+@query(
+    "source_file_census",
+    rows_only="file identity is invisible through the driver's table views; "
+    "exact DuckDB parity via read_parquet(filename=true) is pinned in "
+    "tests/test_provenance.py",
+)
+def source_file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for name in ["lineitem", "orders", "events"]:
+        df = t(spark, sf_dir, name)
+        frames.append(
+            df.groupBy(
+                F.lit(name).alias("tbl"),
+                F.regexp_extract(F.input_file_name(), "([^/]+)$", 1).alias("fname"),
+            ).agg(F.count("*").alias("n_rows"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
