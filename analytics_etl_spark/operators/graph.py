@@ -185,3 +185,43 @@ def pagerank_int(
         if iters > 3 and (i + 1) % 2 == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seed: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Breadth-first shortest-path levels from `seed`, bounded by
+    `max_hops` — (node, dist) for every node reachable within the
+    bound. Exact integers, so the iterative loop is oracle-checkable
+    against a recursive CTE.
+
+    Per hop: one edge-sized join against the frontier + one anti-join
+    against the visited set (node-sized). The frontier/visited frames
+    are checkpointed every hop — same lineage policy as the CC and
+    PageRank loops; hop count is a CONSTANT (not data-dependent), so
+    unlike CC there is no driver-side fixpoint probe at all: the whole
+    bounded BFS is one lazy plan per hop chain.
+    """
+    edges = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    visited = (
+        edges.sparkSession.range(1)
+        .select(F.lit(seed).cast("long").alias("node"), F.lit(0).alias("dist"))
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier, edges["_s"] == frontier["node"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited

@@ -2077,3 +2077,49 @@ def source_file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# Bounded BFS over the purchase graph: shortest hop distance from one
+# supplier to every reachable node within 4 hops — "blast radius" /
+# reachability analysis (bad-supplier contamination, recall networks).
+# Third iterative family next to CC and PageRank; distances are exact
+# integers, so the DataFrame loop is held to a recursive-CTE oracle
+# (the CTE explores all (node, dist≤4) pairs, MIN collapses to BFS).
+@query(
+    "purchase_graph_bfs",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      UNION
+      SELECT DISTINCT 2 * l.l_suppkey + 1, 2 * o.o_custkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    walk(node, dist) AS (
+      SELECT CAST(3 AS BIGINT), 0
+      UNION
+      SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.node
+      WHERE w.dist < 4
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY 1
+    """,
+)
+def purchase_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.graph import bfs_levels
+
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("src"),
+            (2 * F.col("l_suppkey") + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # seed node 3 = supplier 1 in the 2k+1 encoding
+    return bfs_levels(edges, seed=3, max_hops=4).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
