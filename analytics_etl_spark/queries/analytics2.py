@@ -2123,3 +2123,48 @@ def purchase_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, seed=3, max_hops=4).select(
         "node", F.col("dist").cast("int").alias("dist")
     )
+
+
+# Gaps-and-islands: longest consecutive run of error events per user —
+# the classic streak analysis (retention streaks, failure bursts, SLA
+# runs) via the rn-difference trick: two ROW_NUMBERs (one global per
+# user, one per (user, type)) differ by a constant within each
+# consecutive island. Ordering is made total with the event_id
+# tiebreak, so the islands — and the answer — are deterministic.
+# Two window passes + one agg; every shuffle is keyed by user.
+@query(
+    "longest_error_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, COUNT(*) AS streak
+      FROM seq WHERE event_type = 'error'
+      GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(MAX(streak) AS BIGINT) AS longest_streak
+    FROM runs GROUP BY 1
+    """,
+)
+def longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    runs = (
+        seq.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("streak"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("streak").cast("bigint").alias("longest_streak")
+    )

@@ -68,6 +68,9 @@ HEADLINE = [
     "approx_distinct_sketch_union",
     "supplier_pagerank",
     "text_search_conjunctive",
+    "purchase_graph_bfs",
+    "revenue_anomaly_days",
+    "table_profile_orders",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
