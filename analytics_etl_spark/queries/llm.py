@@ -1652,3 +1652,42 @@ def text_search_conjunctive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     return conjunctive_search(build_postings(docs), ["filter", "join", "window"], k=20)
+
+
+# Phrase search: exact bigram adjacency via positional shingles — the
+# semantics substring LIKE gets wrong ('monkey order' contains the
+# BYTES 'key order' but not the phrase). Reuses the shingle kernel the
+# dedup family persists at ingest, so in deployment this reads the
+# same written column; counts are per-occurrence (distinct=False),
+# exact integers.
+@query(
+    "text_search_phrase",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM words
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM bg WHERE bigram = 'key order'
+    GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 20
+    """,
+)
+def text_search_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing the exact phrase 'key order', ranked by
+    occurrence count: shingle(n=2, distinct=False) → filter → count.
+    The phrase predicate lands BEFORE the aggregation, so only hit
+    rows shuffle."""
+    from analytics_etl_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    bg = word_shingles(docs, n=2, distinct=False)
+    return (
+        bg.filter(F.col("shingle") == "key order")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .orderBy(F.col("n_hits").desc(), "doc_id")
+        .limit(20)
+    )
