@@ -36,3 +36,14 @@ def orders_from_json_strings(spark: SparkSession, df: DataFrame, col: str) -> Da
     """Parse a string column of order JSON (e.g. off a message bus)
     into the typed nested schema with from_json."""
     return df.select(F.from_json(F.col(col), ORDER_SCHEMA).alias("o")).select("o.*")
+
+
+def read_evolved_parquet(spark, path: str):
+    """Schema-evolution read: union the schemas of all files under
+    `path` (mergeSchema), so partitions written before a column
+    existed surface it as NULL instead of failing the scan — the
+    contract a long-lived 100 TB table needs, since re-writing old
+    partitions on every schema change is not an option. Columns can
+    be ADDED this way; type CHANGES still (correctly) fail the read.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

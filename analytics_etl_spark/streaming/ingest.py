@@ -176,3 +176,15 @@ def merge_sketch_batch(
     if os.path.exists(sketch_path):
         shutil.rmtree(sketch_path)
     os.replace(tmp, sketch_path)
+
+
+def read_corpus_asof(spark, corpus_path: str, epoch: int) -> DataFrame:
+    """Time-travel-lite: the corpus as it stood after micro-batch
+    `epoch` committed. The epoch-directory layout written above IS a
+    coarse commit log — `epoch <= n` is a partition predicate, so the
+    as-of read lists/scans only the wanted directories (no log replay,
+    no merge). Useful for reproducing exactly the corpus a training
+    run saw ("train run R used corpus as of epoch 17"), and for
+    bisecting a regression to the batch that introduced it.
+    """
+    return spark.read.parquet(corpus_path).filter(F.col("epoch") <= int(epoch))

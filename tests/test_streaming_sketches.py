@@ -59,3 +59,40 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
     merge_sketch_batch(b1, 1, path)  # replay
     merge_sketch_batch(b0, 2, path)  # even older data re-delivered
     assert _estimates(spark, path) == before
+
+
+def test_read_corpus_asof_prunes_epochs(spark, tmp_path):
+    """As-of reads see exactly the committed-through-epoch state, via
+    a partition predicate (PartitionFilters, zero data-file reads of
+    later epochs)."""
+    from analytics_etl_spark.streaming.ingest import read_corpus_asof
+
+    base = str(tmp_path / "corpus")
+    for ep, ids in [(0, [1, 2]), (1, [3]), (2, [4, 5])]:
+        spark.createDataFrame([(i, f"doc {i}") for i in ids], ["doc_id", "text"]) \
+            .write.mode("overwrite").parquet(f"{base}/epoch={ep}")
+    asof1 = read_corpus_asof(spark, base, 1)
+    assert sorted(r["doc_id"] for r in asof1.collect()) == [1, 2, 3]
+    plan = asof1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "epoch" in plan
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Old partitions without a later-added column read as NULL under
+    mergeSchema; a type CHANGE on an existing column still fails."""
+    import pytest
+
+    from analytics_etl_spark.sources.json_ingest import read_evolved_parquet
+
+    base = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a")], ["id", "v"]).write.parquet(f"{base}/p=old")
+    spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]).write.parquet(
+        f"{base}/p=new"
+    )
+    df = read_evolved_parquet(spark, base)
+    rows = {r["id"]: (r["v"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+    spark.createDataFrame([(3, 7)], ["id", "v"]).write.parquet(f"{base}/p=bad")
+    with pytest.raises(Exception):
+        read_evolved_parquet(spark, base).collect()
