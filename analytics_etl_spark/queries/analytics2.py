@@ -1943,7 +1943,8 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
-             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
       FROM orders GROUP BY 1
     ),
     g AS (
