@@ -1691,3 +1691,87 @@ def text_search_phrase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_hits").desc(), "doc_id")
         .limit(20)
     )
+
+
+# Temperature-weighted dataset mixing (T=2 ⇒ rates ∝ n^(1/2)): the
+# standard multilingual rebalancing (sample low-resource languages up,
+# high-resource down). α is FIXED at 0.5 because sqrt is IEEE
+# correctly-rounded in every engine while pow() is libm-dependent —
+# the one-ulp lesson the linearized-idf query already encodes. The
+# denominator Σ√n folds over the lang-SORTED array via the same
+# left-fold that list_dot_product shares with F.aggregate (verified
+# bit-equal for the ANN family), so even this float-valued mix is
+# oracle-checked exactly. Languages are few: the global agg is
+# index-sized, the heavy work is one count shuffle.
+@query(
+    "temperature_mix_rates",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    s AS (
+      SELECT list_dot_product(
+               list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang),
+               list_transform(list(n_docs ORDER BY lang), x -> 1.0)) AS denom
+      FROM c
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           sqrt(CAST(n_docs AS DOUBLE)) / denom AS mix_rate
+    FROM c, s ORDER BY lang
+    """,
+)
+def temperature_mix_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    denom_df = c.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("lang"),
+                            F.sqrt(F.col("n_docs").cast("double")).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("denom")
+    )
+    return (
+        c.crossJoin(F.broadcast(denom_df))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (F.sqrt(F.col("n_docs").cast("double")) / F.col("denom")).alias("mix_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Deterministic corpus shuffle: global order by a salted hash — the
+# reproducible "random" ordering a training run needs (same shuffle on
+# any cluster size, any rerun; decorrelated from the sampling and
+# split hashes by the salt). Top-100 here keeps the registered result
+# compact; the full-scale form is repartitionByRange on the same key.
+@query(
+    "deterministic_shuffle",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)))
+             AS position,
+           doc_id
+    FROM documents
+    ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR))
+    LIMIT 100
+    """,
+)
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    top = docs.select("doc_id", h.alias("h")).orderBy("h").limit(100)
+    # window over 100 post-limit rows by design (same shape as
+    # vocab_coverage_topk — the WARN is expected, do not "fix")
+    w = Window.orderBy("h")
+    return top.select(F.row_number().over(w).alias("position"), "doc_id")
