@@ -1775,3 +1775,65 @@ def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab_coverage_topk — the WARN is expected, do not "fix")
     w = Window.orderBy("h")
     return top.select(F.row_number().over(w).alias("position"), "doc_id")
+
+
+# Sample-budget allocation by largest remainder (Hamilton method):
+# split a fixed budget of B=10,000 sample slots across languages
+# proportionally to corpus counts, EXACTLY — floor(B·n/N) seats first,
+# the leftover seats go to the largest remainders (B·n mod N), ties by
+# lang for a total order. Everything is integer arithmetic on BIGINTs
+# (B·n ≤ 10^4·10^7 at sf1 — no overflow), so the allocation —
+# including the tie-broken remainder seats — hash-matches across
+# engines. This is the exact-integer counterpart to
+# temperature_mix_rates: rates are floats you multiply later; an
+# allocation is the final integer contract a sampler must hit.
+@query(
+    "sample_budget_allocation",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(CAST(n AS BIGINT)) AS big_n, CAST(10000 AS BIGINT) AS b FROM c),
+    base AS (
+      SELECT lang, n, (b * n) // big_n AS floor_seats, (b * n) % big_n AS rem,
+             b, big_n
+      FROM c, tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rr,
+             b - SUM(floor_seats) OVER () AS leftover
+      FROM base
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           CAST(floor_seats + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS seats
+    FROM ranked ORDER BY lang
+    """,
+)
+def sample_budget_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    B = 10_000
+    docs = t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum(F.col("n").cast("long")).alias("big_n"))
+    base = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        F.expr(f"({B}L * n) div big_n").alias("floor_seats"),
+        F.expr(f"({B}L * n) % big_n").alias("rem"),
+    )
+    # the window runs over one row per LANGUAGE — index-sized by
+    # construction, the global window WARN is expected here
+    w = Window.orderBy(F.col("rem").desc(), "lang")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("rr"),
+        (F.lit(B) - F.sum("floor_seats").over(Window.partitionBy())).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        (
+            F.col("floor_seats")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).cast("bigint").alias("seats"),
+    ).orderBy("lang")
