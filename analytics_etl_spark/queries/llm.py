@@ -1837,3 +1837,59 @@ def sample_budget_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).cast("bigint").alias("seats"),
     ).orderBy("lang")
+
+
+# Contrastive training-pair construction: (anchor doc, positive vec,
+# negative vec) triplets — the dataset-building step for CLIP-style /
+# embedding-alignment training. The positive is the anchor's own
+# vector (id join); the NEGATIVE must be (a) uniform-ish over the
+# corpus, (b) never the anchor itself, (c) reproducible forever — so
+# it's derived from the same md5→int machinery as the sampling
+# family: neg_id = (id + 1 + h mod (N-1)) mod N, which is exactly
+# never-self and hash-exact in any engine. Two broadcast-sized joins
+# against embeddings at this shape; at 100 TB the same expressions
+# drive a shuffle-hash join on vec_id.
+@query(
+    "contrastive_triplets",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS big_n FROM embeddings),
+    a AS (
+      SELECT d.doc_id,
+             (d.doc_id + 1 +
+              (('0x' || substr(md5('neg:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT)
+                % (big_n - 1)) % big_n AS neg_id
+      FROM documents d, n WHERE d.doc_id < 100
+    )
+    SELECT a.doc_id, a.doc_id AS pos_id, a.neg_id,
+           p.label AS pos_label, q.label AS neg_label
+    FROM a JOIN embeddings p ON p.vec_id = a.doc_id
+           JOIN embeddings q ON q.vec_id = a.neg_id
+    ORDER BY a.doc_id
+    """,
+)
+def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count("*").alias("big_n"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    a = (
+        docs.filter(F.col("doc_id") < 100)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            ((F.col("doc_id") + 1 + h % (F.col("big_n") - 1)) % F.col("big_n")).alias(
+                "neg_id"
+            ),
+        )
+    )
+    p = emb.select(F.col("vec_id").alias("p_id"), F.col("label").alias("pos_label"))
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("label").alias("neg_label"))
+    return (
+        a.join(p, a.doc_id == p.p_id)
+        .join(q, a.neg_id == q.q_id)
+        .select("doc_id", F.col("doc_id").alias("pos_id"), "neg_id", "pos_label", "neg_label")
+        .orderBy("doc_id")
+    )
