@@ -71,3 +71,23 @@ def canonicalize_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     squashed = F.regexp_replace(F.lower(c), "[^a-z0-9]+", " ")
     return F.trim(squashed)
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Web-text boilerplate removal, pure codegen: drop <script>/<style>
+    blocks wholesale (their text content is never prose), strip
+    remaining tags, decode the five core HTML entities, collapse
+    whitespace. The first cleanup pass of any crawl pipeline — cheap
+    enough to run inline at ingest, before language-id or quality
+    scoring ever see the text. Regex-only by design (a full HTML5
+    parser is a Python kernel this engine doesn't need for corpus
+    text); pathological markup degrades to extra whitespace, never to
+    dropped prose.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_blocks = F.regexp_replace(c, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    no_tags = F.regexp_replace(no_blocks, r"(?s)<[^>]+>", " ")
+    decoded = no_tags
+    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(decoded, r"\s+", " "))

@@ -2169,3 +2169,51 @@ def longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id").agg(
         F.max("streak").cast("bigint").alias("longest_streak")
     )
+
+
+# Time-weighted average (TWAP): mean event value weighted by how long
+# it was the CURRENT value — the honest aggregate for irregular
+# sampling (a price that held for 3 hours must outweigh ten 1-second
+# blips; the row-mean gets this exactly backwards). LOCF durations
+# come from lead(ts) per event_type with the event_id tiebreak for a
+# total order. Exactness: value→integer cents (FLOOR(v·100)), duration
+# →integer seconds; the weighted sum is then BIGINT arithmetic, and
+# the single final division is one IEEE op — deterministic in any
+# engine. One window pass + one agg, both keyed by event_type.
+@query(
+    "value_twap",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+                      - ts) AS dur_us
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents_us,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us,
+           CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) / 100.0
+             AS twap
+    FROM seq WHERE dur_us IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    num = F.sum(F.col("cents") * F.col("dur_us"))
+    den = F.sum("dur_us")
+    return seq.groupBy("event_type").agg(
+        num.cast("bigint").alias("weighted_cents_us"),
+        den.cast("bigint").alias("total_us"),
+        (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("twap"),
+    )

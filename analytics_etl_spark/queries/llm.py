@@ -1757,8 +1757,8 @@ def temperature_mix_rates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "deterministic_shuffle",
     oracle="""
-    SELECT ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)))
-             AS position,
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)))
+                AS INT) AS position,
            doc_id
     FROM documents
     ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR))

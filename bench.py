@@ -71,6 +71,8 @@ HEADLINE = [
     "purchase_graph_bfs",
     "revenue_anomaly_days",
     "table_profile_orders",
+    "longest_error_streak",
+    "value_twap",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -96,3 +96,25 @@ def test_project_sales_schema(nested_orders):
         "modifiers",
     ]
     assert dict(sales.dtypes)["sale_price"] == "decimal(12,2)"
+
+
+def test_strip_markup(spark):
+    from analytics_etl_spark.functions.text import strip_markup
+
+    rows = [
+        (1, "<html><head><style>p{color:red}</style></head>"
+            "<body><h1>Title</h1><p>Hello <b>world</b> &amp; friends</p>"
+            "<script>var x = '<p>not text</p>';</script></body></html>"),
+        (2, "plain text stays"),
+        (3, "a &lt;tag&gt; literal and a gt &gt; sign"),
+        (4, "<div class='x'>multi\n  line</div>"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "html"])
+    got = {r["id"]: r["t"] for r in df.select("id", strip_markup("html").alias("t")).collect()}
+    assert got[1] == "Title Hello world & friends"
+    assert got[2] == "plain text stays"
+    assert got[3] == 'a <tag> literal and a gt > sign'
+    assert got[4] == "multi line"
+    # plan stays JVM-only
+    plan = df.select(strip_markup("html"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

@@ -103,6 +103,35 @@ def test_all_oracle_sql_executes_in_duckdb():
         assert cols, name
 
 
+# The complete set of queries allowed to carry Python eval nodes: the
+# Arrow text kernels (shingling and its dependents: minhash/LSH,
+# n-gram jaccard, simhash, contamination, the corpus builds, phrase
+# search), winnowing/repetition kernels, chunking/packing, and the
+# declared-sequential exact packer. Everything else must stay 100%
+# JVM — enforced per query below. Deployment note: the shingle-based
+# entries run Python ONLY in their inline oracle-comparable form; the
+# persisted-column paths (shingles_col=...) are plan-asserted
+# Python-free in their own tests.
+PYTHON_KERNEL_OK = {
+    "benchmark_contamination",
+    "corpus_build_pipeline",
+    "corpus_filter_pipeline",
+    "dedup_incremental_batch",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint_winnow",
+    "docs_chunked_overlap",
+    "packed_examples",
+    "packed_examples_exact",
+    "similarity_ann_hyperplane",
+    "similarity_ann_ivf",
+    "text_repetition_metrics",
+    "text_search_phrase",
+    "token_budget_packing",
+}
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF)
@@ -118,7 +147,21 @@ def test_query_runs(spark, name):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    assert "CartesianProduct" not in buf.getvalue(), name
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, name
+    # second global rule: Python in a query plan is opt-in, not drift.
+    # Only the declared Arrow-kernel queries (text shingling/chunking,
+    # winnowing, the sequential exact packer, multimodal decode) may
+    # carry Python eval nodes; anything else sprouting one is a hot-path
+    # regression (the round-N promise: no row-at-a-time UDFs anywhere,
+    # and pandas kernels only where JVM expressions genuinely can't).
+    if name not in PYTHON_KERNEL_OK:
+        assert (
+            "ArrowEvalPython" not in plan
+            and "BatchEvalPython" not in plan
+            and "FlatMapGroupsInPandas" not in plan
+            and "MapInPandas" not in plan
+        ), f"{name}: unexpected Python eval node in plan"
 
 
 def test_oracle_types_match_spark_types(spark):
