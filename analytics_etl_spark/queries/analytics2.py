@@ -2217,3 +2217,53 @@ def value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.cast("bigint").alias("total_us"),
         (num.cast("double") / den.cast("double") / F.lit(100.0)).alias("twap"),
     )
+
+
+# Referential-integrity audit: orphan counts for every FK edge in the
+# schema, one row per relationship — the nightly data-quality gate
+# that catches a partial load (an orders partition landed but its
+# customers didn't). Each edge is one LeftAnti against the parent's
+# key projection — at scale the parent side is its key column only,
+# and the anti join is the same shuffle class as the enrichment join
+# it guards.
+@query(
+    "fk_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    """,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(child, ckey, parent, pkey, label):
+        return (
+            child.join(parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk_edge"), "n_orphans")
+        )
+
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    frames = [
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+        orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

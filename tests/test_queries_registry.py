@@ -210,3 +210,12 @@ def test_oracle_types_match_spark_types(spark):
             continue
         bad.extend((name, c, f"duck={dd[c]} spark={ss[c]}") for c in dd if dd[c] != ss[c])
     assert not bad, bad
+
+
+def test_bench_headline_names_are_registered():
+    """bench.py's HEADLINE list must reference real registry entries —
+    a typo would silently drop a family from the per-round numbers."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
