@@ -219,3 +219,29 @@ def test_bench_headline_names_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_rotate_window_tool_produces_valid_rotation(tmp_path):
+    """tools/rotate_window.py must emit 18 oracle-paired, non-core,
+    registered names — the r6 rotation is machine-generated, so the
+    generator itself is under test."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/rotate_window.py", "/root/repo"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    import re
+
+    from analytics_etl_spark.queries import FIXED_CORE
+
+    names = re.findall(r'^\s+"([a-z0-9_]+)",', out.stdout, re.M)
+    assert len(names) == 18, out.stdout
+    for n in names:
+        assert n in REGISTRY and REGISTRY[n].oracle is not None
+        assert n not in FIXED_CORE
