@@ -206,7 +206,12 @@ def bfs_levels(
     unlike CC there is no driver-side fixpoint probe at all: the whole
     bounded BFS is one lazy plan per hop chain.
     """
-    edges = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    # one eager edge materialization (same policy as CC/PageRank): the
+    # loop touches edges once per hop, and lazily every hop would
+    # re-run the upstream edge build
+    edges = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).localCheckpoint(
+        eager=True
+    )
     visited = (
         edges.sparkSession.range(1)
         .select(F.lit(seed).cast("long").alias("node"), F.lit(0).alias("dist"))
