@@ -67,9 +67,12 @@ def union_rollup(
     table (KBs per fine-grained group), never the raw fact table —
     that's the entire point at 100 TB.
     """
+    # allowDifferentLgConfigK=False: the lossless-union guarantee holds
+    # only at EQUAL precision — a stray sketch written at another lg_k
+    # must raise here, not silently degrade every estimate it touches
     return sketches.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(
-            F.hll_union_agg(F.col(sketch_col), F.lit(True))
+            F.hll_union_agg(F.col(sketch_col), F.lit(False))
         ).cast("long").alias(estimate_col)
     )
 

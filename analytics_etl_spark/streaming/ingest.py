@@ -163,7 +163,8 @@ def merge_sketch_batch(
         merged = (
             stored.unionByName(fresh)
             .groupBy(*gc)
-            .agg(F.hll_union_agg(F.col("sketch"), F.lit(True)).alias("sketch"))
+            # strict precision match — see operators/sketches.union_rollup
+            .agg(F.hll_union_agg(F.col("sketch"), F.lit(False)).alias("sketch"))
         )
     except AnalysisException as e:
         if not any(
