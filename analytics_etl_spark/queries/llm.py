@@ -1657,9 +1657,10 @@ def text_search_conjunctive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Phrase search: exact bigram adjacency via positional shingles — the
 # semantics substring LIKE gets wrong ('monkey order' contains the
 # BYTES 'key order' but not the phrase). Reuses the shingle kernel the
-# dedup family persists at ingest, so in deployment this reads the
-# same written column; counts are per-occurrence (distinct=False),
-# exact integers.
+# dedup family runs at ingest (a deployment persists the n=2 column
+# the same way it persists the n=3 dedup shingles — one extra array
+# column, same write pass); counts are per-occurrence
+# (distinct=False), exact integers.
 @query(
     "text_search_phrase",
     oracle="""
