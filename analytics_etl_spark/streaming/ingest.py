@@ -189,3 +189,26 @@ def read_corpus_asof(spark, corpus_path: str, epoch: int) -> DataFrame:
     bisecting a regression to the batch that introduced it.
     """
     return spark.read.parquet(corpus_path).filter(F.col("epoch") <= int(epoch))
+
+
+def streaming_sketch_maintenance(
+    events_stream: DataFrame,
+    sketch_path: str,
+    checkpoint: str,
+    group_cols: list[str] | None = None,
+    value_col: str = "user_id",
+):
+    """Wire merge_sketch_batch into a streaming writer (caller
+    .start()s it) — the always-current distinct-count table as a
+    side effect of ingest."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_sketch_batch(
+            batch_df, epoch_id, sketch_path, group_cols=group_cols, value_col=value_col
+        )
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )

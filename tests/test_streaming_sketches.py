@@ -96,3 +96,53 @@ def test_schema_evolution_merge(spark, tmp_path):
     spark.createDataFrame([(3, 7)], ["id", "v"]).write.parquet(f"{base}/p=bad")
     with pytest.raises(Exception):
         read_evolved_parquet(spark, base).collect()
+
+
+def test_real_stream_maintains_sketch_table(spark, tmp_path):
+    """End-to-end under Structured Streaming (file source → foreachBatch
+    merge): after two micro-batches the stored sketch table's estimates
+    equal the direct batch sketch over all rows — bit-for-bit, because
+    union is lossless."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from analytics_etl_spark.operators.sketches import distinct_estimate
+    from analytics_etl_spark.streaming.ingest import streaming_sketch_maintenance
+
+    ev = _events(spark).select("event_id", "ts", "user_id", "event_type", "day")
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sketch_path = str(tmp_path / "sketches")
+
+    def stage(df, name):
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("day", T.DateType()),
+        ]
+    )
+    stage(ev.filter(F.col("event_id") % 2 == 0), "f1.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    q = streaming_sketch_maintenance(stream, sketch_path, str(tmp_path / "ck")).start()
+    try:
+        q.processAllAvailable()
+        stage(ev.filter(F.col("event_id") % 2 == 1), "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = _estimates(spark, sketch_path)
+    direct = {
+        (r["event_type"], str(r["day"])): r["approx_distinct"]
+        for r in distinct_estimate(ev, ["event_type", "day"], "user_id").collect()
+    }
+    assert streamed == direct and len(direct) > 0
