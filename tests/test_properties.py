@@ -231,3 +231,68 @@ def test_substring_spans_detects_verbatim_copy(spark, words, span):
     )
     assert len(got) == (distinct_spans if n_spans else 0)
     assert all(r["n_docs"] == 2 for r in got)
+
+
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**6), min_size=1, max_size=8),
+    budget=st.integers(min_value=1, max_value=100_000),
+)
+@settings(**SETTINGS)
+def test_hamilton_allocation_sums_to_budget(spark, counts, budget):
+    """Largest-remainder allocation: seats sum EXACTLY to the budget,
+    every stratum gets within 1 of its real quota, order-invariant.
+    (Mirrors sample_budget_allocation's arithmetic on arbitrary count
+    vectors, the registered query pins the Spark plan itself.)"""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(f"s{i}", c) for i, c in enumerate(counts)], "lang string, n long"
+    )
+    tot = df.agg(F.sum("n").alias("big_n"))
+    base = df.crossJoin(F.broadcast(tot)).select(
+        "lang", "n",
+        F.expr(f"({budget}L * n) div big_n").alias("fs"),
+        F.expr(f"({budget}L * n) % big_n").alias("rem"),
+        "big_n",
+    )
+    w = Window.orderBy(F.col("rem").desc(), "lang")
+    out = base.select(
+        "lang", "n", "big_n", "fs",
+        F.row_number().over(w).alias("rr"),
+        (F.lit(budget) - F.sum("fs").over(Window.partitionBy())).alias("left"),
+    ).select(
+        "lang", "n", "big_n",
+        (F.col("fs") + F.when(F.col("rr") <= F.col("left"), 1).otherwise(0)).alias("seats"),
+    )
+    rows = out.collect()
+    assert sum(r["seats"] for r in rows) == budget
+    total = rows[0]["big_n"]
+    for r in rows:
+        exact = budget * r["n"] / total
+        assert exact - 1 < r["seats"] < exact + 1 + 1e-9  # quota property
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(**SETTINGS)
+def test_pagerank_partition_invariance_property(spark, edges):
+    """On arbitrary small graphs (symmetrized): repartitioning never
+    changes a single bit of the fixed-point ranks, and total mass
+    never exceeds n·scale."""
+    from analytics_etl_spark.operators.graph import pagerank_int
+
+    sym = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(sym, ["src", "dst"]).distinct()
+    r1 = {r["node"]: r["rank"] for r in pagerank_int(df, iters=2).collect()}
+    r2 = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(df.repartition(5), iters=2).collect()
+    }
+    assert r1 == r2
+    scale = 10**12
+    assert sum(r1.values()) <= len(r1) * scale
