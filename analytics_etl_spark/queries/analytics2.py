@@ -1897,6 +1897,37 @@ def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
 # operators/graph.py::pagerank_int) — the quality-prior computation a
 # crawl-scale corpus runs over its link graph, here held to a bit-exact
 # unrolled-SQL oracle (float PageRank could only ever be rows_only).
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized customer↔supplier purchase graph (2k / 2k+1 node
+    encoding). One fact-fact join + distinct, then BOTH directions via
+    a 2-element explode. The fwd.union(reversed(fwd)) form compiles to
+    two copies of the fact join — locally Spark's ReusedExchange
+    deduplicates them (measured parity at sf0.1), but that rescue
+    depends on the optimizer recognizing identical subtrees; the
+    explode form guarantees one join structurally. Reversed pairs can
+    never collide with forward pairs (customer nodes are even,
+    supplier nodes odd), so the distinct before the explode is exactly
+    pair-level dedup."""
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    fwd = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).alias("a"),
+            (2 * F.col("l_suppkey") + 1).alias("b"),
+        )
+        .distinct()
+    )
+    return fwd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+
 @query("supplier_pagerank", oracle=_pagerank_oracle())
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by purchase-graph PageRank. Edge build: one
@@ -1904,19 +1935,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge list (see pagerank_int docstring for the scale story)."""
     from analytics_etl_spark.operators.graph import pagerank_int
 
-    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
-    fwd = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (2 * F.col("o_custkey")).alias("src"),
-            (2 * F.col("l_suppkey") + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    ranks = pagerank_int(edges, iters=3)
+    ranks = pagerank_int(_purchase_edges(spark, sf_dir), iters=3)
     return (
         ranks.filter(F.col("node") % 2 == 1)
         .select(
@@ -2108,20 +2127,8 @@ def source_file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def purchase_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.graph import bfs_levels
 
-    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
-    fwd = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (2 * F.col("o_custkey")).alias("src"),
-            (2 * F.col("l_suppkey") + 1).alias("dst"),
-        )
-        .distinct()
-    )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     # seed node 3 = supplier 1 in the 2k+1 encoding
-    return bfs_levels(edges, seed=3, max_hops=4).select(
+    return bfs_levels(_purchase_edges(spark, sf_dir), seed=3, max_hops=4).select(
         "node", F.col("dist").cast("int").alias("dist")
     )
 
