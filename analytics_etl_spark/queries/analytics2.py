@@ -2251,6 +2251,10 @@ def value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lineitem->supplier', COUNT(*)
     FROM lineitem l WHERE NOT EXISTS
       (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'documents->embeddings', COUNT(*)
+    FROM documents d WHERE NOT EXISTS
+      (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
     """,
 )
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,11 +2268,13 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
     c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
     s = t(spark, sf_dir, "supplier")
+    d, e = t(spark, sf_dir, "documents"), t(spark, sf_dir, "embeddings")
     frames = [
         orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
         orphans(o, "o_custkey", c, "c_custkey", "orders->customer"),
         orphans(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
         orphans(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+        orphans(d, "doc_id", e.select(F.col("vec_id")), "vec_id", "documents->embeddings"),
     ]
     out = frames[0]
     for f in frames[1:]:

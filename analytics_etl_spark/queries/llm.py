@@ -1894,3 +1894,43 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("pos_id"), "neg_id", "pos_label", "neg_label")
         .orderBy("doc_id")
     )
+
+
+# Corpus content checksum: an ORDER-INDEPENDENT exact fingerprint per
+# language — the reproducibility primitive behind "run R trained on
+# corpus state X". Each doc contributes md5(doc_id || ':' || md5(text))
+# truncated to 48 bits; the per-group sum runs in wide arithmetic
+# (DECIMAL(38) / HUGEINT — a raw BIGINT sum overflows past ~32k docs,
+# ANSI mode caught it) and is folded mod 2^61-1, so the checksum is
+# bounded, commutative, and associative: invariant to partitioning,
+# file order, and compaction — only CONTENT changes move it. Sum (not
+# XOR): duplicate-doc insertions still shift the value (XOR of a pair
+# of identical contributions would cancel). The point is drift
+# DETECTION, not cryptography.
+@query(
+    "corpus_checksum",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 12))::BIGINT)
+                % 2305843009213693951 AS BIGINT) AS content_checksum
+    FROM documents GROUP BY 1
+    """,
+)
+def corpus_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    contrib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    mersenne61 = 2305843009213693951
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.pmod(F.sum(contrib.cast("decimal(38,0)")), F.lit(mersenne61))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
