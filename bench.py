@@ -73,6 +73,8 @@ HEADLINE = [
     "table_profile_orders",
     "longest_error_streak",
     "value_twap",
+    "corpus_checksum",
+    "fk_integrity_audit",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -91,3 +91,54 @@ def test_sketch_plan_is_jvm_aggregate(spark):
     assert "ObjectHashAggregate" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "hll_sketch_agg" in plan and "hll_union_agg" in plan
+
+
+def test_corpus_checksum_is_mergeable_and_content_sensitive(spark):
+    """The checksum is a modular SUM, so it composes: checksum(A ∪ B) ==
+    (checksum(A) + checksum(B)) mod 2^61-1 — incremental ingest updates
+    it without rescanning the corpus. And single-char content drift
+    moves it."""
+    from analytics_etl_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    P = 2305843009213693951
+    fn = REGISTRY["corpus_checksum"].fn
+
+    full = {r["lang"]: r["content_checksum"] for r in fn(spark, SF_SMOKE).collect()}
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    contrib = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.md5("text"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+
+    def part_sum(pred):
+        return {
+            r["lang"]: r["s"]
+            for r in docs.filter(pred)
+            .groupBy("lang")
+            .agg(F.pmod(F.sum(contrib.cast("decimal(38,0)")), F.lit(P)).cast("bigint").alias("s"))
+            .collect()
+        }
+
+    a = part_sum(F.col("doc_id") % 2 == 0)
+    b = part_sum(F.col("doc_id") % 2 == 1)
+    merged = {k: (a.get(k, 0) + b.get(k, 0)) % P for k in set(a) | set(b)}
+    assert merged == full
+
+    # content sensitivity: flipping one doc's text changes its lang's sum
+    drifted = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 7, F.concat(F.col("text"), F.lit("x"))).otherwise(F.col("text"))
+    )
+    lang7 = docs.filter(F.col("doc_id") == 7).first()["lang"]
+    after = {
+        r["lang"]: r["s"]
+        for r in drifted.groupBy("lang")
+        .agg(F.pmod(F.sum(contrib.cast("decimal(38,0)")), F.lit(P)).cast("bigint").alias("s"))
+        .collect()
+    }
+    assert after[lang7] != full[lang7]
+    assert all(after[k] == full[k] for k in full if k != lang7)
