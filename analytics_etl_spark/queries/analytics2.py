@@ -2280,3 +2280,35 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# Semi-structured props through Spark 4's VARIANT type: parse once,
+# extract with variant path expressions — the open-schema ingest shape
+# (new keys appear without migrations; a 100 TB props column stays one
+# binary-encoded column, no per-key sparsity). Contrast
+# json_extract_props, which string-parses per access: variant parses
+# ONCE and every extraction is a binary path lookup. Exact integer
+# aggregates; the one division is a single IEEE op.
+@query(
+    "events_props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_count,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(json_extract_string(props, '$.k')) AS DOUBLE) AS k_mean
+    FROM events GROUP BY 1
+    """,
+)
+def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("k_sum"),
+        F.count("k").cast("bigint").alias("k_count"),
+    )
+    return agg.select(
+        "event_type", "k_sum", "k_count",
+        (F.col("k_sum").cast("double") / F.col("k_count").cast("double")).alias("k_mean"),
+    )
