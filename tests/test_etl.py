@@ -118,3 +118,24 @@ def test_strip_markup(spark):
     # plan stays JVM-only
     plan = df.select(strip_markup("html"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_collated_grouping_matches_lower_normalization(spark):
+    """Spark 4 collations: grouping on a UTF8_LCASE-collated column
+    equals normalize-then-group — the engine-native form of
+    case-insensitive semantics (joins/aggs without materializing a
+    lowered copy of the column). Group COUNTS must agree with the
+    lower() form; the collated representative is whichever casing was
+    seen (engine-chosen), so only sizes are compared."""
+    from pyspark.sql import functions as F
+
+    rows = [("Apple",), ("apple",), ("APPLE",), ("pear",), ("Pear",), ("fig",)]
+    df = spark.createDataFrame(rows, ["w"])
+    collated = {
+        r["count"]
+        for r in df.groupBy(F.collate(F.col("w"), "UTF8_LCASE").alias("g")).count().collect()
+    }
+    lowered = {
+        r["count"] for r in df.groupBy(F.lower("w").alias("g")).count().collect()
+    }
+    assert sorted(collated) == sorted(lowered) == [1, 2, 3]
