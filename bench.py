@@ -75,6 +75,14 @@ HEADLINE = [
     "value_twap",
     "corpus_checksum",
     "fk_integrity_audit",
+    "dedup_exact_canonical",
+    "text_search_phrase",
+    "temperature_mix_rates",
+    "sample_budget_allocation",
+    "deterministic_shuffle",
+    "contrastive_triplets",
+    "events_props_variant_stats",
+    "source_file_census",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
