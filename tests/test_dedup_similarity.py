@@ -334,3 +334,35 @@ def test_pagerank_int_partition_invariant_and_sane(spark):
     scale = 10**12
     total = sum(r1.values())
     assert 0 <= (len(r1) * scale - total) < len(r1) * 4 * 10 * 4  # tiny truncation loss
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Quantified quality of the LSH shortcut: against EXACT pairwise
+    Jaccard (the oracle-checked jaccard_pairs), the banded MinHash
+    candidate-then-verify pipeline must find every high-similarity
+    pair (recall 1.0 at j >= 0.7 on this corpus) and most of the
+    borderline band (>= 0.8 at j >= 0.5). Verified pairs carry exact
+    Jaccard, so precision is 1.0 by construction — the measured
+    quantity is what the BANDING might miss."""
+    from analytics_etl_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_dedup,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(word_shingles(docs, n=3), min_jaccard=0.5).collect()
+    }
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_dedup(docs, min_jaccard=0.5).collect()
+    }
+    assert found <= set(exact)  # precision 1.0: verify step is exact
+    high = {p for p, j in exact.items() if j >= 0.7}
+    mid = set(exact)
+    assert high, "corpus should contain high-similarity pairs"
+    assert len(found & high) == len(high), "missed a j>=0.7 pair"
+    recall_mid = len(found & mid) / len(mid)
+    assert recall_mid >= 0.8, recall_mid
