@@ -2312,3 +2312,39 @@ def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "k_sum", "k_count",
         (F.col("k_sum").cast("double") / F.col("k_count").cast("double")).alias("k_mean"),
     )
+
+
+# Correlated-aggregate comparison: orders priced above their own
+# customer's average — decorrelated into one per-customer aggregate +
+# a join (how every engine actually executes the correlated subquery).
+# The comparison is exact: price > sum/count becomes
+# price·count > sum in integer cents (cross-multiplied — the same
+# trick as revenue_anomaly_days), so no division appears anywhere.
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders o JOIN s ON s.o_custkey = o.o_custkey
+    WHERE CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) * s.n > s.total_cents
+    GROUP BY 1
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(cents).alias("total_cents"), F.count("*").alias("n")
+    )
+    return (
+        o.join(s, o.o_custkey == s.ck)
+        .filter(cents * F.col("n") > F.col("total_cents"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").cast("bigint").alias("n_above"))
+    )
