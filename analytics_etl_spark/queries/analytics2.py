@@ -2348,3 +2348,41 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.count("*").cast("bigint").alias("n_above"))
     )
+
+
+# Period-over-period: monthly revenue with exact month-over-month
+# delta — LAG over the month series in integer cents (the delta of
+# two exact sums is exact; a float pct-change would not hash). The
+# window input is one row per MONTH — bounded by the calendar, so the
+# partition-less ordered window is safe at any scale (same argument
+# as events_dau).
+@query(
+    "monthly_revenue_mom",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents,
+           CAST(revenue_cents - LAG(revenue_cents) OVER (ORDER BY month)
+                AS BIGINT) AS mom_delta_cents
+    FROM m ORDER BY month
+    """,
+)
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue_cents",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w))
+        .cast("bigint")
+        .alias("mom_delta_cents"),
+    ).orderBy("month")
