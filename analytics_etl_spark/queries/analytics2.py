@@ -2386,3 +2386,42 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mom_delta_cents"),
     ).orderBy("month")
+
+
+# Year-to-date running revenue: cumulative window per calendar year in
+# exact cents — the fiscal-reporting companion to monthly_revenue_mom
+# (partitioned by year, so the running sum never exceeds 12 rows per
+# partition regardless of data size).
+@query(
+    "revenue_ytd",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y') AS yr,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, month, revenue_cents,
+           CAST(SUM(revenue_cents) OVER (PARTITION BY yr ORDER BY month)
+                AS BIGINT) AS ytd_cents
+    FROM m ORDER BY month
+    """,
+)
+def revenue_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy").alias("yr"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+    w = Window.partitionBy("yr").orderBy("month")
+    return m.select(
+        "yr",
+        "month",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).cast("bigint").alias("ytd_cents"),
+    ).orderBy("month")
