@@ -25,81 +25,90 @@ from analytics_etl_spark.queries import llm  # noqa: F401,E402
 # queries() (dict insertion order), so window membership is a curated,
 # test-pinned artifact — not an accident of module import order.
 #
-# ROTATION POLICY (round 5+): the window = FIXED_CORE (32 slots that
-# never leave: the 17 reference-parity operators + one flagship per
-# operator family) + ROTATION (18 slots that change every round). The
+# ROTATION POLICY (round 6 revision, per VERDICT r5 item 1): the
+# window = FIXED_CORE (10 slots that never leave: the flagship plus
+# one representative per parity cluster and per major LLM family) +
+# ROTATION (40 slots that change every round). After five all-green
+# rounds the 32-slot core was low-information — every member had
+# multiple driver rows while 56 oracle-paired queries had none; the
+# 10/40 split clears that backlog in two rounds instead of 3+. The
 # rotation pool is every oracle-paired query not in the core; each
 # round the slots go to the LEAST-RECENTLY driver-checked pool members
-# (history = the CORRECTNESS_r{N}.json artifacts), so over ~4 rounds
-# every registered query earns a driver-verified correctness row —
-# without ever losing a core row. Rows-only queries never occupy a
-# window slot (they'd burn the slot on an err:no_oracle row; their
-# evidence channel is pytest + the local rows-only check). Membership
-# changes must update tests/test_queries_registry.py in the same
-# commit; everything outside the window stays locally oracle-checked
-# every round (tools/check_oracle.py runs all 115).
+# (history = the CORRECTNESS_r{N}.json artifacts; tools/rotate_window.py
+# mechanizes the selection). Rows-only queries never occupy a window
+# slot (they'd burn the slot on an err:no_oracle row; their evidence
+# channel is pytest + the local rows-only check). Membership changes
+# must update tests/test_queries_registry.py in the same commit;
+# everything outside the window stays locally oracle-checked every
+# round (tools/check_oracle.py runs the full registry).
 FIXED_CORE: tuple[str, ...] = (
-    # reference parity (SURVEY.md §2.1-2.6) — 17
+    # flagship (join+agg parity cluster)
     "flagship_monthly_revenue",
-    "sales_count_by_location",
-    "sales_date_range",
+    # pushed-predicate scan cluster
+    "month_window_scan",
+    # top-K / sort-pushdown cluster
     "recent_sales_topk",
-    "revenue_denylist_filter",
-    "explode_words",
-    "modifier_rollup",
-    "dim_scan",
-    "date_parts",
-    "tz_convert",
-    "broadcast_join_enrich",
-    "union_all_accumulate",
+    # quarantine / validation clusters
     "quarantine_rejects",
     "constraint_validation",
-    "cents_to_dollars",
-    "month_window_scan",
-    "json_extract_props",
-    # one flagship per LLM/analytics operator family — 15
-    "dedup_exact",
+    # explode + array-HOF cluster
+    "modifier_rollup",
+    # datetime-function cluster
+    "date_parts",
+    # dedup family
     "dedup_minhash_lsh",
-    "dedup_cluster_canonical",
+    # similarity family
     "similarity_topk_cosine",
-    "similarity_ann_hyperplane",
-    "text_token_count",
-    "text_quality_score",
-    "doc_fingerprint_winnow",
-    "docs_stratified_sample",
+    # text/chunking family
     "token_budget_packing",
-    "benchmark_contamination",
-    "embedding_norms",
-    "dedup_embedding_cosine",
-    "multimodal_binary_meta",
-    "window_function_family",
 )
 
-# Round-5 rotation: the 18 least-recently-checked oracle-paired
-# queries — none has EVER had a driver row (they were outside every
-# r1–r4 window), prioritizing the round-4/5 additions and the
-# analytics back-half. similarity_topk_int8 replaces the permanently
-# rows-only similarity_ann_ivf as the ANN family's driver evidence
-# (VERDICT r4 item 1 — gets the artifact to 50/50 green).
+# Round-6 rotation: the 40 least-recently-checked oracle-paired
+# queries — all 40 have NEVER had a driver row (they were outside
+# every r1–r5 window): the TPC-H back-half, the r5 exact-analytics
+# family (pagerank/BFS/TWAP/anomaly), the search and training-mix
+# queries, and the r6 additions. Output of tools/rotate_window.py.
 ROTATION: tuple[str, ...] = (
-    "similarity_topk_int8",
-    "corpus_build_pipeline",
-    "dataset_split",
-    "vocab_coverage_topk",
-    "dedup_incremental_batch",
-    "embedding_random_projection",
-    "dedup_ngram_jaccard",
-    "similarity_ann_bucketed",
-    "similarity_ann_multiprobe",
-    "regional_revenue",
-    "topk_per_group",
-    "cube_counts",
-    "semi_join_active_customers",
-    "anti_join_inactive_customers",
-    "range_join_price_bands",
-    "pivot_event_counts",
-    "latest_order_per_customer",
-    "hypertable_rollup",
+    "array_functions_pack",
+    "binational_volume",
+    "cheapest_supplier_per_part",
+    "contrastive_triplets",
+    "corpus_checksum",
+    "dedup_exact_canonical",
+    "dedup_substring_spans",
+    "deterministic_shuffle",
+    "disjunctive_filter_revenue",
+    "equi_depth_histogram",
+    "events_dau",
+    "events_props_variant_stats",
+    "excess_quantity_suppliers",
+    "fk_integrity_audit",
+    "forecast_revenue_change",
+    "fuzzy_name_match",
+    "large_order_customers",
+    "longest_error_streak",
+    "map_event_type_counts",
+    "market_share",
+    "mode_order_priority",
+    "monthly_revenue_mom",
+    "multimodal_frame_index",
+    "order_count_distribution",
+    "orders_above_customer_avg",
+    "orders_with_late_lines",
+    "packed_examples",
+    "parts_supplier_count",
+    "product_type_profit",
+    "promo_revenue_share",
+    "purchase_graph_bfs",
+    "range_frame_revenue",
+    "returned_item_reporting",
+    "revenue_anomaly_days",
+    "revenue_pareto",
+    "revenue_ytd",
+    "sales_etl_chain",
+    "sample_budget_allocation",
+    "scd2_customer_status_history",
+    "session_window_agg",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -217,3 +217,18 @@ def test_rerank_no_full_sort_no_python(spark):
     assert tree.count("TakeOrderedAndProject") >= 2
     assert "LeftSemi" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_binational_nation_filter_prejoin(spark):
+    """Q7 shape (VERDICT r5 fix): the two-nation isin predicate must
+    reach the nation parquet scans BELOW the fact joins — left above
+    the 5-way join the OR-of-pairs is unpushable and every side drags
+    12.5x the rows. Also: the supplier side joins into lineitem before
+    orders (biggest frame shrinks first), and only broadcast joins
+    touch the nation dim."""
+    plan = plan_of(spark, "binational_volume")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    nation_pushes = [ln for ln in pushed if "In(n_name" in ln]
+    assert len(nation_pushes) == 2, nation_pushes  # both cn and sn scans
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree

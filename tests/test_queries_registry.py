@@ -32,41 +32,35 @@ def test_driver_window_is_curated_and_pinned():
     item 2): 32 fixed-core slots never leave; 18 slots rotate each
     round through the least-recently-driver-checked oracle-paired
     queries, so the whole registry earns driver rows over ~4 rounds.
+    Round 6 shrank the core 32 -> 10 (VERDICT r5 item 1): after five
+    all-green rounds the wide core was low-information — every member
+    had multiple driver rows while 56 oracle-paired queries had none.
     This test pins size, core membership, and the rotation rules."""
     from analytics_etl_spark.queries import DRIVER_WINDOW, FIXED_CORE, ROTATION
 
-    assert len(FIXED_CORE) == 32
-    assert len(ROTATION) == 18
+    assert len(FIXED_CORE) == 10
+    assert len(ROTATION) == 40
     assert DRIVER_WINDOW == FIXED_CORE + ROTATION
     assert len(set(DRIVER_WINDOW)) == 50
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     assert not missing, f"window names not registered: {missing}"
     # dict insertion order of queries() must lead with the window
     assert tuple(queries())[:50] == DRIVER_WINDOW
-    # the fixed core: all 17 parity ops + one flagship per family —
-    # these names may NEVER leave (each is the family's standing
-    # driver evidence)
-    for family_member in (
-        # parity surface
-        "flagship_monthly_revenue", "quarantine_rejects", "tz_convert",
-        "month_window_scan", "json_extract_props", "constraint_validation",
-        # dedup family
-        "dedup_exact", "dedup_minhash_lsh", "dedup_cluster_canonical",
-        "dedup_embedding_cosine",
-        # similarity family
-        "similarity_topk_cosine", "similarity_ann_hyperplane",
-        # text analysis family
-        "text_token_count", "text_quality_score", "doc_fingerprint_winnow",
-        # sampling / chunking / packing
-        "docs_stratified_sample", "token_budget_packing",
-        # corpus governance
-        "benchmark_contamination",
-        # embeddings + multimodal
-        "embedding_norms", "multimodal_binary_meta",
-        # analytics
-        "window_function_family",
-    ):
-        assert family_member in FIXED_CORE, family_member
+    # the fixed core: the flagship + one representative per parity
+    # cluster and per major LLM family — these names may NEVER leave
+    # (each is its cluster's standing driver evidence)
+    assert FIXED_CORE == (
+        "flagship_monthly_revenue",   # join+agg flagship
+        "month_window_scan",          # pushed-predicate scan
+        "recent_sales_topk",          # top-K / sort pushdown
+        "quarantine_rejects",         # error quarantine
+        "constraint_validation",      # validation / regex / set membership
+        "modifier_rollup",            # explode + array HOFs
+        "date_parts",                 # datetime functions
+        "dedup_minhash_lsh",          # dedup family
+        "similarity_topk_cosine",     # similarity family
+        "token_budget_packing",       # text/chunking family
+    )
     # rotation slots must be ORACLE-PAIRED (a rows-only query would
     # burn its slot on an err:no_oracle row — the r4 lesson from
     # similarity_ann_ivf) ... and so must the core
@@ -241,7 +235,7 @@ def test_rotate_window_tool_produces_valid_rotation(tmp_path):
     from analytics_etl_spark.queries import FIXED_CORE
 
     names = re.findall(r'^\s+"([a-z0-9_]+)",', out.stdout, re.M)
-    assert len(names) == 18, out.stdout
+    assert len(names) == 50 - len(FIXED_CORE), out.stdout
     for n in names:
         assert n in REGISTRY and REGISTRY[n].oracle is not None
         assert n not in FIXED_CORE

@@ -45,7 +45,7 @@ def main() -> None:
     # least-recently checked first (never-checked = -1 wins), then by
     # name for a stable, reviewable ordering
     pool.sort(key=lambda n: (last_checked.get(n, -1), n))
-    rotation = pool[:18]
+    rotation = pool[: 50 - len(FIXED_CORE)]
 
     never = [n for n in rotation if n not in last_checked]
     print(f"# pool={len(pool)} oracle-paired non-core; {len(never)} never checked")
