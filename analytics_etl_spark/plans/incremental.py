@@ -94,7 +94,16 @@ def refresh_monthly_rollup(
 ) -> int:
     """Recompute exactly `changed_months` from the fact tables and
     dynamic-overwrite those rollup partitions. Returns the number of
-    rollup rows rewritten. No-op (zero scans) for an empty month list."""
+    rollup rows rewritten. No-op (zero scans) for an empty month list.
+
+    Deletion edge case: dynamic partition overwrite only replaces
+    partitions PRESENT in the written frame. If every fact row of a
+    changed month was deleted, the recompute emits zero rows for it and
+    the stale rollup partition would silently survive on disk — so
+    after the write, any changed month absent from the recomputed frame
+    has its partition directory explicitly removed (via the JVM Hadoop
+    FileSystem API, so it works on whatever filesystem the path lives
+    on, not just local disk)."""
     if not changed_months:
         return 0
     o = load_table(spark, sf_dir, "orders").filter(
@@ -108,8 +117,25 @@ def refresh_monthly_rollup(
     )
     # month is re-derived inside monthly_rollup from the filtered fact,
     # so the frame contains exactly the changed partitions; dynamic
-    # overwrite therefore touches exactly those directories.
-    overwrite_partitions(out, path, ("month",))
+    # overwrite therefore touches exactly those directories. Persist
+    # first: the aggregate is months x nations rows (KB-sized), and
+    # caching lets the write and the present-months collect share one
+    # fact scan.
+    out = out.persist()
+    try:
+        present = {r["month"] for r in out.select("month").distinct().collect()}
+        if present:
+            overwrite_partitions(out, path, ("month",))
+        vanished = [m for m in sorted(set(changed_months)) if m not in present]
+        if vanished:
+            jvm = spark._jvm  # noqa: SLF001 — no public FS API in PySpark
+            conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            for m in vanished:
+                p = jvm.org.apache.hadoop.fs.Path(f"{path}/month={m}")
+                fs = p.getFileSystem(conf)
+                fs.delete(p, True)
+    finally:
+        out.unpersist()
     return spark.read.parquet(path).filter(F.col("month").isin(changed_months)).count()
 
 

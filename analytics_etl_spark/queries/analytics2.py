@@ -2232,8 +2232,14 @@ def value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("ts").cast("timestamp"))
         ).alias("dur_us"),
     ).filter(F.col("dur_us").isNotNull())
-    num = F.sum(F.col("cents") * F.col("dur_us"))
-    den = F.sum("dur_us")
+    # Accumulate in DECIMAL(38,0), not BIGINT (ADVICE r5): with long
+    # LOCF gaps (dur_us ~1e11) and large groups a bigint sum silently
+    # wraps in non-ANSI mode while the DuckDB oracle sums in HUGEINT —
+    # decimal matches the oracle's widened accumulator exactly (same
+    # trick as corpus_checksum); the bigint cast happens once at the end.
+    prod = F.col("cents").cast("decimal(19,0)") * F.col("dur_us").cast("decimal(19,0)")
+    num = F.sum(prod).cast("decimal(38,0)")
+    den = F.sum(F.col("dur_us").cast("decimal(38,0)"))
     return seq.groupBy("event_type").agg(
         num.cast("bigint").alias("weighted_cents_us"),
         den.cast("bigint").alias("total_us"),
@@ -2307,12 +2313,18 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_props_variant_stats",
     oracle="""
+    -- TRY_CAST, not CAST (ADVICE r5): Spark's try_variant_get(...,
+    -- 'long') nulls out non-integer $.k values, so the oracle must
+    -- null (and not count) the same rows regardless of data — a
+    -- strict CAST would error/diverge on any malformed value.
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
-           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_count,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-             / CAST(COUNT(json_extract_string(props, '$.k')) AS DOUBLE) AS k_mean
+           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_count,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             AS k_mean
     FROM events GROUP BY 1
     """,
 )

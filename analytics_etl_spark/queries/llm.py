@@ -1850,6 +1850,15 @@ def sample_budget_allocation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never-self and hash-exact in any engine. Two broadcast-sized joins
 # against embeddings at this shape; at 100 TB the same expressions
 # drive a shuffle-hash join on vec_id.
+#
+# ID-DENSITY CONTRACT (ADVICE r5): the modular arithmetic assumes
+# vec_id is exactly the dense range 0..N-1 — if it has holes, the
+# inner join on neg_id silently DROPS that anchor (and the oracle
+# drops it identically, so parity would hide the loss). The contract
+# is asserted by tests/test_properties.py::test_embeddings_vec_id_is_dense;
+# a deployment with sparse ids must maintain a dense surrogate id at
+# ingest (one zipWithIndex-equivalent pass at write time), NOT a
+# query-time global row_number — that is a single-partition sort.
 @query(
     "contrastive_triplets",
     oracle="""

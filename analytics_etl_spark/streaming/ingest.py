@@ -147,6 +147,16 @@ def merge_sketch_batch(
     read-union-swap touches sketches only, never raw history. The
     temp-write+swap mirrors sinks.writer.merge_upsert (plain parquet
     lazily re-reading its own path cannot self-overwrite safely).
+
+    Swap order (ADVICE r5): rename the live table ASIDE first, rename
+    the freshly-written tmp IN, and delete the old copy LAST — so a
+    crash at any point leaves either the old or the new table (plus at
+    worst a recoverable ``.old`` directory, reclaimed on the next
+    merge), never a window with no sketch table at all (the sketches
+    are not reconstructible without re-scanning raw history). The
+    os.rename swap makes this helper local-filesystem-only — on an
+    object store, swap via a versioned directory + pointer file
+    instead (rename is not atomic there anyway).
     """
     import os
     import shutil
@@ -173,10 +183,18 @@ def merge_sketch_batch(
             raise
         merged = fresh
     tmp = sketch_path.rstrip("/") + ".tmp"
+    old = sketch_path.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(tmp)
+    # crash-safe swap: old-aside -> tmp-in -> delete old last (never a
+    # moment with neither table on disk); stale .old from a previous
+    # crash is reclaimed here before reuse
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(sketch_path):
-        shutil.rmtree(sketch_path)
+        os.rename(sketch_path, old)
     os.replace(tmp, sketch_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def read_corpus_asof(spark, corpus_path: str, epoch: int) -> DataFrame:

@@ -92,3 +92,42 @@ def test_changed_months_of(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     sub = o.filter(month_range_predicate(["1996-03"]))
     assert changed_months_of(sub) == ["1996-03"]
+
+
+def test_refresh_removes_partition_of_fully_deleted_month(spark, tmp_path):
+    """ADVICE r5 (medium): dynamic partition overwrite only replaces
+    partitions present in the written frame — if every fact row of a
+    changed month is deleted upstream, the recompute emits zero rows
+    for it and the stale rollup partition would survive on disk. The
+    refresh must explicitly drop that partition directory."""
+    import shutil
+
+    path = str(tmp_path / "rollup")
+    build_monthly_rollup(spark, SF_SMOKE, path)
+    months = sorted(
+        r["month"] for r in spark.read.parquet(path).select("month").distinct().collect()
+    )
+    doomed = months[0]
+    assert os.path.isdir(os.path.join(path, f"month={doomed}"))
+
+    # build a source dir where the doomed month's orders are all gone
+    src = tmp_path / "sf_deleted"
+    src.mkdir()
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "lineitem", "events", "documents", "embeddings"):
+        os.symlink(
+            os.path.join(SF_SMOKE, f"{name}.parquet"), src / f"{name}.parquet"
+        )
+    load_table(spark, SF_SMOKE, "orders").filter(
+        ~month_range_predicate([doomed])
+    ).write.parquet(str(src / "orders.parquet"))
+
+    n = refresh_monthly_rollup(spark, str(src), path, [doomed])
+    assert n == 0
+    # the stale partition directory is gone, the data reads back clean
+    assert not os.path.exists(os.path.join(path, f"month={doomed}"))
+    left = sorted(
+        r["month"] for r in spark.read.parquet(path).select("month").distinct().collect()
+    )
+    assert left == months[1:]
+    shutil.rmtree(str(src), ignore_errors=True)

@@ -296,3 +296,26 @@ def test_pagerank_partition_invariance_property(spark, edges):
     assert r1 == r2
     scale = 10**12
     assert sum(r1.values()) <= len(r1) * scale
+
+
+def test_embeddings_vec_id_is_dense(spark):
+    """The contrastive_triplets ID-DENSITY CONTRACT (ADVICE r5): the
+    modular neg_id arithmetic assumes vec_id is exactly 0..N-1 and
+    every anchor doc_id is in that range — any hole silently drops an
+    anchor on BOTH engines, so parity alone cannot catch it. Pin the
+    contract at every test SF."""
+    from analytics_etl_spark.tables import load_table
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = load_table(spark, sf, "embeddings")
+        row = emb.agg(
+            F.count("*").alias("n"),
+            F.min("vec_id").alias("lo"),
+            F.max("vec_id").alias("hi"),
+            F.countDistinct("vec_id").alias("nd"),
+        ).collect()[0]
+        assert (row["lo"], row["hi"], row["nd"]) == (0, row["n"] - 1, row["n"]), sf
+        # anchors (doc_id < 100) all land inside the dense domain
+        docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+        bad = docs.filter((F.col("doc_id") < 0) | (F.col("doc_id") >= row["n"])).count()
+        assert bad == 0, sf
