@@ -71,6 +71,9 @@ HEADLINE = [
     "purchase_graph_bfs",
     "revenue_anomaly_days",
     "table_profile_orders",
+    # the at-scale profile: HLL n_distinct, no Expand — paired with the
+    # exact census above to measure the multi-distinct tax (r6)
+    "table_profile_sketch",
     "longest_error_streak",
     "value_twap",
     "corpus_checksum",

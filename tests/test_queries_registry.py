@@ -20,8 +20,9 @@ def test_registry_shape():
     # the vast majority of the surface must be oracle-checked; the
     # rows-only set is the approximate/hermetic/sequential ops (approx
     # distinct, approx quantiles, simhash, the synthetic REST source,
-    # IVF float means, exact greedy packing, HLL sketch union, view-hidden file identity)
-    assert len(os_) >= len(qs) - 8
+    # IVF float means, exact greedy packing, HLL sketch union,
+    # view-hidden file identity, the HLL table profile)
+    assert len(os_) >= len(qs) - 9
 
 
 def test_driver_window_is_curated_and_pinned():
