@@ -484,12 +484,48 @@ def simhash_signatures(
     return withh.select("doc_id", sig.alias("simhash"))
 
 
+def span_hash_expr(text_col: str, span_words: int) -> F.Column:
+    """Rolling ``span_words``-word span hashes of ``text_col`` as one
+    array<string> expression — md5 per word position via transform/
+    slice/array_join, pure JVM. Empty array for docs shorter than a
+    span (guards sequence(0, negative), which would generate a
+    DESCENDING range and fabricate spans)."""
+    w = F.split(F.col(text_col), " ")
+    return F.when(
+        F.col(text_col).isNotNull() & (F.size(w) >= span_words),
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(span_words)),
+            lambda i: F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_span_hashes(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+    out_col: str = "span_hashes",
+) -> DataFrame:
+    """docs + a persisted-ready rolling-span-hash column — the INGEST
+    form of exact substring dedup (VERDICT r5 item 4), mirroring
+    ``with_shingle_column``: pay the span expansion once at write time,
+    and every nightly substring-dedup run reads 32-char hashes from
+    parquet instead of re-splitting/re-hashing the full corpus text.
+    All source columns are kept so this composes with a normal
+    partitioned table write; pass the column to
+    ``substring_span_duplicates(spans_col=...)``."""
+    docs = _spread_small_scan(docs, id_col)
+    return docs.withColumn(out_col, span_hash_expr(text_col, span_words))
+
+
 def substring_span_duplicates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 20,
     min_docs: int = 2,
+    spans_col: str | None = None,
 ) -> DataFrame:
     """EXACT substring-span dedup (the Lee et al. 2022 "Deduplicating
     Training Data" shape): find every ``span_words``-word span that
@@ -508,18 +544,28 @@ def substring_span_duplicates(
     standard cost of suffix-free exact dedup; stride>1 or a
     min-frequency pre-filter (count-min on the map side) are the
     documented cheapenings, both at recall cost.
+
+    ``spans_col``: name of an ingest-persisted span-hash column
+    (written by ``with_span_hashes`` at the same ``span_words``) — the
+    text split/hash expansion is then skipped entirely and the scan
+    reads (id, hashes) only.
     """
-    w = F.split(F.col(text_col), " ")
-    spans = F.transform(
-        F.sequence(F.lit(0), F.size(w) - F.lit(span_words)),
-        lambda i: F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")),
-    )
-    exploded = (
-        # size guard: sequence(0, negative) would generate a DESCENDING
-        # range, fabricating spans for short docs
-        docs.filter(F.col(text_col).isNotNull() & (F.size(w) >= span_words))
-        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
-    )
+    if spans_col is not None:
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("span_hash")
+        )
+    else:
+        w = F.split(F.col(text_col), " ")
+        spans = F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(span_words)),
+            lambda i: F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")),
+        )
+        exploded = (
+            # size guard: sequence(0, negative) would generate a
+            # DESCENDING range, fabricating spans for short docs
+            docs.filter(F.col(text_col).isNotNull() & (F.size(w) >= span_words))
+            .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
+        )
     return (
         exploded.groupBy("span_hash")
         .agg(

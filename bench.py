@@ -202,15 +202,31 @@ def _ann_ivf_indexed(spark, sf_dir: str):
 
 
 def _setup_shingled(spark, sf_dir: str) -> None:
-    """Ingest-time shingle persistence (untimed, paid once at a real
-    site): documents + `shingles` array column written to parquet."""
+    """Ingest-time shingle + span-hash persistence (untimed, paid once
+    at a real site): documents + `shingles` + `span_hashes` derived
+    columns written in ONE pass — the realistic ingest layout; each
+    downstream probe column-prunes to the column it needs."""
     global _SHINGLED_PATH
-    from analytics_etl_spark.operators.dedup import with_shingle_column
+    from analytics_etl_spark.operators.dedup import with_shingle_column, with_span_hashes
     from analytics_etl_spark.tables import load_table
 
     _SHINGLED_PATH = os.path.join(tempfile.mkdtemp(prefix="aes_bench_sh_"), "docs")
     docs = load_table(spark, sf_dir, "documents")
-    with_shingle_column(docs, n=3).write.mode("overwrite").parquet(_SHINGLED_PATH)
+    with_span_hashes(with_shingle_column(docs, n=3), span_words=20).write.mode(
+        "overwrite"
+    ).parquet(_SHINGLED_PATH)
+
+
+def _dedup_substring_persisted(spark, sf_dir: str):
+    """dedup_substring_spans over the ingest-persisted span-hash
+    column: no text split/hash expansion at query time, and the scan
+    reads (doc_id, span_hashes) only (plan asserted in
+    tests/test_dedup_similarity.py) — the nightly exact-substring
+    deployment number."""
+    from analytics_etl_spark.operators.dedup import substring_span_duplicates
+
+    docs = spark.read.parquet(_SHINGLED_PATH)
+    return substring_span_duplicates(docs, spans_col="span_hashes")
 
 
 def _dedup_minhash_persisted(spark, sf_dir: str):
@@ -402,6 +418,7 @@ def main() -> None:
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
     plans["dedup_incremental_persisted"] = _dedup_incremental_persisted
+    plans["dedup_substring_persisted"] = _dedup_substring_persisted
     plans["corpus_build_persisted"] = _corpus_build_persisted
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed

@@ -366,3 +366,59 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark):
     assert len(found & high) == len(high), "missed a j>=0.7 pair"
     recall_mid = len(found & mid) / len(mid)
     assert recall_mid >= 0.8, recall_mid
+
+
+def test_substring_spans_persisted_parity_and_narrow_scan(spark, tmp_path):
+    """with_span_hashes (VERDICT r5 item 4): span hashes written once
+    at ingest; substring_span_duplicates(spans_col=...) returns
+    IDENTICAL rows to the inline form, short docs contribute an empty
+    array (never fabricated descending-range spans), and the
+    query-time scan reads only (doc_id, span_hashes) — the text column
+    is pruned from ReadSchema."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.dedup import (
+        substring_span_duplicates,
+        with_span_hashes,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " tail one here"),
+            (2, "lead in text " + boiler),
+            (3, "completely different body with nothing shared at all " * 3),
+            (4, "short doc"),  # < span_words: must contribute nothing
+        ],
+    )
+    path = str(tmp_path / "docs_spanned")
+    with_span_hashes(docs, span_words=20).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    # short doc persisted an EMPTY array, not NULL / bogus spans
+    short = persisted.filter(F.col("doc_id") == 4).first()
+    assert short["span_hashes"] == []
+
+    fresh = substring_span_duplicates(docs, span_words=20)
+    from_col = substring_span_duplicates(persisted, spans_col="span_hashes")
+    key = lambda rows: {  # noqa: E731
+        r["span_hash"]: (r["n_docs"], r["n_occurrences"]) for r in rows
+    }
+    got = key(from_col.collect())
+    assert got == key(fresh.collect()) and got  # non-empty: the shared span found
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        from_col.explain("formatted")
+    plan = buf.getvalue()
+    assert "Python" not in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "span_hashes" in line:
+            assert "text" not in line
+            break
+    else:
+        import pytest
+
+        pytest.fail("span_hashes ReadSchema not found")
