@@ -361,6 +361,130 @@ def _sketch_union_persisted(spark, sf_dir: str):
     return union_rollup(_SKETCH_DAILY, ["event_type"])
 
 
+_SKEW_FACT: object | None = None
+_SKEW_DIM: object | None = None
+
+
+def _setup_skew(spark, sf_dir: str) -> None:
+    """Synthetic zipf-hot-key tables (untimed): a 16M-row fact where
+    75% of the rows carry key 0 and the rest spread over 100k keys,
+    plus a 100k-row dimension. The deliberately pathological input
+    that stresses operators/skew.py — real tables at sf0.1 are too
+    uniform to show the failure mode the 100 TB design must survive."""
+    global _SKEW_FACT, _SKEW_DIM
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="aes_bench_skew_")
+    n = 16_000_000
+    fact = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(4)) < 3, F.lit(0))
+        .otherwise(F.pmod("id", F.lit(100_000)))
+        .cast("bigint")
+        .alias("k"),
+        F.pmod("id", F.lit(997)).cast("long").alias("v"),
+    )
+    fact.write.mode("overwrite").parquet(os.path.join(base, "fact"))
+    dim = spark.range(100_000).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim_"), F.col("id")).alias("label")
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(base, "dim"))
+    _SKEW_FACT = spark.read.parquet(os.path.join(base, "fact"))
+    _SKEW_DIM = spark.read.parquet(os.path.join(base, "dim"))
+
+
+# AQE defaults, restored by the probes that want stock behavior
+_AQE_SKEW_THRESHOLD_DEFAULT = "256m"
+_AQE_ADVISORY_DEFAULT = "64m"
+
+
+def _skew_conf(spark, skew_join: bool, threshold: str, advisory: str) -> None:
+    """Each skew probe pins ALL the confs it depends on at entry, so
+    run order / rep interleaving can't contaminate timings."""
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_join).lower())
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", threshold
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", advisory)
+
+
+def _skew_join_probe(spark, salted: bool):
+    """Fact(hot key)⋈dim forced to sort-merge (the scenario salting
+    exists for: dim too big to broadcast)."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.skew import salted_join
+
+    dim = _SKEW_DIM.hint("merge")
+    joined = (
+        salted_join(_SKEW_FACT, dim, "k", salt=32)
+        if salted
+        else _SKEW_FACT.join(dim, "k")
+    )
+    return joined.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+
+
+def _skew_join_naive_aqe(spark, sf_dir: str):
+    """Naive hot-key join with AQE skew-split ACTIVE — the first-line
+    remedy. The split threshold is scaled to this probe's data size
+    (the hot partition's COMPRESSED shuffle bytes — a constant-key run
+    compresses hard — sit under the 256 MB stock threshold; at real
+    scale hot partitions are GBs and the stock threshold fires), so
+    the probe exercises the code path, not the constant. The split is
+    verified on the executed plan (SortMergeJoin(skew=true)) by
+    tests/test_scale_utils.py::test_aqe_splits_skewed_join_partition."""
+    _skew_conf(spark, skew_join=True, threshold="8m", advisory="4m")
+    return _skew_join_probe(spark, salted=False)
+
+
+def _skew_join_naive_noaqe(spark, sf_dir: str):
+    """Naive hot-key join with AQE skew-split OFF: the unmitigated
+    failure mode — one task owns the 12M-row hot partition."""
+    _skew_conf(
+        spark,
+        skew_join=False,
+        threshold=_AQE_SKEW_THRESHOLD_DEFAULT,
+        advisory=_AQE_ADVISORY_DEFAULT,
+    )
+    return _skew_join_probe(spark, salted=False)
+
+
+def _skew_join_salted_noaqe(spark, sf_dir: str):
+    """salted_join with AQE skew-split OFF: the manual remedy for
+    joins AQE can't split (bucketed/pre-partitioned inputs, streaming
+    state joins) — hot key spread over 32 sub-keys."""
+    _skew_conf(
+        spark,
+        skew_join=False,
+        threshold=_AQE_SKEW_THRESHOLD_DEFAULT,
+        advisory=_AQE_ADVISORY_DEFAULT,
+    )
+    return _skew_join_probe(spark, salted=True)
+
+
+def _skew_agg_naive(spark, sf_dir: str):
+    """Naive groupBy-sum on the hot key (also restores stock AQE confs
+    for everything after the skew block). Expected finding: map-side
+    partial aggregation already collapses the hot key to one row per
+    input partition, so algebraic-aggregate skew is a NON-problem —
+    recorded honestly in SCALING.md; salting an agg pays only when the
+    partial combine is ineffective (holistic aggregates)."""
+    from pyspark.sql import functions as F
+
+    _skew_conf(
+        spark,
+        skew_join=True,
+        threshold=_AQE_SKEW_THRESHOLD_DEFAULT,
+        advisory=_AQE_ADVISORY_DEFAULT,
+    )
+    return _SKEW_FACT.groupBy("k").agg(F.sum("v").alias("s"))
+
+
+def _skew_agg_salted(spark, sf_dir: str):
+    from analytics_etl_spark.operators.skew import salted_groupby_sum
+
+    return salted_groupby_sum(_SKEW_FACT, "k", "v", "s", salt=16)
+
+
 def _setup_rollup(spark, sf_dir: str) -> None:
     """Bootstrap the monthly rollup MV (untimed full build)."""
     global _ROLLUP_PATH, _ROLLUP_MONTH
@@ -414,6 +538,7 @@ def main() -> None:
     _setup_postings(spark, sf_dir)  # untimed: ingest-time inverted index
     _setup_bigrams(spark, sf_dir)  # untimed: ingest-time n=2 shingles
     _setup_rollup(spark, sf_dir)  # untimed: rollup MV bootstrap
+    _setup_skew(spark, sf_dir)  # untimed: synthetic zipf-hot-key tables
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -428,6 +553,11 @@ def main() -> None:
     plans["text_search_phrase_persisted"] = _text_search_phrase_persisted
     plans["rollup_refresh_month"] = _rollup_refresh_month
     plans["rollup_full_rebuild"] = _rollup_full_rebuild
+    plans["skew_join_naive_aqe"] = _skew_join_naive_aqe
+    plans["skew_join_naive_noaqe"] = _skew_join_naive_noaqe
+    plans["skew_join_salted_noaqe"] = _skew_join_salted_noaqe
+    plans["skew_agg_naive"] = _skew_agg_naive
+    plans["skew_agg_salted"] = _skew_agg_salted
 
     # warm-up pass (untimed)
     for fn in plans.values():
