@@ -205,11 +205,45 @@ def dedup_cluster_canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-# SimHash — rows-only check (bit-vote arithmetic; signatures are
-# deterministic md5-derived, verified by unit tests instead).
+# SimHash — oracle-paired as of round 6 (VERDICT r5 item 6): the
+# declared blocker ("int64 bit ops differ in DuckDB") dissolves for
+# THIS signature because every hash is a NON-NEGATIVE 60-bit integer
+# (first 15 hex chars of md5), so `>>` and `&` agree between engines —
+# two's-complement asymmetry only bites on negative inputs. The
+# oracle's 32 per-bit vote columns are generated programmatically
+# below; the vote sums land in BIGINT range (docs are ~1e2 shingles),
+# and the final signature is an exact integer sum of 2^i terms.
+_SIMHASH_VOTE_SQL = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE 0 END) AS o{i}"
+    for i in range(32)
+)
+_SIMHASH_SIG_SQL = "\n             + ".join(
+    f"(CASE WHEN o{i} * 2 > n THEN {2**i} ELSE 0 END)" for i in range(32)
+)
+
+
 @query(
     "dedup_simhash",
-    rows_only="64-bit simhash needs int64 bit ops DuckDB expresses differently; verified by unit tests",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS shingle
+      FROM words
+    ),
+    hs AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_SIMHASH_VOTE_SQL}
+      FROM hs GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_SIMHASH_SIG_SQL} AS BIGINT) AS simhash
+    FROM votes
+    """,
 )
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")

@@ -19,10 +19,11 @@ def test_registry_shape():
     assert set(os_) <= set(qs)
     # the vast majority of the surface must be oracle-checked; the
     # rows-only set is the approximate/hermetic/sequential ops (approx
-    # distinct, approx quantiles, simhash, the synthetic REST source,
-    # IVF float means, exact greedy packing, HLL sketch union,
-    # view-hidden file identity, the HLL table profile)
-    assert len(os_) >= len(qs) - 9
+    # distinct, approx quantiles, the synthetic REST source, IVF float
+    # means, exact greedy packing, HLL sketch union, view-hidden file
+    # identity, the HLL table profile). simhash left this set in r6 —
+    # its 60-bit non-negative hashes made the bit ops engine-portable.
+    assert len(os_) >= len(qs) - 8
 
 
 def test_driver_window_is_curated_and_pinned():
