@@ -1,0 +1,80 @@
+"""Keyed interval-overlap join.
+
+Spark has no native interval join: the naive formulation
+``l.join(r, (l.s < r.e) & (r.s < l.e))`` is a theta join — a
+per-key cartesian at best, a full BroadcastNestedLoopJoin at worst —
+exactly the shape that dies at 100 TB (the reference has no interval
+operator at all; this is a scale extension like the as-of join,
+which covers the point-in-interval case via union+window).
+
+The scale path here is BUCKET EXPANSION, the standard distributed
+interval-join decomposition (the same idea DuckDB/Postgres range
+indexes and Flink's interval join use): chop the time axis into
+fixed-width buckets, emit each interval once per bucket it touches,
+equi-join on (keys..., bucket), then apply the exact overlap
+predicate. With ``bucket_width`` chosen near the typical interval
+length each interval lands in O(1) buckets, so the join is a plain
+hash-partitioned equi-join on a key that also spreads hot entity
+keys across time.
+
+Duplicate elimination is FREE: an overlapping pair shares every
+bucket between max(starts) and min(ends), so we keep the match only
+in the bucket containing max(l_start, r_start) — each pair survives
+exactly once, no distinct() shuffle afterwards.
+
+All arithmetic is integer (callers pass epoch-micros longs), so
+results are engine-exact and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    bucket_width: int,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+) -> DataFrame:
+    """Half-open interval overlap: rows where [l_start, l_end) and
+    [r_start, r_end) intersect AND all ``keys`` match.
+
+    Returns left.columns + right.columns + ``overlap`` (the exact
+    intersection length, integer). Empty intervals (start >= end)
+    never match, mirroring the half-open convention everywhere else
+    in the engine.
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    w = F.lit(int(bucket_width))
+
+    def buckets(s: str, e: str) -> F.Column:
+        # floor(s/w) .. floor((e-1)/w): every bucket a half-open
+        # integer interval touches (e-1 because end is exclusive)
+        return F.sequence(
+            F.floor(F.col(s) / w).cast("long"),
+            F.floor((F.col(e) - 1) / w).cast("long"),
+        )
+
+    lb = left.filter(F.col(l_start) < F.col(l_end)).withColumn(
+        "__bucket", F.explode(buckets(l_start, l_end))
+    )
+    rb = right.filter(F.col(r_start) < F.col(r_end)).withColumn(
+        "__bucket", F.explode(buckets(r_start, r_end))
+    )
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    joined = lb.join(rb, [*keys, "__bucket"]).filter(
+        (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        # dedupe-by-construction: keep the pair only in the bucket
+        # where its overlap STARTS — exactly one per matching pair
+        & (F.col("__bucket") == F.floor(overlap_start / w).cast("long"))
+    )
+    overlap = F.least(F.col(l_end), F.col(r_end)) - overlap_start
+    return joined.drop("__bucket").withColumn("overlap", overlap)

@@ -2501,3 +2501,108 @@ def revenue_ytd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_cents",
         F.sum("revenue_cents").over(w).cast("bigint").alias("ytd_cents"),
     ).orderBy("month")
+
+
+# Exact triangle count over the co-purchase part graph (parts sharing
+# an order) — the graph-structure metric behind clustering-coefficient
+# quality priors. Degree-ordered orientation bounds the wedge join at
+# O(E^1.5) regardless of hub parts (see operators/graph.py::
+# triangle_count); the oracle is the naive a<b<c three-way self-join,
+# an honest cross-check of the oriented algorithm against declarative
+# SQL. Exact integer count.
+# The registered query bounds its input to one ship-year (a pushed
+# scan predicate): the full-corpus graph at sf0.1 is already DENSE
+# (avg part degree ~120, 1.9M triangles) and the exact count costs
+# ~6.5 s there — honest but a demo query shouldn't be the suite's
+# slowest entry; the operator itself is size-agnostic and its scaling
+# argument (orientation bound) is in the operator docstring.
+@query(
+    "copurchase_triangles",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                      greatest(x.l_partkey, y.l_partkey) AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      WHERE x.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND x.l_shipdate <  TIMESTAMP '1996-01-01'
+        AND y.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND y.l_shipdate <  TIMESTAMP '1996-01-01'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a = e1.b
+    JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+# Keyed interval-overlap join: per-user error windows [ts, ts+10min)
+# overlapping view windows [ts, ts+5min) — "which browsing sessions
+# were exposed to an active incident". The naive form is a per-user
+# theta join; operators/intervals.py buckets the time axis so it runs
+# as ONE hash equi-join on (user, bucket) with build-side dedupe (each
+# pair kept only in its overlap-start bucket — no distinct shuffle).
+# All integer micros; overlap length exact.
+@query(
+    "interval_overlap_events",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, event_id AS error_id, epoch_us(ts) AS ls,
+             epoch_us(ts) + 600000000 AS le
+      FROM events WHERE event_type = 'error'
+    ),
+    vw AS (
+      SELECT user_id, event_id AS view_id, epoch_us(ts) AS rs,
+             epoch_us(ts) + 300000000 AS re
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT e.user_id, e.error_id, v.view_id,
+           least(e.le, v.re) - greatest(e.ls, v.rs) AS overlap
+    FROM err e JOIN vw v
+      ON e.user_id = v.user_id AND e.ls < v.re AND v.rs < e.le
+    """,
+)
+def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.intervals import interval_overlap_join
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        us.alias("ls"),
+        (us + F.lit(600_000_000)).alias("le"),
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        us.alias("rs"),
+        (us + F.lit(300_000_000)).alias("re"),
+    )
+    joined = interval_overlap_join(
+        err,
+        vw.withColumnRenamed("v_user", "user_id"),
+        keys=["user_id"],
+        bucket_width=600_000_000,
+        l_start="ls",
+        l_end="le",
+        r_start="rs",
+        r_end="re",
+    )
+    return joined.select("user_id", "error_id", "view_id", "overlap")

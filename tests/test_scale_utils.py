@@ -181,3 +181,56 @@ def test_aqe_splits_skewed_join_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_triangle_count_known_graph(spark):
+    """Exact triangle count on a hand-checkable graph: K4 (4 triangles)
+    plus a pendant edge and a duplicate/reversed edge (must not
+    double-count) and a self-loop (must be ignored)."""
+    from analytics_etl_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = k4 + [(4, 5), (2, 1), (3, 1), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).first()["n_triangles"] == 4
+    # triangle-free graph (star): zero
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert triangle_count(star).first()["n_triangles"] == 0
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open overlap semantics + bucket-dedupe: touching intervals
+    do NOT match, pairs spanning many shared buckets appear exactly
+    once, keys partition the match space, empty intervals never match."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.intervals import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 100, "a"),   # long interval
+            (1, 200, 210, "b"),  # touches right.c at 210 — no match
+            (2, 10, 100, "c"),   # other key
+            (1, 50, 50, "d"),    # empty — never matches
+        ],
+        "k long, l_start long, l_end long, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, 90, "x"),    # inside a: one match despite ~7 shared buckets
+            (1, 210, 220, "y"),  # touches b
+            (2, 99, 300, "z"),   # overlaps c by 1
+            (1, 40, 60, "w"),    # overlaps a and spans d
+        ],
+        "k long, r_start long, r_end long, rid string",
+    )
+    out = interval_overlap_join(
+        left, right, keys=["k"], bucket_width=10
+    ).select("lid", "rid", "overlap")
+    got = {(r["lid"], r["rid"]): r["overlap"] for r in out.collect()}
+    assert got == {("a", "x"): 70, ("a", "w"): 20, ("c", "z"): 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        interval_overlap_join(left, right, keys=["k"], bucket_width=0)
