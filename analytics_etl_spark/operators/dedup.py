@@ -484,17 +484,26 @@ def simhash_signatures(
     return withh.select("doc_id", sig.alias("simhash"))
 
 
-def span_hash_expr(text_col: str, span_words: int) -> F.Column:
+def span_hash_expr(text_col: str, span_words: int, stride: int = 1) -> F.Column:
     """Rolling ``span_words``-word span hashes of ``text_col`` as one
     array<string> expression — md5 per word position via transform/
     slice/array_join, pure JVM. Empty array for docs shorter than a
     span (guards sequence(0, negative), which would generate a
-    DESCENDING range and fabricate spans)."""
+    DESCENDING range and fabricate spans).
+
+    ``stride``: step between span starts. 1 = every position (exact —
+    catches a copy at ANY alignment); ``span_words`` = non-overlapping
+    blocks, cutting the span volume ``span_words``x at the documented
+    recall cost (a copy is only caught when both documents emit it at
+    the same block alignment — the cheap screening pass, not the
+    exact one)."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
     w = F.split(F.col(text_col), " ")
     return F.when(
         F.col(text_col).isNotNull() & (F.size(w) >= span_words),
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - F.lit(span_words)),
+            F.sequence(F.lit(0), F.size(w) - F.lit(span_words), F.lit(stride)),
             lambda i: F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -506,6 +515,7 @@ def with_span_hashes(
     id_col: str = "doc_id",
     span_words: int = 20,
     out_col: str = "span_hashes",
+    stride: int = 1,
 ) -> DataFrame:
     """docs + a persisted-ready rolling-span-hash column — the INGEST
     form of exact substring dedup (VERDICT r5 item 4), mirroring
@@ -516,7 +526,7 @@ def with_span_hashes(
     partitioned table write; pass the column to
     ``substring_span_duplicates(spans_col=...)``."""
     docs = _spread_small_scan(docs, id_col)
-    return docs.withColumn(out_col, span_hash_expr(text_col, span_words))
+    return docs.withColumn(out_col, span_hash_expr(text_col, span_words, stride))
 
 
 def substring_span_duplicates(
@@ -526,6 +536,7 @@ def substring_span_duplicates(
     span_words: int = 20,
     min_docs: int = 2,
     spans_col: str | None = None,
+    stride: int = 1,
 ) -> DataFrame:
     """EXACT substring-span dedup (the Lee et al. 2022 "Deduplicating
     Training Data" shape): find every ``span_words``-word span that
@@ -546,25 +557,21 @@ def substring_span_duplicates(
     documented cheapenings, both at recall cost.
 
     ``spans_col``: name of an ingest-persisted span-hash column
-    (written by ``with_span_hashes`` at the same ``span_words``) — the
-    text split/hash expansion is then skipped entirely and the scan
-    reads (id, hashes) only.
+    (written by ``with_span_hashes`` at the same ``span_words``/
+    ``stride``) — the text split/hash expansion is then skipped
+    entirely and the scan reads (id, hashes) only.
+
+    ``stride``: see ``span_hash_expr`` — stride=1 is the exact form,
+    stride=span_words the block-aligned screening form.
     """
     if spans_col is not None:
         exploded = docs.select(
             F.col(id_col).alias("doc_id"), F.explode(spans_col).alias("span_hash")
         )
     else:
-        w = F.split(F.col(text_col), " ")
-        spans = F.transform(
-            F.sequence(F.lit(0), F.size(w) - F.lit(span_words)),
-            lambda i: F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")),
-        )
-        exploded = (
-            # size guard: sequence(0, negative) would generate a
-            # DESCENDING range, fabricating spans for short docs
-            docs.filter(F.col(text_col).isNotNull() & (F.size(w) >= span_words))
-            .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span_hash"))
+        exploded = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(span_hash_expr(text_col, span_words, stride)).alias("span_hash"),
         )
     return (
         exploded.groupBy("span_hash")

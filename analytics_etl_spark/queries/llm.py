@@ -1543,6 +1543,113 @@ def dedup_substring_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_span_duplicates(t(spark, sf_dir, "documents"), span_words=20)
 
 
+# The stride=span_words screening form of the exact span dedup: only
+# BLOCK-ALIGNED 20-word spans are emitted, cutting the explode/shuffle
+# volume 20x. The recall trade is explicit: a copy is caught only when
+# both docs emit it at the same alignment (full verbatim doc copies
+# and head-anchored boilerplate always are; mid-paragraph splices may
+# not be) — the cheap daily screen in front of the stride=1 exact
+# nightly pass. Same operator, one parameter.
+@query(
+    "dedup_substring_stride",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 20
+    ),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 18, 20),
+                    i -> md5(array_to_string(w[i:i+19], ' ')))) AS span_hash
+      FROM w
+    )
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM s GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_stride_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.dedup import substring_span_duplicates
+
+    return substring_span_duplicates(
+        t(spark, sf_dir, "documents"), span_words=20, stride=20
+    )
+
+
+# DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score each raw doc
+# by how much its hashed n-gram profile looks like a TARGET domain
+# (here lang='en' stands in for "high-quality target corpus"). The
+# published method weights features by log(p_target/p_raw); logs are
+# libm-territory (engine-dependent last ulps ⇒ unstable rankings), so
+# this linearizes the ratio into FIXED-POINT integers instead:
+# r_f = ((Nt_f+1)·2^20) div (Ns_f+1) — add-one smoothed, exact in any
+# engine; a doc's importance is Σ_f count_d(f)·r_f, an exact bigint.
+# (Same determinism move as text_tfidf_topterms' linearized idf: keep
+# the monotone-per-feature ranking signal, drop the libm.) Scale:
+# bigram→bucket hashing is the one Arrow kernel pass (persistable via
+# with_shingle_column at ingest); bucket stats are a 1024-row frame —
+# broadcast back; everything else is two hash aggs.
+@query(
+    "dsir_importance_topk",
+    oracle="""
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+                   FROM documents WHERE text IS NOT NULL),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS g
+      FROM words
+    ),
+    counts AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS f,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+      SELECT f, SUM(c) AS ns,
+             SUM(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS nt
+      FROM counts GROUP BY 1
+    ),
+    r AS (SELECT f, CAST(((nt + 1) * 1048576) // (ns + 1) AS BIGINT) AS r
+          FROM buckets)
+    SELECT doc_id, CAST(SUM(c * r.r) AS BIGINT) AS importance
+    FROM counts JOIN r USING (f)
+    GROUP BY doc_id
+    ORDER BY importance DESC, doc_id
+    LIMIT 100
+    """,
+)
+def dsir_importance_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.dedup import with_shingle_column
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    grams = with_shingle_column(docs, n=2, distinct=False, out_col="gs").select(
+        "doc_id", "lang", F.explode("gs").alias("g")
+    )
+    counts = grams.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long") % 1024).alias("f"),
+    ).groupBy("doc_id", "lang", "f").agg(F.count("*").cast("bigint").alias("c"))
+    buckets = counts.groupBy("f").agg(
+        F.sum("c").alias("ns"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))).alias("nt"),
+    )
+    ratios = buckets.select(
+        "f", F.expr("CAST(((nt + 1) * 1048576) DIV (ns + 1) AS BIGINT)").alias("r")
+    )
+    return (
+        counts.join(F.broadcast(ratios), "f")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("r")).cast("bigint").alias("importance"))
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
 @query(
     "text_tfidf_topterms",
     oracle="""
