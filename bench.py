@@ -86,6 +86,11 @@ HEADLINE = [
     "contrastive_triplets",
     "events_props_variant_stats",
     "source_file_census",
+    # round-6 additions
+    "copurchase_triangles",
+    "interval_overlap_events",
+    "dsir_importance_topk",
+    "dedup_substring_stride",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -117,7 +117,6 @@ PYTHON_KERNEL_OK = {
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_fingerprint_winnow",
-    "dsir_importance_topk",
     "docs_chunked_overlap",
     "packed_examples",
     "packed_examples_exact",
