@@ -319,3 +319,69 @@ def test_embeddings_vec_id_is_dense(spark):
         docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
         bad = docs.filter((F.col("doc_id") < 0) | (F.col("doc_id") >= row["n"])).count()
         assert bad == 0, sf
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """triangle_count == brute-force enumeration over all id triples,
+    on arbitrary multigraphs with self-loops and reversed duplicates."""
+    from itertools import combinations
+
+    from analytics_etl_spark.operators.graph import triangle_count
+
+    adj = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in adj for n in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if {a, b} in adj and {a, c} in adj and {b, c} in adj
+    )
+    if edges:
+        df = spark.createDataFrame(edges, "src long, dst long")
+    else:
+        df = spark.range(0).selectExpr("id AS src", "id AS dst")
+    assert triangle_count(df).first()["n_triangles"] == expected
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 60)),
+        min_size=0,
+        max_size=12,
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 60), st.integers(0, 60)),
+        min_size=0,
+        max_size=12,
+    ),
+    width=st.sampled_from([1, 7, 10, 64]),
+)
+@settings(**SETTINGS)
+def test_interval_overlap_matches_bruteforce(spark, lefts, rights, width):
+    """interval_overlap_join == the quadratic definition, for any
+    bucket width (the width is a performance knob, never a semantics
+    knob) and any mix of empty/touching/nested intervals."""
+    from analytics_etl_spark.operators.intervals import interval_overlap_join
+
+    expected = {}
+    for li, (lk, ls, le) in enumerate(lefts):
+        for ri, (rk, rs, re) in enumerate(rights):
+            if lk == rk and ls < le and rs < re and ls < re and rs < le:
+                expected[(li, ri)] = min(le, re) - max(ls, rs)
+
+    ldf = spark.createDataFrame(
+        [(i, k, s, e) for i, (k, s, e) in enumerate(lefts)],
+        "lid long, k long, l_start long, l_end long",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, s, e) for i, (k, s, e) in enumerate(rights)],
+        "rid long, k long, r_start long, r_end long",
+    )
+    out = interval_overlap_join(ldf, rdf, keys=["k"], bucket_width=width)
+    got = {(r["lid"], r["rid"]): r["overlap"] for r in out.collect()}
+    assert got == expected

@@ -31,7 +31,7 @@ def test_driver_window_is_curated_and_pinned():
     queries(). Round 2's lesson: module import order silently decided
     which operators got correctness evidence, and three previously-green
     queries fell out of the window. Round 5 adds ROTATION (VERDICT r4
-    item 2): 32 fixed-core slots never leave; 18 slots rotate each
+    item 2): fixed-core slots never leave; the rest rotate each
     round through the least-recently-driver-checked oracle-paired
     queries, so the whole registry earns driver rows over ~4 rounds.
     Round 6 shrank the core 32 -> 10 (VERDICT r5 item 1): after five

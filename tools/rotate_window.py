@@ -1,8 +1,9 @@
 """Compute the next round's DRIVER_WINDOW rotation.
 
-The policy (queries/__init__.py): 32 fixed-core slots never move; the
-18 rotation slots go to the LEAST-RECENTLY driver-checked oracle-paired
-queries, using the CORRECTNESS_r{N}.json artifacts as the history.
+The policy (queries/__init__.py): the FIXED_CORE slots never move; the
+remaining rotation slots (50 - len(FIXED_CORE)) go to the
+LEAST-RECENTLY driver-checked oracle-paired queries, using the
+CORRECTNESS_r{N}.json artifacts as the history.
 This tool makes the policy mechanical: run it at the start of a round,
 paste the printed tuple over ROTATION, update the pinned test if core
 families changed (they shouldn't).
