@@ -41,6 +41,7 @@ def interval_overlap_join(
     l_end: str = "l_end",
     r_start: str = "r_start",
     r_end: str = "r_end",
+    max_buckets_per_interval: int = 4096,
 ) -> DataFrame:
     """Half-open interval overlap: rows where [l_start, l_end) and
     [r_start, r_end) intersect AND all ``keys`` match.
@@ -49,6 +50,15 @@ def interval_overlap_join(
     intersection length, integer). Empty intervals (start >= end)
     never match, mirroring the half-open convention everywhere else
     in the engine.
+
+    ``max_buckets_per_interval`` is the runaway guard: ONE open-ended
+    or mis-unitized interval (an unclosed session, seconds where the
+    caller meant micros) would silently explode into millions of
+    bucket rows — at 100 TB that's the job-killing row bomb, and a
+    wrong answer is better loud than slow. The check is a per-row
+    expression on the already-computed bucket bounds (no extra pass);
+    raise the limit deliberately if genuinely-long intervals are
+    expected, or widen ``bucket_width`` to match them.
     """
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
@@ -57,10 +67,26 @@ def interval_overlap_join(
     def buckets(s: str, e: str) -> F.Column:
         # floor(s/w) .. floor((e-1)/w): every bucket a half-open
         # integer interval touches (e-1 because end is exclusive)
-        return F.sequence(
-            F.floor(F.col(s) / w).cast("long"),
-            F.floor((F.col(e) - 1) / w).cast("long"),
-        )
+        lo = F.floor(F.col(s) / w).cast("long")
+        hi = F.floor((F.col(e) - 1) / w).cast("long")
+        n = hi - lo + 1
+        guarded_hi = F.when(
+            n > F.lit(int(max_buckets_per_interval)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval spans "
+                    ),
+                    n.cast("string"),
+                    F.lit(
+                        f" buckets (> max_buckets_per_interval="
+                        f"{max_buckets_per_interval}); widen bucket_width "
+                        "or raise the limit"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(hi)
+        return F.sequence(lo, guarded_hi)
 
     lb = left.filter(F.col(l_start) < F.col(l_end)).withColumn(
         "__bucket", F.explode(buckets(l_start, l_end))

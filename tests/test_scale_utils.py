@@ -234,3 +234,26 @@ def test_interval_overlap_join_semantics(spark):
 
     with pytest.raises(ValueError):
         interval_overlap_join(left, right, keys=["k"], bucket_width=0)
+
+
+def test_interval_overlap_runaway_guard(spark):
+    """One open-ended/mis-unitized interval must fail LOUD, not explode
+    into millions of bucket rows (the 100 TB row bomb)."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from analytics_etl_spark.operators.intervals import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 10_000_000_000)], "k long, l_start long, l_end long"
+    )
+    right = spark.createDataFrame([(1, 5, 6)], "k long, r_start long, r_end long")
+    bad = interval_overlap_join(left, right, keys=["k"], bucket_width=10)
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        bad.collect()
+    # the remedy the error message prescribes — a bucket_width matched
+    # to the interval length — passes with the default limit
+    ok = interval_overlap_join(
+        left, right, keys=["k"], bucket_width=10_000_000_000
+    )
+    assert ok.count() == 1
