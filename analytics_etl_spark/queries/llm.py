@@ -2105,3 +2105,157 @@ def corpus_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+# REAL byte-level multimodal feature (no codec needed, nothing
+# stubbed): 16-bin byte-value histogram per media payload — the
+# entropy/format-drift screening pass that runs before any decode.
+# numpy bincount over zero-copy Arrow buffers (operators/multimodal.
+# byte_histogram). Oracle contract: payloads are UTF-8 bytes of an
+# ASCII corpus (synthesize_media), so DuckDB can mirror the bytes as
+# characters — a non-ASCII corpus would need a blob-side oracle.
+@query(
+    "multimodal_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS media_id,
+             unnest(list_transform(range(1, len(text) + 1),
+                    i -> ascii(text[i]) // 16)) AS bin
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    )
+    SELECT media_id, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes
+    FROM b GROUP BY 1, 2
+    """,
+)
+def multimodal_byte_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.multimodal import byte_histogram, synthesize_media
+
+    docs = t(spark, sf_dir, "documents")
+    return byte_histogram(synthesize_media(docs), bins=16)
+
+
+# Ingest novelty scoring — the data-valuation question every corpus
+# refresh asks: how much NEW content does this batch actually add?
+# Per batch doc: distinct word 3-grams, how many never occur in the
+# standing corpus, and the novelty ratio (exact integer counts, one
+# final IEEE division). The corpus side collapses to its DISTINCT
+# gram set once (at 100 TB that set is the persisted artifact —
+# exactly the with_shingle_column family); the batch side is an
+# anti-join against it, O(batch) like incremental dedup. Pure JVM
+# (pre-split transform, the dsir_importance_topk pattern).
+@query(
+    "ingest_novelty_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+      FROM words
+    ),
+    corpus AS (SELECT DISTINCT g FROM grams WHERE doc_id < 450),
+    batch AS (SELECT doc_id, g FROM grams WHERE doc_id >= 450),
+    novel AS (
+      SELECT b.doc_id, COUNT(*) AS n_novel
+      FROM batch b WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.g = b.g)
+      GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM batch GROUP BY 1)
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+             AS novelty
+    FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def ingest_novelty_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.dedup import _spread_small_scan
+
+    docs = _spread_small_scan(
+        t(spark, sf_dir, "documents").filter(F.col("text").isNotNull()), "doc_id"
+    ).withColumn("w", F.split("text", " "))
+    g3 = F.when(
+        F.size("w") >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - F.lit(3)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                    F.element_at(F.col("w"), i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", F.explode(g3).alias("g"))
+    corpus = grams.filter(F.col("doc_id") < 450).select("g").distinct()
+    batch = grams.filter(F.col("doc_id") >= 450)
+    tot = batch.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_grams"))
+    novel = (
+        batch.join(corpus, "g", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    return (
+        tot.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            (
+                F.coalesce("n_novel", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Percentile-gated quality filtering: keep each source's top half by
+# document length — the per-DOMAIN quality gate (an absolute threshold
+# over-prunes terse domains and under-prunes verbose ones; the
+# percentile form adapts per source). percent_rank = (rank-1)/(n-1)
+# is one IEEE division of exact integers — identical in any engine —
+# and the (n_words, doc_id) total order makes ranks deterministic.
+# One window pass partitioned by source; at 100 TB that is a single
+# hash-partition exchange on the domain key.
+@query(
+    "quality_percentile_gate",
+    oracle="""
+    WITH wc AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_words,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY n_words, doc_id) AS pr
+      FROM wc
+    )
+    SELECT doc_id, source, n_words, pr
+    FROM ranked WHERE pr >= 0.5
+    ORDER BY doc_id
+    """,
+)
+def quality_percentile_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    )
+    w = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    return (
+        wc.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .orderBy("doc_id")
+    )

@@ -118,6 +118,7 @@ PYTHON_KERNEL_OK = {
     "dedup_simhash",
     "doc_fingerprint_winnow",
     "docs_chunked_overlap",
+    "multimodal_byte_histogram",
     "packed_examples",
     "packed_examples_exact",
     "similarity_ann_hyperplane",

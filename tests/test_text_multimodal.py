@@ -178,3 +178,28 @@ def test_exact_packing_invariants_vs_window_form(spark):
         chunks, budget_words=500, stratum_col="lang"
     ).collect()))
     assert sorted(map(tuple, ex_rows)) == again
+
+
+def test_byte_histogram_counts_and_guards(spark):
+    """byte_histogram: per-payload counts sum to the byte length,
+    bins reflect value>>4, empty payloads emit nothing, and non-
+    divisor bin counts are rejected."""
+    import pytest
+
+    from analytics_etl_spark.operators.multimodal import byte_histogram
+
+    rows = [
+        (1, bytes([0, 1, 15, 16, 255])),  # bins 0,0,0,1,15
+        (2, b""),                         # empty: no rows
+        (3, bytes(range(256))),           # every bin exactly 16
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        (r["media_id"], r["bin"]): r["n_bytes"]
+        for r in byte_histogram(df, bins=16).collect()
+    }
+    assert got[(1, 0)] == 3 and got[(1, 1)] == 1 and got[(1, 15)] == 1
+    assert not any(mid == 2 for mid, _ in got)
+    assert all(got[(3, b)] == 16 for b in range(16))
+    with pytest.raises(ValueError):
+        byte_histogram(df, bins=100)
