@@ -72,3 +72,86 @@ def sessionize_stream(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def recent_events_state(events: DataFrame, k: int = 5) -> DataFrame:
+    """Per-user last-K event cache + lifetime counter on the
+    transformWithStateInPandas API (the Spark 4 StatefulProcessor
+    successor to applyInPandasWithState above — typed state variables
+    with per-state TTL instead of one monolithic state tuple).
+
+    The operator is the feature-store primitive behind "user's N most
+    recent events" online features: ListState holds at most K
+    (ts, value) pairs per user (pruned every batch — state is O(users
+    · K) forever, regardless of stream length), ValueState holds the
+    lifetime event count. Emits (user_id, n_total, k_cached,
+    max_recent) per updated user per micro-batch.
+
+    Like sessionize_stream, the processor class is defined INSIDE the
+    function so cloudpickle ships it by value and Python workers never
+    need this package on sys.path.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RecentK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n_total", "n bigint")
+            self._recent = handle.getListState("recent", "us bigint, value double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            items: list[tuple[int, float]] = []
+            for pdf in rows:
+                items.extend(
+                    (int(u), float(v)) for u, v in zip(pdf["us"], pdf["value"])
+                )
+            if not items:
+                return
+            prev = (
+                [(int(r[0]), float(r[1])) for r in self._recent.get()]
+                if self._recent.exists()
+                else []
+            )
+            kept = sorted(prev + items)[-k:]
+            self._recent.put(kept)
+            n = (self._n.get()[0] if self._n.exists() else 0) + len(items)
+            self._n.update((n,))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_total": [n],
+                    "k_cached": [len(kept)],
+                    "max_recent": [max(v for _, v in kept)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    with_us = events.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "value",
+    )
+    return with_us.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RecentK(),
+        outputStructType="user_id long, n_total long, k_cached int, max_recent double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+# ENVIRONMENT LIMIT (declared): transformWithStateInPandas talks to
+# the JVM state server over a protobuf protocol; this container lacks
+# google.protobuf (and installs are off-limits), so recent_events_state
+# constructs and compiles but cannot EXECUTE here — the end-to-end
+# test skips with this reason (tests/test_stateful_observe.py). The
+# applyInPandasWithState operator above is the executable stateful
+# path in this environment; on a stock Spark 4 cluster (protobuf
+# ships with pyspark[connect] / most distros) recent_events_state
+# runs as written.
