@@ -85,3 +85,90 @@ def conjunctive_search(
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl): non-empty whitespace token count per doc — the
+    BM25 length normalizer. Pure expression (no shuffle); persist next
+    to the postings index at ingest."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    return docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.size(toks).cast("bigint").alias("dl")
+    )
+
+
+def bm25_rank(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k1: tuple[int, int] = (6, 5),
+    b: tuple[int, int] = (3, 4),
+    k: int = 20,
+) -> DataFrame:
+    """lin-BM25 ranking over the postings index — OR semantics, top-k.
+
+    Classic BM25 with ONE deliberate change: the idf keeps the raw
+    odds ratio (N - df + 0.5)/(df + 0.5) instead of its log. The log
+    is libm territory (engine-dependent last ulps ⇒ unstable
+    rankings); rankings per term are identical (log is monotone),
+    relative cross-term weighting is steeper than classic BM25 —
+    documented, deterministic, oracle-checkable. The tf saturation is
+    textbook: tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    DETERMINISM CONSTRUCTION: k1 and b are RATIONALS (the BM25
+    defaults 1.2 and 0.75 exactly = 6/5 and 3/4), and with avgdl =
+    S/N the whole per-term score algebraically reduces to a ratio of
+    two INTEGERS:
+
+        s = [(2(N−df)+1) · tf · (k1n+k1d) · bd · S]
+            / [(2df+1) · (tf·k1d·bd·S + k1n·(bd−bn)·S + k1n·bn·dl·N)]
+
+    computed exactly in int64 with ONE final IEEE division — there is
+    no float a·b+c anywhere, so compiler FMA contraction (which costs
+    a last ulp and differs between engines; observed against DuckDB)
+    cannot touch it. int64 bounds: the numerator tops out near
+    2N·tf·11·4·S — safe beyond 1e8-doc corpora; past that, swap the
+    products to DECIMAL(38,0) (the corpus_checksum pattern) before
+    the final cast. The per-doc sum folds the term-SORTED score array
+    left-to-right (F.aggregate ≡ DuckDB list_reduce over
+    list(... ORDER BY term)) — additions only, nothing fusable.
+
+    Scale shape: postings filtered to the query's terms (partition +
+    pushed predicates against the persisted index), df is a
+    term-count-sized broadcast, (n_docs, sum_dl) a 1-row broadcast;
+    the only corpus-key shuffle is the doclens join on doc_id — and
+    doclens is the KB-per-million-docs side table written at ingest.
+    """
+    (k1n, k1d), (bn, bd) = k1, b
+    terms = sorted(set(terms))
+    p = postings.filter(F.col("term").isin(terms))
+    if "pfx" in postings.columns:
+        p = p.filter(F.col("pfx").isin(sorted({t[:1] for t in terms})))
+    tdf = p.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = doclens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    n, s_, df_, tf, dl = (
+        F.col("n_docs"), F.col("sum_dl"), F.col("df"), F.col("tf"), F.col("dl"),
+    )
+    s_num = (F.lit(2) * (n - df_) + F.lit(1)) * tf * F.lit(k1n + k1d) * F.lit(bd) * s_
+    s_den = (F.lit(2) * df_ + F.lit(1)) * (
+        tf * F.lit(k1d * bd) * s_ + F.lit(k1n * (bd - bn)) * s_ + F.lit(k1n * bn) * dl * n
+    )
+    score_term = s_num.cast("double") / s_den.cast("double")
+    scored = (
+        p.join(F.broadcast(tdf), "term")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", score_term.alias("s"))
+    )
+    arr = F.array_sort(F.collect_list(F.struct("term", "s")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x["s"]).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

@@ -2259,3 +2259,75 @@ def quality_percentile_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") >= 0.5)
         .orderBy("doc_id")
     )
+
+
+# BM25 ranking over the inverted index — OR semantics, top-20. See
+# operators/search.bm25_rank for the determinism construction: raw
+# odds-ratio idf instead of its log (log is libm), k1=6/5 and b=3/4
+# as RATIONALS so the per-term score reduces to an exact int64 ratio
+# with ONE final IEEE division — the first float-expression attempt
+# here ((1-b) + b·dl/avgdl etc.) hash-mismatched DuckDB by one ulp,
+# the signature of compiler FMA contraction on a·b+c shapes; the
+# integer form has nothing to fuse. The per-doc sum folds the
+# term-sorted score list identically in both engines.
+_BM25_TERMS = ("filter", "join", "window")
+
+
+@query(
+    "text_search_bm25",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE t <> ''
+    ),
+    p AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+      WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl
+      FROM dl
+    ),
+    tdf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM p GROUP BY 1),
+    scored AS (
+      -- k1 = 6/5, b = 3/4: s_num = (2(N-df)+1)*tf*11*4*S,
+      -- s_den = (2df+1)*(tf*20*S + 6*1*S + 18*dl*N) with
+      -- k1d*bd = 20, k1n*(bd-bn) = 6, k1n*bn = 18
+      SELECT p.doc_id, p.term,
+             CAST((2 * (s.n_docs - tdf.df) + 1) * p.tf * 11 * 4 * s.sum_dl
+                  AS DOUBLE)
+             / CAST((2 * tdf.df + 1)
+                    * (p.tf * 20 * s.sum_dl + 6 * s.sum_dl
+                       + 18 * dl.dl * s.n_docs) AS DOUBLE) AS s
+      FROM p
+      JOIN tdf USING (term)
+      JOIN dl USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+           list_reduce(list(s ORDER BY term), (a, b) -> a + b) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.search import (
+        bm25_rank,
+        build_postings,
+        doc_lengths,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return bm25_rank(
+        build_postings(docs),
+        doc_lengths(docs),
+        list(_BM25_TERMS),
+        k1=(6, 5),
+        b=(3, 4),
+        k=20,
+    )
