@@ -91,6 +91,8 @@ HEADLINE = [
     "interval_overlap_events",
     "dsir_importance_topk",
     "dedup_substring_stride",
+    "text_search_bm25",
+    "ingest_novelty_score",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
@@ -288,15 +290,28 @@ _ROLLUP_PATH: str | None = None
 _ROLLUP_MONTH: str | None = None
 
 
+_DOCLENS: object | None = None
+
+
 def _setup_postings(spark, sf_dir: str) -> None:
-    """Ingest-time inverted index (untimed): term-partitioned postings."""
-    global _POSTINGS
-    from analytics_etl_spark.operators.search import build_postings, write_postings_index
+    """Ingest-time inverted index (untimed): term-partitioned postings
+    plus the (doc_id, dl) doclens side table BM25 normalizes by."""
+    global _POSTINGS, _DOCLENS
+    from analytics_etl_spark.operators.search import (
+        build_postings,
+        doc_lengths,
+        write_postings_index,
+    )
     from analytics_etl_spark.tables import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="aes_bench_idx_"), "postings")
-    write_postings_index(build_postings(load_table(spark, sf_dir, "documents")), path)
+    base = tempfile.mkdtemp(prefix="aes_bench_idx_")
+    path = os.path.join(base, "postings")
+    docs = load_table(spark, sf_dir, "documents")
+    write_postings_index(build_postings(docs), path)
     _POSTINGS = spark.read.parquet(path)
+    dl_path = os.path.join(base, "doclens")
+    doc_lengths(docs).write.mode("overwrite").parquet(dl_path)
+    _DOCLENS = spark.read.parquet(dl_path)
 
 
 def _text_search_indexed(spark, sf_dir: str):
@@ -305,6 +320,15 @@ def _text_search_indexed(spark, sf_dir: str):
     from analytics_etl_spark.operators.search import conjunctive_search
 
     return conjunctive_search(_POSTINGS, ["filter", "join", "window"], k=20)
+
+
+def _text_search_bm25_indexed(spark, sf_dir: str):
+    """BM25 against the persisted postings + doclens tables: the
+    ranked-search deployment number — term-pruned postings scan, no
+    tokenization, no document scan at query time."""
+    from analytics_etl_spark.operators.search import bm25_rank
+
+    return bm25_rank(_POSTINGS, _DOCLENS, ["filter", "join", "window"], k=20)
 
 
 _BIGRAMS: object | None = None
@@ -555,6 +579,7 @@ def main() -> None:
     plans["similarity_topk_int8_persisted"] = _int8_persisted
     plans["sketch_union_persisted"] = _sketch_union_persisted
     plans["text_search_indexed"] = _text_search_indexed
+    plans["text_search_bm25_indexed"] = _text_search_bm25_indexed
     plans["text_search_phrase_persisted"] = _text_search_phrase_persisted
     plans["rollup_refresh_month"] = _rollup_refresh_month
     plans["rollup_full_rebuild"] = _rollup_full_rebuild
