@@ -458,30 +458,51 @@ def simhash_signatures(
     """SimHash: per-doc `bits`-bit signature from shingle-hash bit votes.
 
     bit_i(doc) = 1 iff more shingles have bit i set than not in their
-    md5-derived integer hash. Like the minhash path, the whole
-    computation is per-row array algebra — shingle → hash-int array →
-    per-bit vote counts via size(filter(...)) — ZERO shuffle.
-    Hamming-distance buckets via signature prefix.
+    md5-derived integer hash (strictly more set than unset). ZERO
+    shuffle — one Arrow kernel pass per row. Hamming-distance buckets
+    via signature prefix.
+
+    Implementation note: the first formulation built the hash array
+    with JVM expressions and took 32 interpreted size(filter(...))
+    passes over it — ~bits×shingles lambda evaluations per doc,
+    measured 3.0 s at sf0.1. This numpy kernel (md5 per shingle at C
+    speed, one (shingles × bits) bit matrix, vectorized votes)
+    replaces all of it in a single pass; signatures are bit-identical
+    (same md5-hex-prefix integers, same strict-majority rule — the
+    DuckDB oracle pins this).
     """
-    arrays = shingle_arrays(docs, text_col, id_col, n=shingle_n, distinct=False)
-    # 60-bit integer per shingle from the first 15 hex chars of md5.
-    hashes = F.transform(
-        F.col("shingles"),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
-    )
-    n = F.size("shingles")
-    withh = arrays.filter(n >= 1).select("doc_id", hashes.alias("hs"), n.alias("n"))
-    # bit i wins if set-count > n/2 (strictly more set than unset)
-    sig = None
-    for i in range(bits):
-        ones = F.size(
-            F.filter(F.col("hs"), lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        bit = F.when(ones * 2 > F.col("n"), F.lit(2**i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return withh.select("doc_id", sig.alias("simhash"))
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _sig(texts):
+        out = []
+        pos = np.arange(bits, dtype=np.int64)
+        for txt in texts:
+            if txt is None:
+                out.append(None)
+                continue
+            w = txt.split(" ")
+            grams = [" ".join(w[i : i + shingle_n]) for i in range(len(w) - shingle_n + 1)]
+            if not grams:
+                out.append(None)
+                continue
+            hs = np.array(
+                [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams],
+                dtype=np.int64,
+            )
+            votes = ((hs[:, None] >> pos) & 1).sum(axis=0)
+            sig = int(((votes * 2 > len(hs)).astype(np.int64) << pos).sum())
+            out.append(sig)
+        return pd.Series(out, dtype="object")
+
+    _sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    kernel = F.pandas_udf(_sig, "long")
+    docs = _spread_small_scan(docs, id_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), kernel(F.col(text_col)).alias("simhash")
+    ).filter(F.col("simhash").isNotNull())
 
 
 def span_hash_expr(text_col: str, span_words: int, stride: int = 1) -> F.Column:
