@@ -232,3 +232,14 @@ def test_binational_nation_filter_prejoin(spark):
     assert len(nation_pushes) == 2, nation_pushes  # both cn and sn scans
     tree = tree_of(plan)
     assert "CartesianProduct" not in tree
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: pure JVM (no Python eval nodes), top-k via
+    TakeOrderedAndProject (never a global sort), df and corpus stats
+    ride broadcasts — the only corpus-key shuffle is the doclens join."""
+    plan = plan_of(spark, "text_search_bm25")
+    tree = tree_of(plan)
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in tree
+    assert "CartesianProduct" not in tree
