@@ -98,7 +98,12 @@ HEADLINE = [
 # jitter-prone entries get extra reps so the median is trustworthy
 # (round-2→3 flagship drift turned out to be spread, not regression —
 # pin that down per-round instead of re-litigating it)
-REPS_OVERRIDE = {"flagship_monthly_revenue": 5, "dedup_minhash_lsh": 5}
+REPS_OVERRIDE = {
+    "flagship_monthly_revenue": 5,
+    "dedup_minhash_lsh": 5,
+    # r6: observed 0.64s..2.16s across runs — median over 5
+    "dedup_substring_stride": 5,
+}
 
 
 def _flagship_bucketed(spark, sf_dir: str):
