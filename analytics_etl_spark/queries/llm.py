@@ -2331,3 +2331,21 @@ def text_search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         b=(3, 4),
         k=20,
     )
+
+
+# Heavy-hitter frequency sketch (Misra-Gries, mergeable) — see
+# operators/freq.py. Rows-only: MG counters (and which tail items
+# survive) depend on partitioning/stream order by construction, so no
+# engine-exact oracle exists; the guarantees that actually matter —
+# every item with freq > n/(k+1) present, counters within n/(k+1)
+# under — are pinned by property tests in tests/test_sketches.py.
+@query(
+    "heavy_hitters_parts",
+    rows_only="Misra-Gries counters are partition/stream-order dependent; "
+    "frequency-error envelope and completeness pinned in tests/test_sketches.py",
+)
+def heavy_hitters_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.freq import heavy_hitters
+
+    li = t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, "l_partkey", k=50)

@@ -21,9 +21,10 @@ def test_registry_shape():
     # rows-only set is the approximate/hermetic/sequential ops (approx
     # distinct, approx quantiles, the synthetic REST source, IVF float
     # means, exact greedy packing, HLL sketch union, view-hidden file
-    # identity, the HLL table profile). simhash left this set in r6 —
-    # its 60-bit non-negative hashes made the bit ops engine-portable.
-    assert len(os_) >= len(qs) - 8
+    # identity, the HLL table profile, the Misra-Gries heavy-hitter
+    # sketch). simhash left this set in r6 — its 60-bit non-negative
+    # hashes made the bit ops engine-portable.
+    assert len(os_) >= len(qs) - 9
 
 
 def test_driver_window_is_curated_and_pinned():
@@ -117,6 +118,7 @@ PYTHON_KERNEL_OK = {
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_fingerprint_winnow",
+    "heavy_hitters_parts",
     "docs_chunked_overlap",
     "multimodal_byte_histogram",
     "packed_examples",

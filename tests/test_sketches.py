@@ -177,3 +177,55 @@ def test_table_profile_sketch_envelope_and_plan(spark):
     with contextlib.redirect_stdout(buf):
         approx_df.explain("formatted")
     assert "Expand" not in buf.getvalue()
+
+
+def test_misra_gries_guarantees(spark):
+    """The two MG theorems, empirically, on a zipf-ish stream split
+    across partitions: (1) COMPLETENESS — every item with true
+    frequency > n/(k+1) appears in the summary; (2) ERROR ENVELOPE —
+    every reported counter underestimates by at most n/(k+1) and
+    never overestimates."""
+    from analytics_etl_spark.operators.freq import heavy_hitters
+
+    # 3 hot items (~1/4, 1/8, 1/16 of the stream) over a 500-item tail
+    rows = []
+    i = 0
+    for rep, item in ((2500, "hot_a"), (1250, "hot_b"), (625, "hot_c")):
+        rows += [(i + j, item) for j in range(rep)]
+        i += rep
+    rows += [(i + j, f"tail_{j % 500}") for j in range(5000)]
+    n = len(rows)
+    true = {}
+    for _, item in rows:
+        true[item] = true.get(item, 0) + 1
+
+    k = 20
+    df = spark.createDataFrame(rows, "row_id long, item string").repartition(8)
+    got = {r["item"]: r["est"] for r in heavy_hitters(df, "item", k=k).collect()}
+
+    bound = n / (k + 1)
+    for item, freq in true.items():
+        if freq > bound:
+            assert item in got, (item, freq, bound)
+    for item, est in got.items():
+        assert 0 < est <= true[item], (item, est, true[item])
+        assert true[item] - est <= bound, (item, est, true[item], bound)
+    assert len(got) <= k
+
+
+def test_misra_gries_k_bounds_summary(spark):
+    """State never exceeds k items per partition summary, and a
+    uniform stream (no heavy hitter) yields a small, bounded result."""
+    from analytics_etl_spark.operators.freq import heavy_hitters, partition_summaries
+
+    import pytest
+
+    df = spark.range(2000).selectExpr("CAST(id % 700 AS STRING) AS item").repartition(4)
+    per_part = partition_summaries(df, "item", k=10)
+    import pyspark.sql.functions as F
+
+    sizes = per_part.groupBy(F.spark_partition_id().alias("p")).count().collect()
+    assert all(r["count"] <= 10 for r in sizes)
+    assert heavy_hitters(df, "item", k=10).count() <= 10
+    with pytest.raises(ValueError):
+        partition_summaries(df, "item", k=0)
