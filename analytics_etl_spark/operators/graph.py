@@ -251,21 +251,42 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     zero). Three shuffles total: degree agg, wedge join, closing join.
 
     The order key packs (degree, node) into one long (degree·2^32 +
-    node — node ids must fit in 32 bits, asserted cheap at the edge
-    scan) so orientation needs no struct comparisons. Exact integer
-    count, oracle-checkable against a three-way SQL self-join.
+    node) so orientation needs no struct comparisons — which requires
+    node ids in [0, 2^32): an id outside that range would silently
+    collide order keys and corrupt the count, so the edge
+    canonicalization raises loudly on the first offending row (a
+    per-row guard expression, no extra pass). Exact integer count,
+    oracle-checkable against a three-way SQL self-join.
     """
     # canonical edge list materialized ONCE (same policy as
     # pagerank_int/bfs_levels): the degree agg, the orientation join,
     # and the adjacency build all consume it — without the checkpoint
     # each subtree re-runs the upstream edge construction (measured
     # 3.2 s of the 10 s at sf0.1 re-paid per consumer)
+    in_range = (F.col("a") >= 0) & (F.col("b") < F.lit(2**32))
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
+        # a <= b by construction, so checking a >= 0 and b < 2^32
+        # bounds both endpoints; violations corrupt the packed order
+        # key, so fail loud instead
+        .withColumn(
+            "a",
+            F.when(in_range, F.col("a")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("triangle_count: node id out of [0, 2^32): ("),
+                        F.col("a").cast("string"),
+                        F.lit(", "),
+                        F.col("b").cast("string"),
+                        F.lit(") — remap ids to a dense range first"),
+                    )
+                ).cast("long")
+            ),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -257,3 +257,20 @@ def test_interval_overlap_runaway_guard(spark):
         left, right, keys=["k"], bucket_width=10_000_000_000
     )
     assert ok.count() == 1
+
+
+def test_triangle_count_rejects_out_of_range_ids(spark):
+    """Node ids outside [0, 2^32) would silently collide the packed
+    (degree, node) order key — must fail loud, not miscount."""
+    import pytest
+
+    from analytics_etl_spark.operators.graph import triangle_count
+
+    bad = spark.createDataFrame(
+        [(1, 2), (2, 2**33), (1, 2**33)], "src long, dst long"
+    )
+    with pytest.raises(Exception, match="node id out of"):
+        triangle_count(bad).collect()
+    neg = spark.createDataFrame([(-5, 2), (2, 3), (-5, 3)], "src long, dst long")
+    with pytest.raises(Exception, match="node id out of"):
+        triangle_count(neg).collect()
