@@ -117,20 +117,23 @@ def bm25_rank(
 
     DETERMINISM CONSTRUCTION: k1 and b are RATIONALS (the BM25
     defaults 1.2 and 0.75 exactly = 6/5 and 3/4), and with avgdl =
-    S/N the whole per-term score algebraically reduces to a ratio of
-    two INTEGERS:
+    S/N the per-term score algebraically reduces to a product of two
+    INTEGER ratios:
 
-        s = [(2(N−df)+1) · tf · (k1n+k1d) · bd · S]
-            / [(2df+1) · (tf·k1d·bd·S + k1n·(bd−bn)·S + k1n·bn·dl·N)]
+        s = [(2(N−df)+1) · tf · (k1n+k1d) · bd / (2df+1)]
+            × [S / (tf·k1d·bd·S + k1n·(bd−bn)·S + k1n·bn·dl·N)]
 
-    computed exactly in int64 with ONE final IEEE division — there is
-    no float a·b+c anywhere, so compiler FMA contraction (which costs
-    a last ulp and differs between engines; observed against DuckDB)
-    cannot touch it. int64 bounds: the numerator tops out near
-    2N·tf·11·4·S — safe beyond 1e8-doc corpora; past that, swap the
-    products to DECIMAL(38,0) (the corpus_checksum pattern) before
-    the final cast. The per-doc sum folds the term-SORTED score array
-    left-to-right (F.aggregate ≡ DuckDB list_reduce over
+    — exact int64 arithmetic, then exactly two IEEE divisions and one
+    multiplication, each individually correctly rounded and mirrored
+    verbatim by the oracle. There is no float a·b+c anywhere, so
+    compiler FMA contraction (which costs a last ulp and differs
+    between engines; observed against DuckDB on the naive float
+    formulation) cannot touch it. The two-ratio split is also what
+    keeps int64 safe: the single-ratio numerator would carry a
+    2N·tf·44·S product (overflow near 1e6 docs); split, the largest
+    term is tf·k1d·bd·S ≈ 2e15 at a 1e9-doc/1e11-word corpus —
+    comfortable to ~1e11 docs. The per-doc sum folds the term-SORTED
+    score array left-to-right (F.aggregate ≡ DuckDB list_reduce over
     list(... ORDER BY term)) — additions only, nothing fusable.
 
     Scale shape: postings filtered to the query's terms (partition +
@@ -151,11 +154,14 @@ def bm25_rank(
     n, s_, df_, tf, dl = (
         F.col("n_docs"), F.col("sum_dl"), F.col("df"), F.col("tf"), F.col("dl"),
     )
-    s_num = (F.lit(2) * (n - df_) + F.lit(1)) * tf * F.lit(k1n + k1d) * F.lit(bd) * s_
-    s_den = (F.lit(2) * df_ + F.lit(1)) * (
+    idf_num = (F.lit(2) * (n - df_) + F.lit(1)) * tf * F.lit((k1n + k1d) * bd)
+    idf_den = F.lit(2) * df_ + F.lit(1)
+    sat_den = (
         tf * F.lit(k1d * bd) * s_ + F.lit(k1n * (bd - bn)) * s_ + F.lit(k1n * bn) * dl * n
     )
-    score_term = s_num.cast("double") / s_den.cast("double")
+    score_term = (idf_num.cast("double") / idf_den.cast("double")) * (
+        s_.cast("double") / sat_den.cast("double")
+    )
     scored = (
         p.join(F.broadcast(tdf), "term")
         .join(doclens, "doc_id")

@@ -2295,15 +2295,16 @@ _BM25_TERMS = ("filter", "join", "window")
     tdf AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
             FROM p GROUP BY 1),
     scored AS (
-      -- k1 = 6/5, b = 3/4: s_num = (2(N-df)+1)*tf*11*4*S,
-      -- s_den = (2df+1)*(tf*20*S + 6*1*S + 18*dl*N) with
-      -- k1d*bd = 20, k1n*(bd-bn) = 6, k1n*bn = 18
+      -- k1 = 6/5, b = 3/4, as TWO integer ratios (int64-safe far past
+      -- 1e9 docs — see operators/search.bm25_rank):
+      --   [(2(N-df)+1)*tf*44 / (2df+1)] * [S / (tf*20*S + 6*S + 18*dl*N)]
+      -- with (k1n+k1d)*bd = 44, k1d*bd = 20, k1n*(bd-bn) = 6, k1n*bn = 18
       SELECT p.doc_id, p.term,
-             CAST((2 * (s.n_docs - tdf.df) + 1) * p.tf * 11 * 4 * s.sum_dl
-                  AS DOUBLE)
-             / CAST((2 * tdf.df + 1)
-                    * (p.tf * 20 * s.sum_dl + 6 * s.sum_dl
-                       + 18 * dl.dl * s.n_docs) AS DOUBLE) AS s
+             (CAST((2 * (s.n_docs - tdf.df) + 1) * p.tf * 44 AS DOUBLE)
+              / CAST(2 * tdf.df + 1 AS DOUBLE))
+             * (CAST(s.sum_dl AS DOUBLE)
+                / CAST(p.tf * 20 * s.sum_dl + 6 * s.sum_dl
+                       + 18 * dl.dl * s.n_docs AS DOUBLE)) AS s
       FROM p
       JOIN tdf USING (term)
       JOIN dl USING (doc_id), stats s
