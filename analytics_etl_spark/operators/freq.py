@@ -79,11 +79,20 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
     est is a LOWER bound on the true frequency; true − est ≤ n/(k+1).
     Any item with true frequency > n/(k+1) is guaranteed present.
     Ordered by est desc, item asc (deterministic given the summaries).
-    """
+
+    The merged summary is pinned with an eager localCheckpoint before
+    use (ADVICE r6): Misra-Gries counters are partition/stream-order
+    dependent, and the frame is consumed twice — once by the driver
+    collect that picks the trim value d, once by the returned filtered
+    frame. Without the checkpoint a recomputation under a different
+    partitioning (task retry, upstream shuffle nondeterminism) could
+    trim with a d inconsistent with the counters being trimmed. The
+    checkpoint is ≤ k·partitions rows — index-sized."""
     merged = (
         partition_summaries(df, col, k)
         .groupBy("item")
         .agg(F.sum("est").alias("est"))
+        .localCheckpoint(eager=True)
     )
     top = merged.orderBy(F.desc("est"), F.asc("item")).limit(k + 1).collect()
     if len(top) <= k:

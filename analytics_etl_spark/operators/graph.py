@@ -296,7 +296,31 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .groupBy("n")
         .agg(F.count("*").alias("deg"))
     )
-    keyed = deg.select("n", (F.col("deg") * F.lit(2**32) + F.col("n")).alias("k"))
+    # ADVICE r6: the packed key deg·2^32 + n needs deg < 2^31 to stay
+    # inside int64 (ids already < 2^32); a node of degree ≥ 2^31 would
+    # silently wrap and corrupt the orientation order, so the same
+    # fail-loud pattern guards degree too. (Unreachable below ~2^32
+    # edges — but this function's framing is web-scale graphs.)
+    deg_ok = F.col("deg") < F.lit(2**31)
+    keyed = deg.select(
+        "n",
+        (
+            F.when(deg_ok, F.col("deg")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("triangle_count: node degree >= 2^31 overflows the "
+                              "packed order key (node "),
+                        F.col("n").cast("string"),
+                        F.lit(", degree "),
+                        F.col("deg").cast("string"),
+                        F.lit(")"),
+                    )
+                ).cast("long")
+            )
+            * F.lit(2**32)
+            + F.col("n")
+        ).alias("k"),
+    )
     oriented = (
         e.join(keyed.select(F.col("n").alias("a"), F.col("k").alias("ka")), "a")
         .join(keyed.select(F.col("n").alias("b"), F.col("k").alias("kb")), "b")

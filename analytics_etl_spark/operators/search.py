@@ -90,10 +90,19 @@ def conjunctive_search(
 def doc_lengths(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, dl): non-empty whitespace token count per doc — the
     BM25 length normalizer. Pure expression (no shuffle); persist next
-    to the postings index at ingest."""
+    to the postings index at ingest.
+
+    Zero-token docs (empty/whitespace-only text) are EXCLUDED, matching
+    the postings builder (which tokenizes them to nothing): they can
+    never score, and keeping them would inflate n_docs/avgdl — ADVICE
+    r6 caught that the DuckDB oracle's dl CTE, built from non-empty
+    tokens, already omits them, so including them here was a latent
+    data-dependent divergence in every BM25 score."""
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    return docs.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("doc_id"), F.size(toks).cast("bigint").alias("dl")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.size(toks).cast("bigint").alias("dl"))
+        .filter(F.col("dl") >= 1)
     )
 
 

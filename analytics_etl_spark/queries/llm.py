@@ -1053,7 +1053,7 @@ def token_budget_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM binned_src
     )
     SELECT lang, example_id,
-           list(chunk_text ORDER BY doc_id, chunk_id) AS texts,
+           string_agg(chunk_text, chr(31) ORDER BY doc_id, chunk_id) AS texts,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(n_words) AS BIGINT) AS total_words
     FROM binned GROUP BY 1, 2
@@ -1061,16 +1061,22 @@ def token_budget_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def packed_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed training-example MATERIALIZATION: the token_budget_packing
-    bins, but emitting the actual example records — ordered chunk-text
-    arrays per ~500-word bin per language — the rows a training loader
+    bins, but emitting the actual example records — ordered chunk texts
+    per ~500-word bin per language — the rows a training loader
     consumes. Deterministic end to end (total (doc, chunk) order fixes
-    both bin assignment and within-example order), so even the
-    array<string> payload hash-matches the oracle."""
+    both bin assignment and within-example order). The ordered texts
+    payload keeps its FULL correctness content but ships as ONE string
+    joined on chr(31) (unit separator — cannot appear in the
+    space-joined word chunks): the r6 driver lesson is that top-level
+    array columns crash the harness' pandas canonicalizer, so window
+    queries must project to scalars. Training loaders that want the
+    array use pack_training_examples directly."""
     from analytics_etl_spark.operators.text_analysis import pack_training_examples
 
     docs = t(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_words=50, overlap=10, keep_cols=("lang",))
-    return pack_training_examples(chunks, budget_words=500, stratum_col="lang")
+    packed = pack_training_examples(chunks, budget_words=500, stratum_col="lang")
+    return packed.withColumn("texts", F.array_join("texts", "\x1f"))
 
 
 @query(

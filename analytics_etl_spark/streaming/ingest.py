@@ -148,12 +148,15 @@ def merge_sketch_batch(
     temp-write+swap mirrors sinks.writer.merge_upsert (plain parquet
     lazily re-reading its own path cannot self-overwrite safely).
 
-    Swap order (ADVICE r5): rename the live table ASIDE first, rename
-    the freshly-written tmp IN, and delete the old copy LAST — so a
-    crash at any point leaves either the old or the new table (plus at
-    worst a recoverable ``.old`` directory, reclaimed on the next
-    merge), never a window with no sketch table at all (the sketches
-    are not reconstructible without re-scanning raw history). The
+    Swap order (ADVICE r5, recovery hardened per ADVICE r6): rename the
+    live table ASIDE first, rename the freshly-written tmp IN, and
+    delete the old copy LAST. A crash mid-swap can still leave a moment
+    with only the ``.old`` copy on disk, so every merge FIRST restores
+    ``.old`` as the live table if the live path is missing (and
+    discards the interrupted ``.tmp``) before reading — the accumulated
+    sketches are never read-missed and never rmtree'd while they are
+    the sole surviving copy (they are not reconstructible without
+    re-scanning raw history). The
     os.rename swap makes this helper local-filesystem-only — on an
     object store, swap via a versioned directory + pointer file
     instead (rename is not atomic there anyway).
@@ -167,6 +170,19 @@ def merge_sketch_batch(
 
     gc = group_cols or ["event_type", "day"]
     spark = batch_df.sparkSession
+    tmp = sketch_path.rstrip("/") + ".tmp"
+    old = sketch_path.rstrip("/") + ".old"
+    # ADVICE r6 (medium): recover an interrupted swap BEFORE reading.
+    # A crash between old-aside and tmp-in leaves NO live table; without
+    # this entry check the next merge would read nothing (merged =
+    # batch-only) and then rmtree the .old — permanently destroying the
+    # only surviving copy of the accumulated sketches. Restore .old as
+    # the live table and discard the interrupted run's .tmp (its batch
+    # will be re-delivered; hll_union is idempotent under replay).
+    if not os.path.exists(sketch_path) and os.path.exists(old):
+        os.rename(old, sketch_path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
     fresh = group_sketches(batch_df, gc, value_col)
     try:
         stored = spark.read.parquet(sketch_path)
@@ -182,8 +198,6 @@ def merge_sketch_batch(
         ):
             raise
         merged = fresh
-    tmp = sketch_path.rstrip("/") + ".tmp"
-    old = sketch_path.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(tmp)
     # crash-safe swap: old-aside -> tmp-in -> delete old last (never a
     # moment with neither table on disk); stale .old from a previous

@@ -88,6 +88,47 @@ def test_refresh_scan_pushes_month_predicate(spark):
     assert "PushedFilters" in plan and "o_orderdate" in plan.split("PushedFilters", 1)[1][:400]
 
 
+def test_fact_month_layout_refresh_prunes_directories_and_matches(spark, tmp_path):
+    """The scale path (r6 verdict item 4): with the month-partitioned
+    fact layout, the refresh's lineitem scan must (a) read ONLY the
+    changed month's partition directory — literal file-list evidence of
+    PartitionFilters pruning, the thing that makes the nightly refresh
+    O(delta) at 100 TB — and (b) produce bit-identical rollup rows to
+    the unpartitioned-fact refresh."""
+    from analytics_etl_spark.plans.incremental import build_fact_month_layout
+
+    fact = str(tmp_path / "fact_by_month")
+    build_fact_month_layout(spark, SF_SMOKE, fact)
+
+    month = "1996-03"
+    pruned = spark.read.parquet(fact).filter(F.col("o_month") == month)
+    # the partition filter is on the scan, not a post-scan Filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_month" in plan.split("PartitionFilters", 1)[1][:300]
+    # hard evidence from the EXECUTED scan's metrics: of the ~80 month
+    # directories on disk, exactly one month's files were opened
+    # (inputFiles() can't show this — it lists the relation pre-pruning)
+    assert pruned.count() > 0 and len(pruned.collect()) > 0
+    scan = pruned._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    n_dirs = len([d for d in os.listdir(fact) if d.startswith("o_month=")])
+    assert n_dirs > 10
+    assert scan.metrics().apply("numPartitions").value() == 1
+    assert scan.metrics().apply("numFiles").value() < n_dirs
+
+    # value parity: refresh via layout == refresh via raw fact
+    p1, p2 = str(tmp_path / "r_layout"), str(tmp_path / "r_raw")
+    build_monthly_rollup(spark, SF_SMOKE, p1)
+    build_monthly_rollup(spark, SF_SMOKE, p2)
+    n1 = refresh_monthly_rollup(spark, SF_SMOKE, p1, [month], fact_path=fact)
+    n2 = refresh_monthly_rollup(spark, SF_SMOKE, p2, [month])
+    assert n1 == n2 > 0
+    rows = lambda p: sorted(  # noqa: E731
+        (r["month"], r["location_name"], r["order_count"], r["total_revenue"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert rows(p1) == rows(p2)
+
+
 def test_changed_months_of(spark):
     o = load_table(spark, SF_SMOKE, "orders")
     sub = o.filter(month_range_predicate(["1996-03"]))

@@ -71,6 +71,27 @@ def test_driver_window_is_curated_and_pinned():
     assert rows_only_in_window == []
 
 
+def test_driver_window_has_only_scalar_columns(spark):
+    """r6 driver lesson: the harness canonicalizes results with pandas
+    sort_values/factorize, which raises `TypeError: unhashable type:
+    'list'` on any top-level array/map cell — an array-returning window
+    query can NEVER earn a green driver row (r6: array_functions_pack,
+    map_event_type_counts, packed_examples all went `err` with right
+    answers). Standing guard: every DRIVER_WINDOW query must project
+    complex payloads to scalars (array_join / to_json) in its final
+    select. Schema analysis only — nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from analytics_etl_spark.queries import DRIVER_WINDOW
+
+    bad = []
+    for name in DRIVER_WINDOW:
+        for f in REGISTRY[name].fn(spark, SF).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"non-scalar top-level columns in driver window: {bad}"
+
+
 def test_every_query_is_oracle_paired_or_declared_rows_only():
     """The round-1 lesson: a stale driver artifact hid 34 unevidenced
     queries. The registry itself now refuses silent gaps — every entry

@@ -47,6 +47,33 @@ def test_index_scan_prunes_partitions_and_pushes_term(spark, tmp_path):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_bm25_stats_exclude_zero_token_docs(spark):
+    """ADVICE r6: a doc whose text is non-null but tokenizes to nothing
+    (empty/whitespace-only) must not inflate n_docs/avgdl — the DuckDB
+    oracle's dl CTE omits such docs, so counting them here silently
+    shifted EVERY BM25 score on any corpus containing one. doc_lengths
+    must agree with the postings builder about corpus membership, and
+    BM25 scores must be invariant to adding degenerate docs."""
+    from analytics_etl_spark.operators.search import bm25_rank, doc_lengths
+
+    clean = spark.createDataFrame(
+        [(1, "spark join window"), (2, "join filter join"), (3, "window scan")],
+        ["doc_id", "text"],
+    )
+    degenerate = clean.unionByName(
+        spark.createDataFrame([(4, ""), (5, "   ")], ["doc_id", "text"])
+    )
+    dl = doc_lengths(degenerate)
+    assert sorted(r["doc_id"] for r in dl.collect()) == [1, 2, 3]
+
+    base = bm25_rank(build_postings(clean), doc_lengths(clean), ["join"], k=10).collect()
+    with_junk = bm25_rank(
+        build_postings(degenerate), doc_lengths(degenerate), ["join"], k=10
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in with_junk]
+    assert len(base) == 2
+
+
 def test_conjunction_is_exact(spark):
     """Every returned doc really contains every term; a doc missing
     one term never appears (the n_terms == k gate)."""

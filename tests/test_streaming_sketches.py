@@ -61,6 +61,38 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
     assert _estimates(spark, path) == before
 
 
+def test_interrupted_swap_recovers_accumulated_sketches(spark, tmp_path):
+    """ADVICE r6 (medium): a crash between old-aside and tmp-in leaves
+    only the .old copy on disk. The next merge must RESTORE it before
+    reading — not fall back to a batch-only table and then rmtree the
+    sole surviving copy of the accumulated (non-reconstructible)
+    sketches."""
+    import os
+    import shutil
+
+    ev = _events(spark)
+    path = str(tmp_path / "sketches")
+    b0 = ev.filter(F.col("event_id") % 2 == 0)
+    b1 = ev.filter(F.col("event_id") % 2 == 1)
+    merge_sketch_batch(b0, 0, path)
+
+    # simulate the interrupted swap: live table renamed aside, a stale
+    # tmp left behind, nothing at the live path
+    os.rename(path, path + ".old")
+    shutil.copytree(path + ".old", path + ".tmp")
+
+    merge_sketch_batch(b1, 1, path)
+    recovered = _estimates(spark, path)
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".tmp") or os.path.exists(path)
+
+    # ground truth: both batches merged with no crash anywhere
+    clean = str(tmp_path / "clean")
+    merge_sketch_batch(b0, 0, clean)
+    merge_sketch_batch(b1, 1, clean)
+    assert recovered == _estimates(spark, clean)
+
+
 def test_read_corpus_asof_prunes_epochs(spark, tmp_path):
     """As-of reads see exactly the committed-through-epoch state, via
     a partition predicate (PartitionFilters, zero data-file reads of

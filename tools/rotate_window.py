@@ -27,7 +27,11 @@ def main() -> None:
     sys.path.insert(0, root)
     from analytics_etl_spark.queries import FIXED_CORE, REGISTRY
 
-    # history: the most recent round in which each query had a driver row
+    # history: the most recent round in which each query had a USABLE
+    # driver row. An `err` row carries no evidence (r6: the harness'
+    # canonicalizer crashed on array columns before comparing anything),
+    # so err-only queries stay at the front of the rotation queue until
+    # they earn a real row — green OR red both count as "checked".
     last_checked: dict[str, int] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
@@ -35,7 +39,9 @@ def main() -> None:
             continue
         rnd = int(m.group(1))
         with open(path) as f:
-            for name in json.load(f):
+            for name, row in json.load(f).items():
+                if isinstance(row, dict) and row.get("err"):
+                    continue
                 last_checked[name] = max(last_checked.get(name, -1), rnd)
 
     pool = [
