@@ -1,0 +1,224 @@
+"""Bloom membership sketch — set membership at 100 TB, JVM-pure.
+
+The third mergeable sketch family next to HLL (distinct counts,
+operators/sketches.py) and Misra-Gries (heavy hitters,
+operators/freq.py): a Bloom filter answers "might this key be in the
+corpus?" with NO false negatives and a tunable false-positive rate.
+The at-scale use is the INGEST PRESCREEN (reference analog: the
+reference re-queries its store per batch to decide inserts,
+`/root/reference/etl_service.py` + `database_service.py` upsert loop):
+before the exact batch-vs-corpus membership join, probe a corpus-built
+bloom — every "definitely new" row (the overwhelming majority of a
+healthy ingest) skips the exact join entirely, and only the maybe-set
+(true dups + ~fp_rate of the batch) pays for verification. Because a
+bloom has no false negatives, prescreen + exact-verify returns EXACTLY
+the plain join's answer — the sketch changes the cost, never the
+result, which is what makes the composed operator oracle-pairable.
+
+Representation: a SPARSE TABLE of (word_idx, bits) int64 rows — the
+non-zero 64-bit words of an m-bit filter — rather than one giant
+array cell. Three reasons:
+* it is built by `explode(bit positions) -> groupBy(word_idx) ->
+  bit_or` — ordinary map-side-combined aggregation, never a single
+  task holding the whole filter;
+* it merges by the same `groupBy(word_idx).bit_or` (union of blooms
+  is bitwise OR — associative/commutative, partition-order
+  invariant);
+* probing is a plain equi-join on word_idx, so Catalyst broadcasts a
+  small filter (a 1M-bit bloom is 16 K rows ≈ 128 KiB) and shuffles a
+  big one (a 10-bits/key filter over 10^9 keys is ~1.25 GiB — far too
+  big to broadcast, but the probe join then shuffles only the
+  batch-sized probe rows against it).
+
+Hash construction: position_i = xxhash64(key, seed=i) mod m via
+pmod — deterministic across engines/partitionings (no Python, no
+libm). k independent seeds give the standard k-probe bloom; with
+m/n = 10 bits/key and k = 4, fp ≈ 1.2 %.
+
+Everything here is pure `pyspark.sql.functions` — zero Python eval
+nodes in any plan (plan-asserted in tests/test_bloom.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 4
+
+
+def _positions(col, num_bits: int, num_hashes: int):
+    """Array of k bit positions for a key — xxhash64 with seed=i,
+    pmod m (pmod, not %, so negative hashes land in [0, m))."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Build the sparse bloom table (word_idx, bits) over df[key_col].
+
+    One explode of k positions per row, one map-side-combined bit_or
+    aggregate — the sketch build is a single shuffle of at most
+    k·rows (word_idx, mask) pairs that combine down to ≤ m/64 output
+    rows. Rebuilding nightly is corpus-priced; merging an ingest
+    batch's bloom via `bloom_merge` is batch-priced (union == OR).
+    NULL keys are skipped (membership of NULL is meaningless)."""
+    if num_bits < 64:
+        raise ValueError(f"num_bits must be >= 64, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    pos = F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos")
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+            # F.shiftleft only takes a literal shift; the SQL form
+            # accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Union of blooms built with the SAME (num_bits, num_hashes):
+    bitwise OR word-by-word. Associative and commutative, so daily
+    blooms roll up to monthly exactly like the HLL sketches."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one bloom")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """probe + a boolean `out_col`: False ⇒ the key is DEFINITELY not
+    in the bloom's build set (no false negatives); True ⇒ maybe.
+
+    Shape: membership is a function of the KEY, so the probe runs
+    over `probe[key_col].distinct()` (not per row — also what keeps
+    every intermediate deterministic; a row-id scheme via
+    monotonically_increasing_id would be recompute-unstable across
+    the two consumers). Each distinct key's k positions group to ≤ k
+    (word_idx, mask) pairs (bit_or folds same-word probes); LEFT join
+    the bloom on word_idx (broadcast when small, shuffle when
+    corpus-sized — Catalyst's call); a word absent from the sparse
+    table means all its bits are 0. might_contain = every probed word
+    has every probed bit set; NULL keys get False (a NULL is never a
+    member). All shuffles are batch-key-sized, never corpus-sized."""
+    keys = probe.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    pairs = (
+        keys.select(
+            key_col,
+            F.explode(_positions(F.col(key_col), num_bits, num_hashes)).alias("pos"),
+        )
+        .select(
+            key_col,
+            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+            # F.shiftleft only takes a literal shift; the SQL form
+            # accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy(key_col, "word_idx")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    checked = (
+        pairs.join(bloom, "word_idx", "left")
+        .select(
+            key_col,
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                == F.col("mask")
+            ).alias("ok"),
+        )
+        .groupBy(key_col)
+        .agg(F.min("ok").alias(out_col))
+    )
+    return probe.join(checked, key_col, "left").select(
+        *probe.columns, F.coalesce(F.col(out_col), F.lit(False)).alias(out_col)
+    )
+
+
+def bloom_prescreened_new_keys(
+    corpus: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Batch rows whose key_col is NOT present in corpus[key_col] —
+    EXACTLY `batch ANTI JOIN corpus ON key` (the oracle), computed as
+    bloom-prescreen + exact-verify:
+
+      might_contain == False  -> definitely new, emitted with ZERO
+                                 join work (the common case at a
+                                 healthy dedup rate);
+      might_contain == True   -> maybe-dup (true dups + ~fp of the
+                                 batch) -> exact LEFT ANTI join
+                                 against the corpus keys.
+
+    No false negatives ⇒ result == plain anti join, bit for bit; the
+    sketch only shrinks the exact join's probe side by ~(1 − fp) of
+    the novel rows. At 100 TB the verify side stays a full corpus-key
+    scan, but its SHUFFLE carries only the maybe-set — and when the
+    maybe-set is broadcast-small Catalyst turns the verify into a
+    corpus-side broadcast semi filter with no corpus shuffle at all.
+    NULL-key batch rows are dropped, matching anti-join-on-equality
+    semantics (NULL = NULL is never true, so a NULL key never matches
+    and plain anti join would KEEP it; callers wanting NULL rows
+    filter them through separately — documented divergence kept
+    deliberately, since a NULL dedup key upstream is a bug to surface,
+    and the registered query feeds md5(text) which is never NULL).
+
+    ``bloom``: a prebuilt sketch over the SAME corpus/(num_bits,
+    num_hashes) — the deployment path, where the bloom is the
+    persisted, bit_or-mergeable ingest artifact and each batch pays
+    only the probe + maybe-set verify (same pay-once-at-ingest
+    pattern as the shingle/span-hash columns and the ANN indexes).
+    Correctness requires the sketch to COVER the corpus it screens
+    for: a superset bloom only costs extra verifies (still exact),
+    but a bloom missing corpus keys breaks the no-false-negative
+    contract — merge each batch's own bloom in before the next batch
+    arrives, never lazily."""
+    probed = bloom_might_contain(
+        batch.filter(F.col(key_col).isNotNull()),
+        bloom if bloom is not None else bloom_build(corpus, key_col, num_bits, num_hashes),
+        key_col,
+        num_bits,
+        num_hashes,
+    )
+    # probed feeds BOTH branches below; Catalyst has no cross-branch
+    # CSE, so without this pin the whole explode/groupBy/join probe
+    # runs twice. persist() beats localCheckpoint(eager=False) here —
+    # measured same-run at sf0.1: 0.80 s vs 1.95 s vs 2.24 s unpinned
+    # (checkpoint RDD partitions get raced/doubly computed by the two
+    # union branches inside one job; the cache manager shares them).
+    # The entry stays cached until evicted (no unpersist hook — the
+    # caller owns the returned frame); it is batch-sized.
+    probed = probed.persist()
+    definitely_new = probed.filter(~F.col("might_contain")).drop("might_contain")
+    maybe = probed.filter(F.col("might_contain")).drop("might_contain")
+    verified_new = maybe.join(
+        corpus.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    return definitely_new.unionByName(verified_new)

@@ -93,6 +93,8 @@ HEADLINE = [
     "dedup_substring_stride",
     "text_search_bm25",
     "ingest_novelty_score",
+    # round-7 additions
+    "dedup_bloom_prescreen",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
@@ -241,6 +243,66 @@ def _dedup_substring_persisted(spark, sf_dir: str):
     return substring_span_duplicates(docs, spans_col="span_hashes")
 
 
+def _setup_bloom(spark, sf_dir: str) -> None:
+    """Ingest-time span-membership bloom (untimed): the corpus side's
+    sparse (word_idx, bits) sketch plus its distinct span-key table,
+    both derived from the persisted span_hashes column in one pass
+    each. At a real site the bloom is UPDATED per batch via
+    bloom_merge (bit_or), not rebuilt."""
+    global _BLOOM_PATH, _CORPUS_SPANS_PATH
+    from analytics_etl_spark.operators.bloom import bloom_build
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="aes_bench_bloom_")
+    _BLOOM_PATH = os.path.join(base, "bloom")
+    _CORPUS_SPANS_PATH = os.path.join(base, "corpus_spans")
+    spans = (
+        spark.read.parquet(_SHINGLED_PATH)
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(F.explode("span_hashes").alias("span_hash"))
+    )
+    spans.distinct().write.mode("overwrite").parquet(_CORPUS_SPANS_PATH)
+    bloom_build(spans, "span_hash", num_bits=1 << 21).write.mode(
+        "overwrite"
+    ).parquet(_BLOOM_PATH)
+
+
+def _bloom_batch_spans(spark):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(_SHINGLED_PATH)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.explode("span_hashes").alias("span_hash"))
+        .distinct()
+    )
+
+
+def _dedup_bloom_probe_persisted(spark, sf_dir: str):
+    """Batch-vs-corpus span membership via the PERSISTED bloom: probe
+    the sketch (no false negatives), exact-verify only the maybe-set
+    against the persisted corpus key table — the per-batch ingest
+    cost once the bloom is an ingest artifact."""
+    from analytics_etl_spark.operators.bloom import bloom_prescreened_new_keys
+
+    return bloom_prescreened_new_keys(
+        spark.read.parquet(_CORPUS_SPANS_PATH),
+        _bloom_batch_spans(spark),
+        "span_hash",
+        num_bits=1 << 21,
+        bloom=spark.read.parquet(_BLOOM_PATH),
+    )
+
+
+def _dedup_bloom_antijoin_contrast(spark, sf_dir: str):
+    """The no-sketch contrast: the same batch anti-joined directly
+    against the same persisted corpus key table — what every batch
+    pays without the bloom."""
+    return _bloom_batch_spans(spark).join(
+        spark.read.parquet(_CORPUS_SPANS_PATH), "span_hash", "left_anti"
+    )
+
+
 def _dedup_minhash_persisted(spark, sf_dir: str):
     """dedup_minhash_lsh reading the ingest-persisted shingle column:
     the Arrow kernel runs ZERO times at query time (plan asserted in
@@ -294,6 +356,8 @@ _SKETCH_DAILY: object | None = None
 _ROLLUP_PATH: str | None = None
 _ROLLUP_MONTH: str | None = None
 _FACT_LAYOUT_PATH: str | None = None
+_BLOOM_PATH: str | None = None
+_CORPUS_SPANS_PATH: str | None = None
 
 
 _DOCLENS: object | None = None
@@ -593,6 +657,7 @@ def main() -> None:
     _setup_sketches(spark, sf_dir)  # untimed: ingest-time daily HLL sketches
     _setup_postings(spark, sf_dir)  # untimed: ingest-time inverted index
     _setup_bigrams(spark, sf_dir)  # untimed: ingest-time n=2 shingles
+    _setup_bloom(spark, sf_dir)  # untimed: ingest-time corpus span bloom
     _setup_rollup(spark, sf_dir)  # untimed: rollup MV bootstrap
     _setup_skew(spark, sf_dir)  # untimed: synthetic zipf-hot-key tables
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
@@ -600,6 +665,8 @@ def main() -> None:
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
     plans["dedup_incremental_persisted"] = _dedup_incremental_persisted
     plans["dedup_substring_persisted"] = _dedup_substring_persisted
+    plans["dedup_bloom_probe_persisted"] = _dedup_bloom_probe_persisted
+    plans["dedup_bloom_antijoin_contrast"] = _dedup_bloom_antijoin_contrast
     plans["corpus_build_persisted"] = _corpus_build_persisted
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed

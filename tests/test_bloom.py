@@ -1,0 +1,137 @@
+"""Bloom membership sketch (operators/bloom.py).
+
+The three contract pins: NO false negatives (the property everything
+downstream leans on), exact mergeability (bloom(A ∪ B) == OR of the
+parts, bit for bit), and prescreen+verify == plain anti join (the
+sketch changes cost, never the result). Plus the plan rule: the whole
+family is pure JVM expressions — no Python eval nodes anywhere.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.bloom import (
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+    bloom_prescreened_new_keys,
+)
+
+BITS = 1 << 14  # 16 Kbit — small enough to force a few collisions
+
+
+def _keys(spark, lo, hi, name="k"):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("key-"), F.col("id").cast("string")).alias(name)
+    )
+
+
+def test_no_false_negatives(spark):
+    """Every key that went into the build MUST probe True — with an
+    undersized, heavily loaded filter (worst case for bit collisions,
+    which only ever cause false POSITIVES)."""
+    members = _keys(spark, 0, 2000)
+    bloom = bloom_build(members, "k", num_bits=1 << 10)  # ~8 keys/bit!
+    probed = bloom_might_contain(members, bloom, "k", num_bits=1 << 10)
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_false_positive_rate_is_bounded(spark):
+    """At ~10 bits/key, k=4 the textbook fp is ~1.2%; assert < 5% on
+    a disjoint probe set (deterministic — xxhash64 with fixed seeds)."""
+    bloom = bloom_build(_keys(spark, 0, 1500), "k", num_bits=BITS)
+    out = bloom_might_contain(_keys(spark, 10_000, 11_500), bloom, "k", num_bits=BITS)
+    fp = out.filter(F.col("might_contain")).count()
+    assert fp / 1500 < 0.05
+
+
+def test_merge_equals_union_build(spark):
+    """bloom(A) OR bloom(B) == bloom(A ∪ B), row for row and bit for
+    bit — the property that lets daily ingest blooms roll up exactly
+    like the HLL sketches."""
+    a, b = _keys(spark, 0, 700), _keys(spark, 500, 1200)
+    merged = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_merge(
+            bloom_build(a, "k", BITS), bloom_build(b, "k", BITS)
+        ).collect()
+    }
+    direct = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_build(a.unionByName(b), "k", BITS).collect()
+    }
+    assert merged == direct and merged
+
+
+def test_prescreen_equals_plain_anti_join(spark):
+    """The composed operator's contract: bloom prescreen + exact
+    verify returns EXACTLY the plain anti join — on a batch with true
+    dups, novel keys, and enough load for some false positives to
+    flow through the verify path."""
+    corpus = _keys(spark, 0, 3000)
+    batch = _keys(spark, 2000, 5000).withColumn("payload", F.length("k"))
+    got = {
+        (r["k"], r["payload"])
+        for r in bloom_prescreened_new_keys(corpus, batch, "k", num_bits=BITS).collect()
+    }
+    want = {
+        (r["k"], r["payload"])
+        for r in batch.join(corpus, "k", "left_anti").collect()
+    }
+    assert got == want
+    assert len(got) == 2000  # keys 3000..4999 are novel
+
+
+def test_prebuilt_bloom_path_matches_inline(spark, tmp_path):
+    """The deployment path — a bloom persisted at ingest and passed in
+    via `bloom=` — must return exactly the inline-build result (same
+    num_bits/num_hashes, same corpus)."""
+    corpus = _keys(spark, 0, 3000)
+    batch = _keys(spark, 2000, 5000)
+    path = str(tmp_path / "bloom")
+    bloom_build(corpus, "k", BITS).write.parquet(path)
+    persisted = bloom_prescreened_new_keys(
+        corpus, batch, "k", num_bits=BITS, bloom=spark.read.parquet(path)
+    )
+    inline = bloom_prescreened_new_keys(corpus, batch, "k", num_bits=BITS)
+    assert {r["k"] for r in persisted.collect()} == {r["k"] for r in inline.collect()}
+
+
+def test_null_and_validation(spark):
+    bloom = bloom_build(
+        spark.createDataFrame([("a",), (None,)], ["k"]), "k", num_bits=1 << 10
+    )
+    probed = bloom_might_contain(
+        spark.createDataFrame([("a",), (None,), ("zzz",)], ["k"]),
+        bloom,
+        "k",
+        num_bits=1 << 10,
+    )
+    got = {r["k"]: r["might_contain"] for r in probed.collect()}
+    assert got["a"] is True and got[None] is False
+    with pytest.raises(ValueError):
+        bloom_build(_keys(spark, 0, 1), "k", num_bits=8)
+    with pytest.raises(ValueError):
+        bloom_build(_keys(spark, 0, 1), "k", num_bits=64, num_hashes=0)
+
+
+def test_bloom_family_is_jvm_pure(spark):
+    """No Python eval node anywhere in build, probe, or prescreen —
+    the sketch family rides codegen'd hash/bit expressions only."""
+    corpus, batch = _keys(spark, 0, 100), _keys(spark, 50, 150)
+    for df in (
+        bloom_build(corpus, "k", BITS),
+        bloom_might_contain(batch, bloom_build(corpus, "k", BITS), "k", BITS),
+        bloom_prescreened_new_keys(corpus, batch, "k", BITS),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in plan

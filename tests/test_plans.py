@@ -243,3 +243,15 @@ def test_bm25_plan_shape(spark):
     assert "Python" not in plan
     assert "TakeOrderedAndProject" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_bloom_prescreen_plan_shape(spark):
+    """dedup_bloom_prescreen: pure JVM end to end (the whole bloom
+    family is hash/bit expressions), the bloom-side probe join rides a
+    broadcast (the sparse word table is KB-sized at every test SF),
+    and nothing degenerates to a cartesian."""
+    plan = plan_of(spark, "dedup_bloom_prescreen")
+    tree = tree_of(plan)
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
