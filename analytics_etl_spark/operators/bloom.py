@@ -200,6 +200,20 @@ def bloom_prescreened_new_keys(
     but a bloom missing corpus keys breaks the no-false-negative
     contract — merge each batch's own bloom in before the next batch
     arrives, never lazily."""
+    ct = corpus.schema[key_col].dataType
+    bt = batch.schema[key_col].dataType
+    if ct != bt:
+        # a plain equi-join COERCES mismatched key types, but xxhash64
+        # hashes the raw typed value — int 5 and string "5" probe
+        # different bits, so a coercible match could sail through the
+        # prescreen as "definitely new": a silent false negative, the
+        # one error class this operator promises never to produce.
+        # Fail loud instead (same policy as triangle_count's guards).
+        raise TypeError(
+            f"bloom prescreen key type mismatch: corpus {key_col} is "
+            f"{ct.simpleString()}, batch {key_col} is {bt.simpleString()} "
+            "— cast both sides to one type first"
+        )
     probed = bloom_might_contain(
         batch.filter(F.col(key_col).isNotNull()),
         bloom if bloom is not None else bloom_build(corpus, key_col, num_bits, num_hashes),

@@ -120,6 +120,28 @@ def test_null_and_validation(spark):
         bloom_build(_keys(spark, 0, 1), "k", num_bits=64, num_hashes=0)
 
 
+def test_empty_corpus_and_empty_batch(spark):
+    """Empty corpus ⇒ everything is new (and the empty sketch table
+    probes all-False); empty batch ⇒ empty result. Both without
+    errors — the first-ever ingest and the quiet-night ingest."""
+    empty = _keys(spark, 0, 0)
+    some = _keys(spark, 0, 50)
+    assert bloom_build(empty, "k", num_bits=1 << 10).count() == 0
+    out = bloom_prescreened_new_keys(empty, some, "k", num_bits=1 << 10)
+    assert out.count() == 50
+    assert bloom_prescreened_new_keys(some, empty, "k", num_bits=1 << 10).count() == 0
+
+
+def test_key_type_mismatch_fails_loud(spark):
+    """int 5 and string '5' hash to different bloom bits while a plain
+    equi-join would coerce and match them — a silent false negative.
+    The prescreen must refuse mismatched key types instead."""
+    ints = spark.range(0, 10).select(F.col("id").alias("k"))
+    strs = spark.range(0, 10).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(TypeError, match="type mismatch"):
+        bloom_prescreened_new_keys(ints, strs, "k", num_bits=1 << 10)
+
+
 def test_bloom_family_is_jvm_pure(spark):
     """No Python eval node anywhere in build, probe, or prescreen —
     the sketch family rides codegen'd hash/bit expressions only."""
