@@ -119,6 +119,47 @@ def streaming_corpus_ingest(
     )
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Entry recovery for the temp-write+swap tables (ADVICE r6,
+    medium): a crash between old-aside and tmp-in leaves NO live
+    table — only the ``.old`` copy. Restore it as the live table
+    before any read, and discard the interrupted run's ``.tmp`` (its
+    batch will be re-delivered; both maintained tables merge
+    idempotently under replay). Without this, the next merge would
+    read nothing (merged = batch-only) and then rmtree the ``.old`` —
+    destroying the only surviving copy of accumulated state."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def _crash_safe_swap_in(path: str) -> None:
+    """Promote ``path + '.tmp'`` (already written) to the live table:
+    old-aside → tmp-in → delete old LAST, so a crash at any point
+    leaves either the old or the new table on disk (paired with
+    ``_recover_interrupted_swap`` at the next merge's entry). Local
+    filesystem only — on an object store, swap via a versioned
+    directory + pointer file instead (rename is not atomic there)."""
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.replace(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def merge_sketch_batch(
     batch_df: DataFrame,
     epoch_id: int,
@@ -161,28 +202,13 @@ def merge_sketch_batch(
     object store, swap via a versioned directory + pointer file
     instead (rename is not atomic there anyway).
     """
-    import os
-    import shutil
-
     from pyspark.errors import AnalysisException
 
     from analytics_etl_spark.operators.sketches import group_sketches
 
     gc = group_cols or ["event_type", "day"]
     spark = batch_df.sparkSession
-    tmp = sketch_path.rstrip("/") + ".tmp"
-    old = sketch_path.rstrip("/") + ".old"
-    # ADVICE r6 (medium): recover an interrupted swap BEFORE reading.
-    # A crash between old-aside and tmp-in leaves NO live table; without
-    # this entry check the next merge would read nothing (merged =
-    # batch-only) and then rmtree the .old — permanently destroying the
-    # only surviving copy of the accumulated sketches. Restore .old as
-    # the live table and discard the interrupted run's .tmp (its batch
-    # will be re-delivered; hll_union is idempotent under replay).
-    if not os.path.exists(sketch_path) and os.path.exists(old):
-        os.rename(old, sketch_path)
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+    _recover_interrupted_swap(sketch_path)
     fresh = group_sketches(batch_df, gc, value_col)
     try:
         stored = spark.read.parquet(sketch_path)
@@ -198,17 +224,55 @@ def merge_sketch_batch(
         ):
             raise
         merged = fresh
-    merged.write.mode("overwrite").parquet(tmp)
-    # crash-safe swap: old-aside -> tmp-in -> delete old last (never a
-    # moment with neither table on disk); stale .old from a previous
-    # crash is reclaimed here before reuse
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(sketch_path):
-        os.rename(sketch_path, old)
-    os.replace(tmp, sketch_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    merged.write.mode("overwrite").parquet(sketch_path.rstrip("/") + ".tmp")
+    _crash_safe_swap_in(sketch_path)
+
+
+def merge_bloom_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    bloom_path: str,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = 4,
+) -> None:
+    """foreachBatch maintenance of the corpus membership bloom
+    (operators/bloom.py): build the micro-batch's bloom, OR it into
+    the stored sparse (word_idx, bits) table, swap — the always-current
+    ingest-prescreen artifact as a side effect of ingest, the exact
+    analogue of ``merge_sketch_batch`` for the HLL table.
+
+    The same two sketch properties carry the correctness story:
+    bit_or union is LOSSLESS (incremental merges equal the one-shot
+    corpus build bit for bit) and IDEMPOTENT (re-OR-ing a replayed
+    batch changes no bit), so at-least-once delivery needs no epoch
+    ledger. CRITICAL ordering contract (see
+    ``bloom_prescreened_new_keys``): merge a batch's keys in BEFORE
+    the next batch is prescreened — a bloom missing corpus keys
+    breaks the no-false-negative promise; running this in the same
+    foreachBatch as the corpus append provides exactly that.
+
+    Same temp-write + crash-safe swap + entry recovery as the sketch
+    table (the bloom IS reconstructible from raw corpus keys, but a
+    rebuild is a corpus-priced scan — the recovery keeps it
+    batch-priced)."""
+    from pyspark.errors import AnalysisException
+
+    from analytics_etl_spark.operators.bloom import bloom_build, bloom_merge
+
+    spark = batch_df.sparkSession
+    _recover_interrupted_swap(bloom_path)
+    fresh = bloom_build(batch_df, key_col, num_bits, num_hashes)
+    try:
+        merged = bloom_merge(spark.read.parquet(bloom_path), fresh)
+    except AnalysisException as e:
+        if not any(
+            code in str(e) for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            raise
+        merged = fresh
+    merged.write.mode("overwrite").parquet(bloom_path.rstrip("/") + ".tmp")
+    _crash_safe_swap_in(bloom_path)
 
 
 def read_corpus_asof(spark, corpus_path: str, epoch: int) -> DataFrame:
@@ -241,6 +305,30 @@ def streaming_sketch_maintenance(
 
     return (
         events_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
+def streaming_bloom_maintenance(
+    docs_stream: DataFrame,
+    bloom_path: str,
+    checkpoint: str,
+    key_col: str,
+    num_bits: int,
+    num_hashes: int = 4,
+):
+    """Wire merge_bloom_batch into a streaming writer (caller
+    .start()s it) — the always-current corpus membership bloom as a
+    side effect of ingest, feeding bloom_prescreened_new_keys."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_bloom_batch(
+            batch_df, epoch_id, bloom_path, key_col, num_bits, num_hashes
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
         .foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
     )

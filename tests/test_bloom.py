@@ -142,6 +142,42 @@ def test_key_type_mismatch_fails_loud(spark):
         bloom_prescreened_new_keys(ints, strs, "k", num_bits=1 << 10)
 
 
+def test_streaming_bloom_maintenance_matches_batch_build(spark, tmp_path):
+    """merge_bloom_batch (foreachBatch maintenance): incremental
+    merges across micro-batches equal the one-shot corpus build bit
+    for bit; replaying a batch changes no bit (at-least-once == exact,
+    the same two-property story as the HLL sketch table); an
+    interrupted swap recovers the accumulated bloom instead of
+    silently degrading to batch-only."""
+    import os
+    import shutil
+
+    from analytics_etl_spark.streaming.ingest import merge_bloom_batch
+
+    path = str(tmp_path / "bloom")
+    b0, b1, b2 = _keys(spark, 0, 400), _keys(spark, 400, 800), _keys(spark, 800, 1000)
+    for ep, b in enumerate((b0, b1, b2)):
+        merge_bloom_batch(b, ep, path, "k", num_bits=BITS)
+    stored = {(r["word_idx"], r["bits"]) for r in spark.read.parquet(path).collect()}
+    direct = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_build(_keys(spark, 0, 1000), "k", BITS).collect()
+    }
+    assert stored == direct and stored
+
+    merge_bloom_batch(b1, 3, path, "k", num_bits=BITS)  # replay
+    after = {(r["word_idx"], r["bits"]) for r in spark.read.parquet(path).collect()}
+    assert after == stored
+
+    # interrupted swap: live renamed aside, stale tmp left behind
+    os.rename(path, path + ".old")
+    shutil.copytree(path + ".old", path + ".tmp")
+    merge_bloom_batch(b2, 4, path, "k", num_bits=BITS)  # re-delivery
+    recovered = {(r["word_idx"], r["bits"]) for r in spark.read.parquet(path).collect()}
+    assert recovered == stored
+    assert not os.path.exists(path + ".old")
+
+
 def test_bloom_family_is_jvm_pure(spark):
     """No Python eval node anywhere in build, probe, or prescreen —
     the sketch family rides codegen'd hash/bit expressions only."""
