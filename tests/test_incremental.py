@@ -115,13 +115,17 @@ def test_fact_month_layout_refresh_prunes_directories_and_matches(spark, tmp_pat
     assert scan.metrics().apply("numPartitions").value() == 1
     assert scan.metrics().apply("numFiles").value() < n_dirs
 
-    # value parity: refresh via layout == refresh via raw fact
-    p1, p2 = str(tmp_path / "r_layout"), str(tmp_path / "r_raw")
-    build_monthly_rollup(spark, SF_SMOKE, p1)
-    build_monthly_rollup(spark, SF_SMOKE, p2)
+    # value parity: refresh via layout (path and registered-relation
+    # forms) == refresh via raw fact
+    p1, p2, p3 = (str(tmp_path / d) for d in ("r_layout", "r_raw", "r_reader"))
+    for p in (p1, p2, p3):
+        build_monthly_rollup(spark, SF_SMOKE, p)
     n1 = refresh_monthly_rollup(spark, SF_SMOKE, p1, [month], fact_path=fact)
     n2 = refresh_monthly_rollup(spark, SF_SMOKE, p2, [month])
-    assert n1 == n2 > 0
+    n3 = refresh_monthly_rollup(
+        spark, SF_SMOKE, p3, [month], fact_df=spark.read.parquet(fact)
+    )
+    assert n1 == n2 == n3 > 0
     rows = lambda p: sorted(  # noqa: E731
         (r["month"], r["location_name"], r["order_count"], r["total_revenue"])
         for r in spark.read.parquet(p).collect()
