@@ -63,17 +63,21 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-7 rotation (output of tools/rotate_window.py): the 28 queries
+# Round-7 rotation (output of tools/rotate_window.py): the 29 queries
 # with no USABLE driver row — the 25 never-windowed (mostly r6
 # additions: simhash, triangles, intervals, BM25, DSIR, novelty,
-# percentile gate, search family) plus the 3 r6 `err` retries
+# percentile gate, search family), the 3 r6 `err` retries
 # (array_functions_pack, map_event_type_counts, packed_examples — now
 # scalar-projected per the r6 driver-canonicalizer lesson; the tool
-# treats err rows as unchecked) — then 12 r2-stale fills. After this
-# round EVERY oracle-paired query has at least one driver row.
+# treats err rows as unchecked), and this round's new
+# dedup_bloom_prescreen — then 11 r2-stale fills (shipping_priority,
+# alphabetically last of the r2 set, rotates out with its r2 row
+# standing). After this round EVERY oracle-paired query has at least
+# one driver row.
 ROTATION: tuple[str, ...] = (
     "array_functions_pack",
     "copurchase_triangles",
+    "dedup_bloom_prescreen",
     "dedup_simhash",
     "dedup_substring_stride",
     "dsir_importance_topk",
@@ -111,7 +115,6 @@ ROTATION: tuple[str, ...] = (
     "priority_share_per_nation",
     "set_except_customers",
     "set_intersect_customers",
-    "shipping_priority",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -202,30 +202,44 @@ def merge_sketch_batch(
     object store, swap via a versioned directory + pointer file
     instead (rename is not atomic there anyway).
     """
-    from pyspark.errors import AnalysisException
-
     from analytics_etl_spark.operators.sketches import group_sketches
 
     gc = group_cols or ["event_type", "day"]
-    spark = batch_df.sparkSession
-    _recover_interrupted_swap(sketch_path)
     fresh = group_sketches(batch_df, gc, value_col)
-    try:
-        stored = spark.read.parquet(sketch_path)
-        merged = (
+
+    def union_sketches(stored: DataFrame) -> DataFrame:
+        return (
             stored.unionByName(fresh)
             .groupBy(*gc)
             # strict precision match — see operators/sketches.union_rollup
             .agg(F.hll_union_agg(F.col("sketch"), F.lit(False)).alias("sketch"))
         )
+
+    _merge_swap_table(batch_df.sparkSession, sketch_path, fresh, union_sketches)
+
+
+def _merge_swap_table(spark, path: str, fresh: DataFrame, merge_fn) -> None:
+    """The shared read-stored → merge → temp-write → swap skeleton for
+    incrementally maintained side tables (HLL sketches, corpus bloom).
+    One implementation so a future change to the recovery protocol or
+    the missing-table error codes cannot silently diverge between the
+    maintained tables: entry recovery of an interrupted swap, read the
+    stored table (a missing/empty path means first batch — the merged
+    table IS the fresh one), ``merge_fn(stored)`` → merged, write to
+    ``path + '.tmp'``, crash-safe swap in."""
+    from pyspark.errors import AnalysisException
+
+    _recover_interrupted_swap(path)
+    try:
+        merged = merge_fn(spark.read.parquet(path))
     except AnalysisException as e:
         if not any(
             code in str(e) for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
         ):
             raise
         merged = fresh
-    merged.write.mode("overwrite").parquet(sketch_path.rstrip("/") + ".tmp")
-    _crash_safe_swap_in(sketch_path)
+    merged.write.mode("overwrite").parquet(path.rstrip("/") + ".tmp")
+    _crash_safe_swap_in(path)
 
 
 def merge_bloom_batch(
@@ -256,23 +270,15 @@ def merge_bloom_batch(
     table (the bloom IS reconstructible from raw corpus keys, but a
     rebuild is a corpus-priced scan — the recovery keeps it
     batch-priced)."""
-    from pyspark.errors import AnalysisException
-
     from analytics_etl_spark.operators.bloom import bloom_build, bloom_merge
 
-    spark = batch_df.sparkSession
-    _recover_interrupted_swap(bloom_path)
     fresh = bloom_build(batch_df, key_col, num_bits, num_hashes)
-    try:
-        merged = bloom_merge(spark.read.parquet(bloom_path), fresh)
-    except AnalysisException as e:
-        if not any(
-            code in str(e) for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
-        ):
-            raise
-        merged = fresh
-    merged.write.mode("overwrite").parquet(bloom_path.rstrip("/") + ".tmp")
-    _crash_safe_swap_in(bloom_path)
+    _merge_swap_table(
+        batch_df.sparkSession,
+        bloom_path,
+        fresh,
+        lambda stored: bloom_merge(stored, fresh),
+    )
 
 
 def read_corpus_asof(spark, corpus_path: str, epoch: int) -> DataFrame:

@@ -721,7 +721,11 @@ def main() -> None:
     # carries the per-query map and grows with the suite (~71 entries by
     # r6), and the driver's stdout-tail capture truncated its HEAD in
     # BENCH_r06 (`parsed: null`). This short line always survives any
-    # tail budget and parses standalone.
+    # tail budget and parses standalone. It deliberately repeats the
+    # SAME metric name and total as the full line (a last-line/tail
+    # parser must recognize it as THE bench total); a consumer that
+    # aggregates every matching line instead of taking one would
+    # double-count — distinguish by the presence of the "queries" map.
     print(
         json.dumps(
             {
