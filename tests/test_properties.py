@@ -385,3 +385,46 @@ def test_interval_overlap_matches_bruteforce(spark, lefts, rights, width):
     out = interval_overlap_join(ldf, rdf, keys=["k"], bucket_width=width)
     got = {(r["lid"], r["rid"]): r["overlap"] for r in out.collect()}
     assert got == expected
+
+
+@given(
+    members=st.lists(st.text(min_size=0, max_size=8), min_size=0, max_size=30),
+    others=st.lists(st.text(min_size=0, max_size=8), min_size=0, max_size=15),
+    bits_pow=st.integers(min_value=6, max_value=12),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_bloom_no_false_negatives_and_prescreen_exact(
+    spark, members, others, bits_pow, k
+):
+    """The two bloom contracts under adversarial parameters (down to a
+    64-bit filter with 6 probes — maximal collision pressure, empty
+    strings, duplicate keys): every build key probes True, and
+    prescreen+verify equals the plain anti join exactly."""
+    from analytics_etl_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_prescreened_new_keys,
+    )
+
+    num_bits = 1 << bits_pow
+    def frame(keys):
+        if not keys:
+            return spark.createDataFrame([], "key string")
+        return spark.createDataFrame([(x,) for x in keys], ["key"])
+
+    corpus, batch = frame(members), frame(others)
+
+    bloom = bloom_build(corpus, "key", num_bits, num_hashes=k)
+    if members:
+        probed = bloom_might_contain(corpus, bloom, "key", num_bits, num_hashes=k)
+        assert probed.filter(~F.col("might_contain")).count() == 0
+
+    got = sorted(
+        r["key"]
+        for r in bloom_prescreened_new_keys(
+            corpus, batch, "key", num_bits, num_hashes=k
+        ).collect()
+    )
+    want = sorted(r["key"] for r in batch.join(corpus, "key", "left_anti").collect())
+    assert got == want
