@@ -1,0 +1,223 @@
+"""BPE vocabulary induction — byte-pair-encoding merge learning as a
+Spark-first iterative operator.
+
+The training-data pipeline's tokenizer step (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"): learn
+the merge table that turns characters into subword tokens. The key to
+doing this at 100 TB is WHERE the iteration runs: real BPE trainers
+never iterate over the corpus — they iterate over the WORD-FREQUENCY
+table (distinct words + counts), which is vocabulary-sized (tens of
+millions of rows for a web corpus, not billions). So:
+
+* ONE corpus-sized pass: split/explode → groupBy word → count. This is
+  the only shuffle whose volume scales with the corpus.
+* Per merge round, everything is word-table-sized: explode adjacent
+  symbol pairs (weighted by word count) → groupBy pair → argmax. The
+  driver holds only the selected pair(s) per round — the same
+  index-sized-collect policy as the IVF centroids and graph fixpoints.
+* Merges apply as a pure-JVM left-to-right fold over each word's
+  symbol array (`F.aggregate` — no Python, no UDF), exactly the
+  textbook non-overlapping semantics: after (a,b)→ab merges, the new
+  token participates in later comparisons, so "aaa" under (a,a)
+  becomes [aa, a], never [aa, aa].
+* Lineage is cut with a local checkpoint every few rounds (the CC /
+  PageRank discipline — an unbounded when-chain plan otherwise).
+
+Exactness contract: with ``merges_per_round=1`` this IS textbook
+greedy BPE (ties broken lexicographically — deterministic in any
+engine); tests pin the full merge sequence against an independent
+pure-Python reference. ``merges_per_round=M>1`` is the documented
+at-scale deviation (the driver picks the top M pairs whose SYMBOLS are
+pairwise disjoint and merges them in one pass — fewer rounds, slightly
+different merge order than exact greedy, standard practice for large
+vocabularies where 30k sequential corpus-synchronized argmaxes are
+unaffordable).
+
+Not oracle-pairable: each merge depends on every previous one —
+an inherently iterative fixpoint DuckDB SQL cannot express (same
+declared class as connected components); evidence is the Python
+reference parity + property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n): the corpus's word-frequency table — the ONE
+    corpus-sized pass of BPE learning. Persist this at ingest next to
+    the shingle/span columns and vocabulary learning never touches raw
+    text again."""
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """word → its character-symbol array + end-of-word marker (the
+    marker keeps word-final merges distinct from word-internal ones,
+    per the original algorithm)."""
+    return words.select(
+        "word",
+        "n",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(END_OF_WORD))
+        ).alias("seq"),
+    )
+
+
+def _pair_counts(seqs: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent symbol pairs weighted by word
+    count — word-table-sized, never corpus-sized."""
+    pair = F.explode(
+        F.when(
+            F.size("seq") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq") - 1),
+                lambda i: F.struct(
+                    F.element_at("seq", i).alias("left"),
+                    F.element_at("seq", i + 1).alias("right"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+    )
+    return (
+        seqs.select(F.col("n"), pair.alias("p"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+
+
+def _merge_expr(seq, pairs: list[tuple[str, str]]):
+    """Left-to-right fold merging every (a, b) in ``pairs`` (symbol-
+    disjoint by construction) in one pass — pure JVM `aggregate`."""
+    def step(acc, tok):
+        out = F.concat(acc, F.array(tok))
+        for a, b in pairs:
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (tok == F.lit(b))
+            )
+            out = F.when(
+                hit,
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(out)
+        return out
+
+    return F.aggregate(seq, F.array().cast("array<string>"), step)
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    merges_per_round: int = 1,
+    min_count: int = 2,
+    checkpoint_every: int = 4,
+    words: DataFrame | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Learn up to ``num_merges`` BPE merges; returns
+    [(rank, left, right, pair_count), ...] in merge order (driver-side
+    — the merge table IS driver-sized by definition: it's the
+    tokenizer artifact, ~30k rows at production vocabularies).
+
+    ``words``: pass a persisted word_counts() table to skip the corpus
+    pass (the pay-once-at-ingest path). Stops early when no pair
+    reaches ``min_count`` (merging singletons is pure overfit).
+
+    ``merges_per_round``: 1 = exact textbook greedy (reference-pinned);
+    M>1 = batched selection of symbol-disjoint top pairs (fewer rounds
+    at a documented deviation from exact greedy order).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if merges_per_round < 1:
+        raise ValueError(f"merges_per_round must be >= 1, got {merges_per_round}")
+    if words is None:
+        words = word_counts(docs, text_col)
+    seqs = _initial_symbols(words).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    rounds_since_ckpt = 0
+    while len(merges) < num_merges:
+        want = min(merges_per_round, num_merges - len(merges))
+        # over-fetch so disjoint filtering still fills the round; the
+        # collect is ≤ 4·M rows — index-sized
+        top = (
+            _pair_counts(seqs)
+            .filter(F.col("cnt") >= min_count)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(4 * want)
+            .collect()
+        )
+        if not top:
+            break
+        chosen: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        for r in top:
+            a, b, c = r["left"], r["right"], int(r["cnt"])
+            # disjointness: no symbol of this pair (or its product) may
+            # appear in any other pair chosen this round — guarantees
+            # the one-pass fold cannot interact between pairs
+            syms = {a, b, a + b}
+            if used & syms:
+                continue
+            chosen.append((a, b, c))
+            used |= syms
+            if len(chosen) == want:
+                break
+        if not chosen:
+            break
+        base = len(merges)
+        merges.extend((base + i, a, b, c) for i, (a, b, c) in enumerate(chosen))
+        seqs = seqs.select(
+            "word", "n", _merge_expr(F.col("seq"), [(a, b) for a, b, _ in chosen]).alias("seq")
+        )
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
+            seqs = seqs.localCheckpoint(eager=True)
+            rounds_since_ckpt = 0
+    return merges
+
+
+def apply_bpe(
+    words: DataFrame, merges: list[tuple[int, str, str, int]], batch: int = 8
+) -> DataFrame:
+    """Tokenize the word table with a learned merge list: replay the
+    merges in rank order (batched ``batch`` per projection, lineage
+    cut between batches). Returns (word, n, tokens array<string>).
+    Merge REPLAY (unlike learning) is order-dependent but needs no
+    per-round argmax, so batching here is exact — each fold pass
+    applies its merges left-to-right in rank order and earlier-rank
+    products feed later comparisons exactly as sequential replay
+    would, PROVIDED each batch is symbol-disjoint; batches are split
+    greedily on that rule."""
+    seqs = _initial_symbols(words)
+    i, applied = 0, 0
+    while i < len(merges):
+        group: list[tuple[str, str]] = []
+        used: set[str] = set()
+        while i < len(merges) and len(group) < batch:
+            _, a, b, _ = merges[i]
+            syms = {a, b, a + b}
+            if used & syms:
+                break  # next batch — order within rank preserved
+            group.append((a, b))
+            used |= syms
+            i += 1
+        seqs = seqs.select("word", "n", _merge_expr(F.col("seq"), group).alias("seq"))
+        applied += len(group)
+        if applied % (batch * 4) == 0:
+            seqs = seqs.localCheckpoint(eager=True)
+    return seqs.select("word", "n", F.col("seq").alias("tokens"))

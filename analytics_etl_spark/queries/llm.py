@@ -2429,3 +2429,30 @@ def heavy_hitters_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem")
     return heavy_hitters(li, "l_partkey", k=50)
+
+
+# BPE vocabulary induction — the tokenizer-learning step of the
+# training pipeline, run as a Spark-first iterative operator (see
+# operators/bpe.py: ONE corpus pass for word counts, then every round
+# is word-table-sized with a driver collect of only the chosen pairs).
+# Rows-only: each merge depends on all previous — a recursive fixpoint
+# DuckDB SQL cannot express (the connected-components class); the
+# evidence is EXACT merge-sequence parity with an independent
+# pure-Python textbook-BPE reference (tests/test_bpe.py). The batched
+# mode used here (8 symbol-disjoint merges per round) is the at-scale
+# form; its one-pass-equals-sequential contract is also pinned there.
+@query(
+    "bpe_learned_merges",
+    rows_only="iterative greedy argmax — each merge depends on every previous "
+    "one (recursive fixpoint, not expressible in DuckDB SQL); exact parity "
+    "with a pure-Python textbook BPE reference pinned in tests/test_bpe.py",
+)
+def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.bpe import learn_bpe_merges
+
+    merges = learn_bpe_merges(
+        t(spark, sf_dir, "documents"), num_merges=24, merges_per_round=8
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    ).orderBy("rank")

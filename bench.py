@@ -95,6 +95,7 @@ HEADLINE = [
     "ingest_novelty_score",
     # round-7 additions
     "dedup_bloom_prescreen",
+    "bpe_learned_merges",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
