@@ -165,6 +165,7 @@ def bloom_prescreened_new_keys(
     num_bits: int,
     num_hashes: int = DEFAULT_NUM_HASHES,
     bloom: DataFrame | None = None,
+    broadcast_verify: bool = False,
 ) -> DataFrame:
     """Batch rows whose key_col is NOT present in corpus[key_col] —
     EXACTLY `batch ANTI JOIN corpus ON key` (the oracle), computed as
@@ -180,9 +181,11 @@ def bloom_prescreened_new_keys(
     No false negatives ⇒ result == plain anti join, bit for bit; the
     sketch only shrinks the exact join's probe side by ~(1 − fp) of
     the novel rows. At 100 TB the verify side stays a full corpus-key
-    scan, but its SHUFFLE carries only the maybe-set — and when the
-    maybe-set is broadcast-small Catalyst turns the verify into a
-    corpus-side broadcast semi filter with no corpus shuffle at all.
+    scan either way; whether the corpus also SHUFFLES is the
+    ``broadcast_verify`` choice below — a LEFT ANTI join can only
+    broadcast its right side, so the natural `maybe ANTI corpus` form
+    exchanges the full corpus key set, and Catalyst will not flip the
+    join direction for you.
     NULL-key batch rows are dropped, matching anti-join-on-equality
     semantics (NULL = NULL is never true, so a NULL key never matches
     and plain anti join would KEEP it; callers wanting NULL rows
@@ -232,7 +235,23 @@ def bloom_prescreened_new_keys(
     probed = probed.persist()
     definitely_new = probed.filter(~F.col("might_contain")).drop("might_contain")
     maybe = probed.filter(F.col("might_contain")).drop("might_contain")
-    verified_new = maybe.join(
-        corpus.select(F.col(key_col)).distinct(), key_col, "left_anti"
-    )
+    if broadcast_verify:
+        # Corpus-shuffle-FREE verify for the design case (maybe-set ≪
+        # corpus): a LEFT ANTI join can only broadcast its right side,
+        # so `maybe ANTI corpus` inevitably shuffles the corpus keys.
+        # Flip it: semi-join the CORPUS against the broadcast maybe-set
+        # (corpus is scanned once, never exchanged; hits is
+        # maybe-set-sized), then a tiny broadcast anti against hits.
+        # Caller asserts the maybe-set is broadcastable — it is bounded
+        # by true-dups + fp·batch, so this is safe whenever the batch
+        # itself is broadcast-scale; for corpus-scale batches keep the
+        # default shuffle form.
+        hits = corpus.select(key_col).join(
+            F.broadcast(maybe.select(key_col).distinct()), key_col, "left_semi"
+        ).distinct()
+        verified_new = maybe.join(F.broadcast(hits), key_col, "left_anti")
+    else:
+        verified_new = maybe.join(
+            corpus.select(F.col(key_col)).distinct(), key_col, "left_anti"
+        )
     return definitely_new.unionByName(verified_new)

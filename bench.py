@@ -292,6 +292,10 @@ def _dedup_bloom_probe_persisted(spark, sf_dir: str):
         "span_hash",
         num_bits=1 << 21,
         bloom=spark.read.parquet(_BLOOM_PATH),
+        # the design case holds here (maybe-set ~15% of a batch that is
+        # itself corpus-fraction-sized): verify scans the corpus key
+        # table without exchanging it
+        broadcast_verify=True,
     )
 
 

@@ -87,6 +87,51 @@ def test_prescreen_equals_plain_anti_join(spark):
     assert len(got) == 2000  # keys 3000..4999 are novel
 
 
+def test_broadcast_verify_matches_and_never_shuffles_corpus(spark, tmp_path):
+    """broadcast_verify=True (the design case: maybe-set ≪ corpus)
+    must (a) return exactly the default-form result, and (b) scan the
+    corpus WITHOUT exchanging it — the corpus-side scan must reach its
+    join through zero Exchange nodes (a left-anti can only broadcast
+    its right side, so the natural form shuffles the whole corpus key
+    set; the flipped semi form is the fix)."""
+    import re
+
+    corpus = _keys(spark, 0, 3000)
+    batch = _keys(spark, 2000, 5000)
+    fast = bloom_prescreened_new_keys(
+        corpus, batch, "k", num_bits=BITS, broadcast_verify=True
+    )
+    slow = bloom_prescreened_new_keys(corpus, batch, "k", num_bits=BITS)
+    assert {r["k"] for r in fast.collect()} == {r["k"] for r in slow.collect()}
+
+    # plan check on a parquet-backed corpus so the corpus scan is
+    # identifiable: every Exchange in the verify branch must sit on the
+    # probe/maybe side, never above the corpus relation
+    cpath = str(tmp_path / "corpus")
+    corpus.write.parquet(cpath)
+    fast_p = bloom_prescreened_new_keys(
+        spark.read.parquet(cpath), batch, "k", num_bits=BITS, broadcast_verify=True
+    )
+    plan = fast_p._jdf.queryExecution().executedPlan().toString()
+    # the membership joins must BOTH be broadcast forms: the corpus
+    # feeds a broadcast LeftSemi as its streamed (never-exchanged)
+    # side, and the final anti rides the broadcast hits — a
+    # shuffle-based semi/anti anywhere means the corpus key set got
+    # exchanged, the exact cost this mode exists to remove
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert not re.search(r"(SortMergeJoin|ShuffledHashJoin) .*Left(Semi|Anti)", plan)
+    # and the default form really does shuffle the corpus for the anti
+    # (the contrast that justifies the flag)
+    slow_p = bloom_prescreened_new_keys(
+        spark.read.parquet(cpath), batch, "k", num_bits=BITS
+    )
+    splan = slow_p._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*LeftAnti", splan) or re.search(
+        r"BroadcastHashJoin .*LeftAnti", splan
+    )
+
+
 def test_prebuilt_bloom_path_matches_inline(spark, tmp_path):
     """The deployment path — a bloom persisted at ingest and passed in
     via `bloom=` — must return exactly the inline-build result (same
