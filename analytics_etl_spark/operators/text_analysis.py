@@ -45,13 +45,20 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The score formula is a fixed-order double expression so any SQL
     engine reproduces it bit-for-bit.
+
+    Empty-text contract (r7 hostile-data sweep): a zero-length doc has
+    NO defined char ratios — they are NULL, not a crash. The unguarded
+    x/0 was an ANSI-mode DIVIDE_BY_ZERO, i.e. ONE empty document
+    anywhere in a 100 TB corpus aborted the whole scoring job.
+    (n_tokens needs no guard: split of any non-null text yields >= 1
+    token, empty-string tokens included.)
     """
     c = F.col(text_col)
     n_chars = F.length(c)
     n_tokens = token_count(c)
     n_alpha = F.length(F.regexp_replace(c, "[^a-z]", ""))
     n_stop = marker_hits(c, LANG_MARKERS["en"])
-    alpha_ratio = n_alpha.cast("double") / n_chars
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars)
     stop_ratio = n_stop.cast("double") / n_tokens
     avg_token_len = n_alpha.cast("double") / n_tokens
     return docs.select(

@@ -428,15 +428,18 @@ def text_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS INT) AS n_chars_text,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
-             AS alpha_ratio,
+           CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+           END AS alpha_ratio,
            CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS DOUBLE)
              / len(string_split(text, ' ')) AS stop_ratio,
            CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
              / len(string_split(text, ' ')) AS avg_token_len,
-           (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.7
-             + (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS DOUBLE)
-                / len(string_split(text, ' '))) * 0.3 AS quality_score
+           CASE WHEN length(text) > 0 THEN
+             (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / length(text)) * 0.7
+               + (CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','of'))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 0.3
+           END AS quality_score
     FROM documents
     """,
 )
@@ -2190,17 +2193,22 @@ def corpus_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stubbed): 16-bin byte-value histogram per media payload — the
 # entropy/format-drift screening pass that runs before any decode.
 # numpy bincount over zero-copy Arrow buffers (operators/multimodal.
-# byte_histogram). Oracle contract: payloads are UTF-8 bytes of an
-# ASCII corpus (synthesize_media), so DuckDB can mirror the bytes as
-# characters — a non-ASCII corpus would need a blob-side oracle.
+# byte_histogram). Oracle contract: DuckDB can only mirror bytes as
+# CHARACTERS, which agrees with UTF-8 bytes exactly on ASCII — so the
+# query ENFORCES ascii-only docs in both engines (r7 hostile-data
+# sweep: a single 'é' used to silently diverge — codepoint 233 vs its
+# two UTF-8 bytes; an enforced contract beats a documented
+# assumption). The OPERATOR stays byte-faithful on any payload.
 @query(
     "multimodal_byte_histogram",
-    oracle="""
+    oracle=r"""
     WITH b AS (
       SELECT doc_id AS media_id,
              unnest(list_transform(range(1, len(text) + 1),
                     i -> ascii(text[i]) // 16)) AS bin
-      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+      FROM documents
+      WHERE text IS NOT NULL AND len(text) > 0
+        AND regexp_matches(text, '^[\x00-\x7f]*$')
     )
     SELECT media_id, CAST(bin AS INT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_bytes
@@ -2210,7 +2218,9 @@ def corpus_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_byte_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.multimodal import byte_histogram, synthesize_media
 
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("text").rlike(r"^[\x00-\x7F]*$")
+    )
     return byte_histogram(synthesize_media(docs), bins=16)
 
 

@@ -1,0 +1,47 @@
+"""Hostile-data oracle parity (tools/hostile_data.py).
+
+The document-centric queries run against a corpus salted with the
+adversarial rows a real crawl contains (empty / whitespace-only /
+NULL / non-ASCII / degenerate docs) and must STILL hash-match their
+DuckDB oracles — any divergence is a latent data-dependent bug in one
+engine's formulation (r7 found two this way: an ANSI divide-by-zero
+in the quality scorer and a UTF-8-vs-codepoint drift in the byte
+histogram). The full-registry hostile sweep is the per-round gate;
+this subset keeps the most text-exposed pairs honest in CI.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+# the pairs whose formulations touch raw text the hardest
+SUBSET = [
+    "text_quality_score",
+    "multimodal_byte_histogram",
+    "text_token_count",
+    "text_langid",
+    "dedup_exact_canonical",
+    "dedup_substring_spans",
+    "ingest_novelty_score",
+    "quality_percentile_gate",
+    "dedup_bloom_prescreen",
+    "corpus_checksum",
+    "docs_stats_by_lang",
+    "text_pii_redact",
+]
+
+
+def test_hostile_subset_matches_oracle(tmp_path):
+    from tools.hostile_data import build
+
+    hostile = build(str(tmp_path / "hostile_sf"))
+    out = subprocess.run(
+        [sys.executable, "tools/check_oracle.py", hostile, *SUBSET],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=540,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-1000:]
+    assert "failures: []" in out.stdout
