@@ -37,7 +37,15 @@ def asof_join(
     strict=False → right.time <= left.time (the common "most recent
     observation" semantics, matching DuckDB's ASOF JOIN ... >=).
     strict=True → right.time < left.time.
+
+    NULL-time contract (r7 hostile-data sweep): right rows with a NULL
+    timestamp are DROPPED — an observation without a time cannot be
+    "the most recent at t", but NULLS-FIRST ordering used to backfill
+    it as the match for every early left row (diverging from SQL ASOF,
+    where a NULL comparison is simply never true). Left rows with a
+    NULL timestamp are kept with a NULL payload, matching ASOF LEFT.
     """
+    right = right.filter(F.col(right_time).isNotNull())
     # side ordering makes right rows sort BEFORE a left row with the
     # same timestamp iff non-strict (so equal timestamps match).
     right_tag = 0 if not strict else 1

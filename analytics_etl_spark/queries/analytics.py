@@ -272,7 +272,7 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, event_id, epoch_us(ts) AS us,
              LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT user_id,
            COUNT(*) AS n_events,
@@ -283,7 +283,10 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # r7 hostile sweep: NULL-ts events cannot be sessionized, and the
+    # engines disagree on NULL sort position (Spark NULLS FIRST vs
+    # DuckDB NULLS LAST) — excluded explicitly in both formulations
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gapped = ev.select("user_id", "event_id", us.alias("us")).withColumn(
@@ -328,12 +331,16 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1, 2
+           CAST(SUM(TRY_CAST(CASE WHEN NOT isnan(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # r7 hostile sweep: Spark's window() silently drops NULL-ts rows
+    # while date_trunc groups them — the exclusion is now explicit in
+    # both engines; try_cast keeps one corrupt out-of-decimal-range
+    # value from aborting the whole aggregate under ANSI
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
@@ -341,7 +348,7 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+            F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),

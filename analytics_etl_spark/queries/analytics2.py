@@ -225,19 +225,21 @@ def date_arithmetic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT epoch_us(ts) // 900000000 AS bucket_id,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 1
+           CAST(SUM(TRY_CAST(CASE WHEN NOT isnan(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
     """,
 )
 def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # r7 hostile sweep: NULL-ts excluded explicitly (no time, no
+    # bucket); try_cast survives corrupt out-of-range values
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # true floor division (matches DuckDB // for pre-1970 timestamps too)
     bucket = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 900_000_000).cast(
         "bigint"
     )
     return ev.groupBy(bucket.alias("bucket_id")).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.sum(F.col("value").try_cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
 
 
@@ -250,10 +252,12 @@ def time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(event_id) OVER w AS next_event,
            FIRST_VALUE(event_id) OVER w AS first_event,
            CAST(ROW_NUMBER() OVER w AS INT) AS rn,
-           CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS type_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY event_type NULLS FIRST) AS INT) AS type_rank,
            CAST(NTILE(4) OVER w AS INT) AS quartile
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    -- NULLS FIRST matches Spark's ascending default; DuckDB defaults
+    -- NULLS LAST, which silently diverged on NULL ts/event_type rows
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     """,
 )
 def window_function_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +471,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, epoch_us(ts) AS us,
              LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     marked AS (
       SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_s
@@ -486,7 +490,9 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # r7 hostile sweep: session_window drops NULL-ts rows internally —
+    # made explicit so the oracle's derived-session form agrees
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("w"),
@@ -507,7 +513,8 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sliding_window_agg",
     oracle="""
-    WITH b AS (SELECT *, to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS w0 FROM events)
+    WITH b AS (SELECT *, to_timestamp((epoch_us(ts) // 1800000000) * 1800) AS w0
+               FROM events WHERE ts IS NOT NULL)
     SELECT window_start, event_type, COUNT(*) AS n FROM (
       SELECT CAST(w0 AS TIMESTAMP) AS window_start, event_type FROM b
       UNION ALL
@@ -516,7 +523,8 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
+    # r7 hostile sweep: window() drops NULL-ts rows — made explicit
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window(F.col("ts").cast("timestamp"), "1 hour", "30 minutes").alias("w"),
@@ -820,26 +828,29 @@ def mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 2, 3
+           CAST(SUM(TRY_CAST(CASE WHEN NOT isnan(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
     UNION ALL
     SELECT 'day' AS grain, date_trunc('day', ts) AS bucket, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 2, 3
+           CAST(SUM(TRY_CAST(CASE WHEN NOT isnan(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
     UNION ALL
     SELECT 'month' AS grain, date_trunc('month', ts) AS bucket, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-    FROM events GROUP BY 2, 3
+           CAST(SUM(TRY_CAST(CASE WHEN NOT isnan(value) THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
     """,
 )
 def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At scale the day/month levels re-aggregate the hour level
     (compose from the finer grain) instead of rescanning the facts;
     expressed here as the semantic union the oracle can check."""
-    ev = t(spark, sf_dir, "events")
-    v = F.sum(F.col("value").cast("decimal(18,6)"))
+    # r7 hostile sweep: NULL-ts excluded (no time, no bucket);
+    # try_cast keeps one corrupt out-of-range value from aborting the
+    # nightly rollup under ANSI (NULL in both engines instead)
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    v = F.sum(F.col("value").try_cast("decimal(18,6)"))
 
     hour = (
         ev.groupBy(
@@ -1520,7 +1531,7 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per AS (
       SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
     )
     SELECT user_id,
            string_agg(event_type, '|' ORDER BY event_type) AS type_keys,
@@ -1539,7 +1550,10 @@ def map_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson: top-level array/map columns crash the harness' pandas
     canonicalizer); event_type names contain no '|', and the sorted
     map entries make both joined strings deterministic."""
-    ev = t(spark, sf_dir, "events")
+    # r7 hostile sweep: a NULL event_type is not a countable type and
+    # NULL map keys are illegal in Spark (one such row aborted the
+    # query) — excluded in both formulations
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
     m = F.map_from_entries(
         F.array_sort(F.collect_list(F.struct("event_type", "n")))
@@ -2269,31 +2283,48 @@ def longest_error_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT event_type,
-             CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+             TRY_CAST(FLOOR(value * 100) AS BIGINT) AS cents,
              epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
                       - ts) AS dur_us
-      FROM events WHERE value IS NOT NULL
+      FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+        AND NOT isnan(value) AND value > -1e15 AND value < 1e15
     )
     SELECT event_type,
            CAST(SUM(cents * dur_us) AS BIGINT) AS weighted_cents_us,
            CAST(SUM(dur_us) AS BIGINT) AS total_us,
            CAST(SUM(cents * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) / 100.0
              AS twap
-    FROM seq WHERE dur_us IS NOT NULL
+    FROM seq WHERE dur_us IS NOT NULL AND cents IS NOT NULL
     GROUP BY 1
     """,
 )
 def value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # r7 hostile sweep: NULL-ts rows have no place on the time axis
+    # (and Spark/DuckDB disagree on NULL sort position); a corrupt
+    # value whose cents overflow int64 (or NaN) becomes NULL via
+    # try_cast in both engines and its interval is excluded
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        # bounded domain (r7 hostile sweep): Spark's floor(double)
+        # yields a SATURATING long (NaN -> 0, ±huge -> Long.MIN/MAX —
+        # silent corruption, then decimal->bigint overflow at the end)
+        # while DuckDB floors to double and TRY_CASTs to NULL; corrupt
+        # magnitudes are excluded identically in both engines instead
+        & ~F.isnan("value")
+        & (F.col("value") > -1e15)
+        & (F.col("value") < 1e15)
+    )
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     seq = ev.select(
         "event_type",
-        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.floor(F.col("value") * 100).try_cast("long").alias("cents"),
         (
             F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
             - F.unix_micros(F.col("ts").cast("timestamp"))
         ).alias("dur_us"),
-    ).filter(F.col("dur_us").isNotNull())
+    ).filter(F.col("dur_us").isNotNull() & F.col("cents").isNotNull())
     # Accumulate in DECIMAL(38,0), not BIGINT (ADVICE r5): with long
     # LOCF gaps (dur_us ~1e11) and large groups a bigint sum silently
     # wraps in non-ANSI mode while the DuckDB oracle sums in HUGEINT —
@@ -2380,19 +2411,24 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- null (and not count) the same rows regardless of data — a
     -- strict CAST would error/diverge on any malformed value.
     SELECT event_type,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(SUM(TRY_CAST(json_extract_string(j, '$.k') AS BIGINT)) AS BIGINT)
              AS k_sum,
-           CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(COUNT(TRY_CAST(json_extract_string(j, '$.k') AS BIGINT)) AS BIGINT)
              AS k_count,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-             / CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+           CAST(SUM(TRY_CAST(json_extract_string(j, '$.k') AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(TRY_CAST(json_extract_string(j, '$.k') AS BIGINT)) AS DOUBLE)
              AS k_mean
-    FROM events GROUP BY 1
+    FROM (SELECT event_type,
+                 CASE WHEN json_valid(props) THEN props END AS j
+          FROM events) GROUP BY 1
     """,
 )
 def events_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    # try_parse_json, not parse_json (r7 hostile sweep): one malformed
+    # props string aborted the whole aggregate; NULL variant -> NULL k
+    # in both engines instead
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "long")
     agg = ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
         F.sum("k").cast("bigint").alias("k_sum"),
         F.count("k").cast("bigint").alias("k_count"),

@@ -401,7 +401,12 @@ def month_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "json_extract_props",
     oracle="""
-    SELECT event_id, event_type, CAST(props->>'k' AS INT) AS k_value
+    -- json_valid + TRY_CAST (r7 hostile sweep): DuckDB's ->> ERRORS on
+    -- malformed JSON where Spark's get_json_object returns NULL, and a
+    -- strict cast would abort on a non-numeric k in either engine —
+    -- defensive extraction must be defensive in BOTH formulations
+    SELECT event_id, event_type,
+           TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END AS INT) AS k_value
     FROM events
     """,
 )
@@ -410,5 +415,5 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_value"),
     )

@@ -15,7 +15,7 @@ from __future__ import annotations
 import subprocess
 import sys
 
-# the pairs whose formulations touch raw text the hardest
+# the pairs whose formulations touch raw text / raw events hardest
 SUBSET = [
     "text_quality_score",
     "multimodal_byte_histogram",
@@ -29,6 +29,19 @@ SUBSET = [
     "corpus_checksum",
     "docs_stats_by_lang",
     "text_pii_redact",
+    # the event-side divergence classes r7 found: NULL ts in time
+    # windows, NULL sort position, NULL map keys, malformed JSON,
+    # NaN/overflow values
+    "tumbling_window_agg",
+    "session_window_agg",
+    "sessionize_events",
+    "window_function_family",
+    "value_twap",
+    "map_event_type_counts",
+    "json_extract_props",
+    "events_props_variant_stats",
+    "asof_join_last_click",
+    "hypertable_rollup",
 ]
 
 

@@ -13,7 +13,19 @@ tool makes that hunt mechanical.
 
 The hostile rows: empty text, whitespace-only, NULL text, a single
 word, non-ASCII (accents + CJK), extreme repetition, NULL lang/source,
-double-space tokens. All other tables are symlinked unchanged.
+double-space tokens — plus hostile EVENTS (NULL ts, NULL user, NULL /
+empty event_type, NULL value, NaN, out-of-decimal-range value, NULL /
+empty / malformed JSON props). The events batch found TEN more latent
+divergences on its first run (r7): NULL-ts rows silently dropped by
+Spark's window()/session_window but grouped by DuckDB's date_trunc;
+NULL sort position (Spark NULLS FIRST vs DuckDB NULLS LAST) skewing
+every windowed ranking; a NULL event_type aborting map_from_entries;
+malformed JSON aborting parse_json on one side and ->> on the other;
+DuckDB's TRY_CAST(NaN AS DECIMAL) raising instead of NULLing; and
+Spark's floor(double) SATURATING to Long.MIN on huge values where
+DuckDB floors to double — every one now pinned by an explicit
+contract in both formulations. All other tables are symlinked
+unchanged.
 
 Usage:
     python tools/hostile_data.py [out_dir] [src_sf_dir]   # build
@@ -49,20 +61,61 @@ HOSTILE_DOCS = [
     (9008, "x  y", "en", "hostile", 4),
 ]
 
+HOSTILE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (9001, None, 5, "click", 1.0, '{"k": 1}'),
+    (9002, "2024-01-15T12:00:00", None, "click", 2.0, '{"k": 2}'),
+    (9003, "2024-01-15T12:00:00", 6, None, 3.0, '{"k": 3}'),
+    (9004, "2024-01-15T12:00:00", 6, "", 4.0, "{}"),
+    (9005, "2024-01-15T12:00:00", 7, "click", None, None),
+    (9006, "2024-01-15T12:00:00", 7, "click", float("nan"), "not json"),
+    (9007, "2024-01-15T12:00:00", 8, "click", -1e100, '{"k": -5}'),
+]
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "embeddings",
+    "orders", "lineitem", "embeddings",
 ]
 
 
 def build(out_dir: str, src_dir: str = "/root/testdata/sf0.001") -> str:
+    import datetime
+
     import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLES:
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(src_dir, f"{name}.parquet"), dst)
+
+    # events appended via pyarrow so the ts column keeps the source
+    # file's exact physical timestamp type
+    t = pq.read_table(os.path.join(src_dir, "events.parquet"))
+    rows = [
+        (
+            i,
+            None if ts is None else datetime.datetime.fromisoformat(ts),
+            u, et, v, pr,
+        )
+        for i, ts, u, et, v, pr in HOSTILE_EVENTS
+    ]
+    extra = pa.table(
+        {
+            n: [r[j] for r in rows]
+            for j, n in enumerate(
+                ["event_id", "ts", "user_id", "event_type", "value", "props"]
+            )
+        },
+        schema=pa.schema([f.remove_metadata() for f in t.schema]),
+    )
+    pq.write_table(
+        pa.concat_tables([t.replace_schema_metadata(None), extra]),
+        os.path.join(out_dir, "events.parquet"),
+    )
+
     con = duckdb.connect()
     values = ", ".join(
         "({}, {}, {}, {}, {})".format(
