@@ -32,7 +32,9 @@ def _rev():
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey
+                      -- NULLS FIRST matches Spark's ascending default;
+                      -- DuckDB defaults NULLS LAST (r7 hostile sweep)
+                      ORDER BY o_orderdate NULLS FIRST, o_orderkey
                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
     FROM orders
     """,

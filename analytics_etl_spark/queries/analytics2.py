@@ -1435,7 +1435,7 @@ def table_diff_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey,
              strftime(o_orderdate, '%Y-%m') AS snap_month,
              MAX(o_orderstatus) AS status
-      FROM orders GROUP BY 1, 2
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
     ),
     marked AS (
       SELECT custkey, snap_month, status,
@@ -1465,7 +1465,9 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on (custkey, month); the lag and lead windows share ONE
     further exchange on custkey (verified: 2 exchanges, 2 windows in
     the plan) — the filter between them does not break the reuse."""
-    o = t(spark, sf_dir, "orders")
+    # r7 hostile sweep: an undated order has no snapshot month (and
+    # the engines disagree on NULL sort position in the change window)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     snap = o.groupBy(
         F.col("o_custkey").alias("custkey"),
         F.date_format("o_orderdate", "yyyy-MM").alias("snap_month"),
@@ -1497,7 +1499,7 @@ def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_totalprice,
              -- DuckDB ntile yields BIGINT, Spark INT — cast for parity
              CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ) GROUP BY bucket
     """,
 )
@@ -1507,7 +1509,9 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine identical. The global sort is the one unavoidable
     shuffle of any exact equi-depth split; the approximate path at
     scale is percentile_approx boundaries (quantiles_approx)."""
-    o = t(spark, sf_dir, "orders")
+    # r7 hostile sweep: a NULL price has no quantile, and its sort
+    # position differs between engines — excluded in both
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
         o.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
@@ -2488,7 +2492,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
              CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS revenue_cents
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     )
     SELECT month, revenue_cents,
            CAST(revenue_cents - LAG(revenue_cents) OVER (ORDER BY month)
@@ -2497,7 +2501,10 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
+    # r7 hostile sweep: undated orders have no month — excluded in
+    # both engines (a NULL month otherwise shifts the whole LAG chain,
+    # and its sort position is engine-dependent)
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     m = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
         .cast("bigint")

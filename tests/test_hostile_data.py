@@ -42,6 +42,12 @@ SUBSET = [
     "events_props_variant_stats",
     "asof_join_last_click",
     "hypertable_rollup",
+    # the order-side NULL-position/NULL-group classes
+    "window_running_revenue",
+    "equi_depth_histogram",
+    "monthly_revenue_mom",
+    "scd2_customer_status_history",
+    "fk_integrity_audit",
 ]
 
 

@@ -72,9 +72,23 @@ HOSTILE_EVENTS = [
     (9007, "2024-01-15T12:00:00", 8, "click", -1e100, '{"k": -5}'),
 ]
 
+# (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+#  o_orderpriority) — NULL join key, NULL/negative/NULL price, NULL
+# date, NULL priority, dangling FK. Found four more NULL-position /
+# NULL-group divergences in the windowed order analytics on first run.
+HOSTILE_ORDERS_SQL = """
+    (99001, NULL, 'O', 100.0, TIMESTAMP '1996-06-15', '3-MEDIUM'),
+    (99002, 7, NULL, 200.0, TIMESTAMP '1996-06-15', '3-MEDIUM'),
+    (99003, 7, 'O', NULL, TIMESTAMP '1996-06-15', '3-MEDIUM'),
+    (99004, 7, 'O', -50.0, TIMESTAMP '1996-06-15', '3-MEDIUM'),
+    (99005, 7, 'O', 300.0, NULL, '3-MEDIUM'),
+    (99006, 7, 'O', 400.0, TIMESTAMP '1996-06-15', NULL),
+    (99007, 999999999, 'O', 500.0, TIMESTAMP '1996-06-15', '1-URGENT')
+"""
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "embeddings",
+    "lineitem", "embeddings",
 ]
 
 
@@ -117,6 +131,17 @@ def build(out_dir: str, src_dir: str = "/root/testdata/sf0.001") -> str:
     )
 
     con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src_dir}/orders.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES {HOSTILE_ORDERS_SQL})
+            AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority)
+        ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
     values = ", ".join(
         "({}, {}, {}, {}, {})".format(
             i,
