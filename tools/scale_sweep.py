@@ -48,6 +48,8 @@ SWEEP = [
     "ingest_novelty_score",       # gram anti-join
     "session_window_agg",         # event-time windowing
     "table_profile_sketch",       # HLL profile (no Expand)
+    "bpe_learned_merges",         # r7: iterative merge learning
+    "value_twap",                 # r7-hardened LOCF window + exact sum
 ]
 
 
