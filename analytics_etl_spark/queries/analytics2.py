@@ -136,7 +136,7 @@ def string_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
            CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS price_kilo,
            CAST(mod(CAST(l_quantity AS BIGINT), 5) AS BIGINT) AS qty_mod5,
-           sqrt(l_quantity) AS qty_sqrt,
+           CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS qty_sqrt,
            CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            greatest(l_quantity, 25.0) AS qty_floor25,
            least(l_quantity, 25.0) AS qty_cap25
@@ -152,7 +152,9 @@ def math_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") / 7.0).cast("bigint").alias("qty_bucket"),
         F.ceil(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("price_kilo"),
         (F.col("l_quantity").cast("bigint") % 5).cast("bigint").alias("qty_mod5"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
+        # guarded sqrt (r7 hostile sweep): DuckDB ERRORS on a negative
+        # argument where Spark yields NaN — NULL in both instead
+        F.when(F.col("l_quantity") >= 0, F.sqrt("l_quantity")).alias("qty_sqrt"),
         F.signum(F.col("l_discount") - 0.05).cast("double").alias("disc_sign"),
         F.greatest(F.col("l_quantity"), F.lit(25.0)).alias("qty_floor25"),
         F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_cap25"),
@@ -1768,6 +1770,8 @@ def skew_key_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY l_extendedprice / l_quantity, l_suppkey
              ) AS rk
       FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_suppkey IS NOT NULL
     ) u JOIN part p ON p.p_partkey = u.l_partkey
     WHERE u.rk = 1
     """,
@@ -1777,7 +1781,17 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, supplier) — never a correlated per-row MIN subquery; the
     dimension join-back broadcasts. unit_price is one double division
     (identical bits in both engines), ties broken by suppkey."""
-    li, p = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    # r7 hostile sweep: a line with NULL price/quantity has no unit
+    # price and cannot be the argmin (its NULL otherwise sorts first in
+    # Spark and last in DuckDB) — excluded in both engines
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        # nor can a line without a supplier name the cheapest supplier
+        # (its NULL key wins price ties in Spark, loses them in DuckDB)
+        & F.col("l_suppkey").isNotNull()
+    )
+    p = t(spark, sf_dir, "part")
     price = F.col("l_extendedprice") / F.col("l_quantity")
     rk = F.row_number().over(
         Window.partitionBy("l_partkey").orderBy(price.asc(), F.col("l_suppkey").asc())

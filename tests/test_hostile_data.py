@@ -48,6 +48,10 @@ SUBSET = [
     "monthly_revenue_mom",
     "scd2_customer_status_history",
     "fk_integrity_audit",
+    # the lineitem-side classes: guarded sqrt, NULL-key argmin
+    "math_functions_pack",
+    "cheapest_supplier_per_part",
+    "pricing_summary",
 ]
 
 

@@ -86,9 +86,22 @@ HOSTILE_ORDERS_SQL = """
     (99007, 999999999, 'O', 500.0, TIMESTAMP '1996-06-15', '1-URGENT')
 """
 
+# NULL part/supp keys, NULL numerics, NULL flags, NULL shipdate,
+# negative quantity/price + out-of-domain discount. Found sqrt-of-
+# negative (DuckDB errors / Spark NaN) and NULL-key argmin tie
+# divergences on first run.
+HOSTILE_LINEITEM_SQL = """
+    (99101, NULL, 3, 1, 5.0, 100.0, 0.05, 0.02, 'N', 'O', TIMESTAMP '1996-06-20'),
+    (99102, 3, NULL, 1, 5.0, 100.0, 0.05, 0.02, 'N', 'O', TIMESTAMP '1996-06-20'),
+    (99103, 3, 3, 1, NULL, NULL, NULL, NULL, 'N', 'O', TIMESTAMP '1996-06-20'),
+    (99104, 3, 3, 1, 5.0, 100.0, 0.05, 0.02, NULL, NULL, TIMESTAMP '1996-06-20'),
+    (99105, 3, 3, 1, 5.0, 100.0, 0.05, 0.02, 'N', 'O', NULL),
+    (99106, 3, 3, 1, -5.0, -100.0, 1.5, 0.02, 'N', 'O', TIMESTAMP '1996-06-20')
+"""
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "lineitem", "embeddings",
+    "embeddings",
 ]
 
 
@@ -140,6 +153,18 @@ def build(out_dir: str, src_dir: str = "/root/testdata/sf0.001") -> str:
             AS t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                  o_orderdate, o_orderpriority)
         ) TO '{out_dir}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{src_dir}/lineitem.parquet'
+          UNION ALL
+          SELECT * FROM (VALUES {HOSTILE_LINEITEM_SQL})
+            AS t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                 l_extendedprice, l_discount, l_tax, l_returnflag,
+                 l_linestatus, l_shipdate)
+        ) TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
     values = ", ".join(
