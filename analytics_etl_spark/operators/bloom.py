@@ -41,10 +41,80 @@ nodes in any plan (plan-asserted in tests/test_bloom.py).
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_NUM_HASHES = 4
+
+# Sidecar carrying the (num_bits, num_hashes) a persisted bloom was
+# built with. The sparse (word_idx, bits) table itself is
+# parameter-blind: OR-merging or probing it with DIFFERENT params
+# silently yields FALSE NEGATIVES — the one error class this module
+# promises never to produce (ADVICE r7; the same reason the prescreen
+# fails loud on key-type mismatch). The leading underscore keeps
+# Spark's parquet reader from treating it as data, and living INSIDE
+# the table directory means the crash-safe swap moves data + meta
+# atomically together.
+BLOOM_META_FILE = "_bloom_meta.json"
+
+
+def bloom_meta_json(num_bits: int, num_hashes: int) -> str:
+    return json.dumps({"num_bits": num_bits, "num_hashes": num_hashes})
+
+
+def check_bloom_meta(path: str, num_bits: int, num_hashes: int) -> None:
+    """Raise unless the persisted bloom at ``path`` (if any) declares
+    exactly (num_bits, num_hashes). A table WITHOUT a sidecar also
+    raises: its parameters are unknowable, so merging/probing it is a
+    config-drift false negative waiting to happen — rebuild it (or
+    stamp it via write_bloom) rather than guess. Local-filesystem
+    check, same documented scope as the swap helper that maintains
+    these tables (streaming.ingest._merge_swap_table)."""
+    if not os.path.isdir(path):
+        return  # no table yet — the caller is about to create it
+    meta_path = os.path.join(path, BLOOM_META_FILE)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"bloom table {path} has no {BLOOM_META_FILE} sidecar — its "
+            "(num_bits, num_hashes) are unknown, and merging or probing "
+            "with mismatched params yields silent false negatives; "
+            "rebuild it via write_bloom/merge_bloom_batch"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if (meta.get("num_bits"), meta.get("num_hashes")) != (num_bits, num_hashes):
+        raise ValueError(
+            f"bloom param mismatch at {path}: stored (num_bits="
+            f"{meta.get('num_bits')}, num_hashes={meta.get('num_hashes')}) "
+            f"vs requested ({num_bits}, {num_hashes}) — OR-merging or "
+            "probing across configs breaks the no-false-negative contract"
+        )
+
+
+def write_bloom(
+    bloom: DataFrame, path: str, num_bits: int, num_hashes: int = DEFAULT_NUM_HASHES
+) -> None:
+    """Persist a bloom WITH its parameter sidecar (the only supported
+    way to write one — a bare .write.parquet loses the params). An
+    overwrite is an authoritative rebuild, so no mismatch check: the
+    new sidecar replaces the old contract."""
+    bloom.write.mode("overwrite").parquet(path)
+    with open(os.path.join(path, BLOOM_META_FILE), "w") as f:
+        f.write(bloom_meta_json(num_bits, num_hashes))
+
+
+def read_bloom(
+    spark, path: str, num_bits: int, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """Read a persisted bloom, raising unless its sidecar matches the
+    params the caller is about to probe/merge with."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no bloom table at {path}")
+    check_bloom_meta(path, num_bits, num_hashes)
+    return spark.read.parquet(path)
 
 
 def _positions(col, num_bits: int, num_hashes: int):
@@ -166,6 +236,7 @@ def bloom_prescreened_new_keys(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bloom: DataFrame | None = None,
     broadcast_verify: bool = False,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Batch rows whose key_col is NOT present in corpus[key_col] —
     EXACTLY `batch ANTI JOIN corpus ON key` (the oracle), computed as
@@ -230,9 +301,15 @@ def bloom_prescreened_new_keys(
     # measured same-run at sf0.1: 0.80 s vs 1.95 s vs 2.24 s unpinned
     # (checkpoint RDD partitions get raced/doubly computed by the two
     # union branches inside one job; the cache manager shares them).
-    # The entry stays cached until evicted (no unpersist hook — the
-    # caller owns the returned frame); it is batch-sized.
+    # The batch-sized cache entry lives until LRU eviction unless the
+    # caller passes ``cache_handles`` (ADVICE r7): long-lived callers —
+    # per-batch streaming loops, repeated bench reps — receive the
+    # persisted handle there and unpersist() it once the result is
+    # consumed, so accumulated batch caches cannot evict deliberately
+    # cached ingest artifacts under memory pressure.
     probed = probed.persist()
+    if cache_handles is not None:
+        cache_handles.append(probed)
     definitely_new = probed.filter(~F.col("might_contain")).drop("might_contain")
     maybe = probed.filter(F.col("might_contain")).drop("might_contain")
     if broadcast_verify:

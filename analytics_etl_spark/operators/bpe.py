@@ -204,7 +204,7 @@ def apply_bpe(
     would, PROVIDED each batch is symbol-disjoint; batches are split
     greedily on that rule."""
     seqs = _initial_symbols(words)
-    i, applied = 0, 0
+    i, groups_since_ckpt = 0, 0
     while i < len(merges):
         group: list[tuple[str, str]] = []
         used: set[str] = set()
@@ -217,7 +217,13 @@ def apply_bpe(
             used |= syms
             i += 1
         seqs = seqs.select("word", "n", _merge_expr(F.col("seq"), group).alias("seq"))
-        applied += len(group)
-        if applied % (batch * 4) == 0:
+        # count GROUPS since the last cut, as learn_bpe_merges does
+        # with rounds_since_ckpt (ADVICE r7: disjointness splits make
+        # group sizes uneven, so a cumulative-count divisibility test
+        # can skip every multiple and never checkpoint — an unbounded
+        # nested-projection plan on ~30k-merge production vocabularies)
+        groups_since_ckpt += 1
+        if groups_since_ckpt >= 4:
             seqs = seqs.localCheckpoint(eager=True)
+            groups_since_ckpt = 0
     return seqs.select("word", "n", F.col("seq").alias("tokens"))

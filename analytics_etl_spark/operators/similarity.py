@@ -35,8 +35,62 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """cos(a,b) = dot/(sqrt(|a|²·|b|²)) — one sqrt so engines agree."""
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    """cos(a,b) = dot/(sqrt(|a|²·|b|²)) — one sqrt so engines agree.
+
+    ZERO-NORM CONTRACT (r8, hostile-embeddings sweep): a zero-norm
+    vector has no defined cosine — the unguarded form yields 0.0/0.0 →
+    NaN, and NaN ordering/propagation is exactly the cross-engine
+    divergence class the r7 hostile sweep kept finding. The norm
+    product is gated (> 0 → score, else NULL), mirrored verbatim as
+    CASE WHEN in every oracle. Registered queries additionally exclude
+    unscorable vectors up front via ``scorable_vector`` (NULL / wrong
+    dim / non-finite component / zero norm), so post-gate this guard
+    is pure defense in depth and a no-op on clean data.
+    """
+    n2 = dot(a, a) * dot(b, b)
+    return F.when(n2 > 0, dot(a, b) / F.sqrt(n2))
+
+
+def finite_vector(col: Column | str, dim: int | None = None) -> Column:
+    """True iff the vector is non-NULL, every component is non-NULL and
+    finite (no NaN/±Inf), and (when ``dim`` is given) it has exactly
+    ``dim`` components. Pure expressions; nothing here can raise, so
+    predicate reordering under ANSI mode is safe."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = as_double_array(c)
+    ok = c.isNotNull() & F.forall(
+        v,
+        lambda x: x.isNotNull() & ~F.isnan(x) & (F.abs(x) != F.lit(float("inf"))),
+    )
+    if dim is not None:
+        ok = ok & (F.size(c) == dim)
+    return ok
+
+
+def scorable_vector(col: Column | str, dim: int | None = None) -> Column:
+    """``finite_vector`` plus a positive L2 norm — the admission gate
+    every similarity/ANN query applies BEFORE scoring.
+
+    A real crawl-derived embedding table WILL contain zero-norm rows
+    (failed encoder calls), NULL/NaN components (schema drift), and
+    wrong-dimension vectors (model-version mixes); none of them has a
+    defined cosine, and several crash one engine but not the other
+    (ragged numpy batches, DuckDB list_dot_product on NULL elements,
+    ANSI element_at past the end). Gating at the scan is also the
+    100 TB shape: the predicate is columnar, pushes ahead of every
+    kernel, and drops junk before it costs a shuffle. No-op on clean
+    data (asserted by the hostile-embeddings sweep, tools/
+    hostile_data.py)."""
+    c = F.col(col) if isinstance(col, str) else col
+    v = as_double_array(c)
+    return finite_vector(c, dim) & (dot(v, v) > 0)
+
+
+def valid_embeddings(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    """df filtered to scorable vectors — the shared query-entry gate."""
+    return df.filter(scorable_vector(vec_col, dim))
 
 
 def cosine_topk(
@@ -96,11 +150,18 @@ def sign_bucket(vec_col: Column | str, bits: int = 8) -> Column:
 
     A fixed-projection stand-in for random hyperplanes (deterministic
     and cross-engine reproducible); bucket = Σ 2^i·[v_i > 0].
+
+    ``F.get`` (0-based, NULL past the end) rather than ``element_at``:
+    under ANSI mode element_at RAISES on out-of-bounds, so one
+    wrong-dimension hostile row would abort the whole scan even when a
+    validity gate sits in the same filter conjunction (Catalyst may
+    reorder predicates). get() never raises; a short vector's missing
+    dims contribute 0 and the row is dropped by the gate anyway.
     """
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     b = F.lit(0)
     for i in range(bits):
-        b = b + F.when(F.element_at(c, i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
+        b = b + F.when(F.get(c, i) > 0, F.lit(2**i)).otherwise(F.lit(0))
     return b.cast("int")
 
 
@@ -175,7 +236,9 @@ def multiprobe_bucket_set(
         F.array(
             *[
                 F.struct(
-                    F.abs(F.element_at(c, i + 1).cast("double")).alias("m"),
+                    # F.get: NULL past the end instead of an ANSI raise
+                    # (see sign_bucket) — gated queries never hit it
+                    F.abs(F.get(c, i).cast("double")).alias("m"),
                     F.lit(i).alias("i"),
                 )
                 for i in range(bits)
@@ -399,7 +462,12 @@ def cosine_topk_pandas(
         m = np.asarray([np.asarray(v, dtype="float64") for v in vecs])
         dots = m @ qv
         norms = np.sqrt((m * m).sum(axis=1))
-        return _pd.Series(dots / (norms * qn))
+        # zero-norm guard, mirroring the JVM cosine(): undefined
+        # cosine → NULL (masked NaN crosses Arrow as null), never a
+        # divide warning or a NaN leaking into top-k ordering
+        den = norms * qn
+        ok = den > 0  # False for 0 and for NaN dens alike
+        return _pd.Series(dots / np.where(ok, den, 1.0)).mask(~ok)
 
     out = embeddings.select(F.col(id_col), score(F.col(vec_col)).alias("score"))
     for ex in exclude_ids:

@@ -23,9 +23,11 @@ from analytics_etl_spark.operators.multimodal import binary_meta, synthesize_med
 from analytics_etl_spark.operators.similarity import (
     bucketed_cosine_topk_join,
     cosine_topk_join,
+    finite_vector,
     hyperplane_lsh_topk,
     multiprobe_cosine_topk,
     rademacher_planes,
+    valid_embeddings,
 )
 from analytics_etl_spark.operators.text_analysis import (
     chunk_documents,
@@ -255,26 +257,79 @@ def _query_frame(emb: DataFrame, vec_id: int = 0) -> DataFrame:
     return emb.filter(F.col("vec_id") == vec_id).select(F.col("embedding").alias("qv"))
 
 
+# --- embedding validity contract (r8, hostile-embeddings sweep) ---
+#
+# Every similarity/ANN query gates its corpus side to SCORABLE vectors
+# before any scoring: non-NULL, exactly _EMB_DIM components, every
+# component finite (non-NULL, non-NaN, non-±Inf), L2 norm > 0. A real
+# crawl-derived table contains all of those failure shapes, and each
+# one crashes or diverges some engine path if left in (ANSI element_at
+# raise, ragged numpy batch, DuckDB list_dot_product NULL-element
+# error, NaN ordering skew, ANSI float-cast aborts in the int8 path).
+# The SQL gate lives in a CTE-level WHERE so DuckDB structurally
+# filters the rows BEFORE any scoring expression can touch them
+# (conjunction order inside one WHERE is not guaranteed; a CTE
+# boundary with pushdown-to-scan is). The Spark gate is
+# similarity.scorable_vector — all non-raising expressions, so
+# Catalyst predicate reordering is safe. No-op on clean data.
+
+_EMB_DIM = 64
+
+
+def _finite_sql(col: str) -> str:
+    """DuckDB: vector non-NULL with every component non-NULL+finite."""
+    return (
+        f"({col} IS NOT NULL AND len(list_filter({col}, "
+        f"x -> x IS NOT NULL AND isfinite(x))) = len({col}))"
+    )
+
+
+def _scorable_sql(col: str, dim: int = _EMB_DIM) -> str:
+    """DuckDB mirror of similarity.scorable_vector. The norm check is
+    CASE-wrapped behind the finite check: DuckDB's list_dot_product
+    ERRORS on NULL elements, so it must be unreachable for them."""
+    return (
+        f"({_finite_sql(col)} AND len({col}) = {dim} AND "
+        f"CASE WHEN {_finite_sql(col)} THEN "
+        f"list_dot_product({col}::DOUBLE[], {col}::DOUBLE[]) > 0 "
+        f"ELSE FALSE END)"
+    )
+
+
+# gated-CTE corpus side shared by the top-k similarity oracles
+_EMB_SCORABLE_CTE = (
+    "e AS (SELECT vec_id, embedding FROM embeddings WHERE "
+    + _scorable_sql("embedding")
+    + ")"
+)
+
+# Zero-norm-guarded cosine (CASE mirror of similarity.cosine): pure
+# defense in depth after the scorable gate — post-gate both norms are
+# positive, so the guard never changes a value on gated rows.
 _COS_SQL = """
-    list_dot_product(e.embedding::DOUBLE[], q.qv)
-      / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
-             * list_dot_product(q.qv, q.qv))
+    CASE WHEN list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+              * list_dot_product(q.qv, q.qv) > 0
+         THEN list_dot_product(e.embedding::DOUBLE[], q.qv)
+              / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                     * list_dot_product(q.qv, q.qv))
+    END
 """
 
 
 @query(
     "similarity_topk_cosine",
     oracle=f"""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    {_EMB_SCORABLE_CTE}
     SELECT e.vec_id, {_COS_SQL} AS score
-    FROM embeddings e, q
+    FROM e, q
     WHERE e.vec_id <> 0
     ORDER BY score DESC, e.vec_id
     LIMIT 10
     """,
 )
 def similarity_topk_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     return cosine_topk_join(emb, _query_frame(emb, 0), k=10, exclude_ids=(0,))
 
 
@@ -289,16 +344,17 @@ def _bucket_sql(col: str, bits: int = 8) -> str:
     "similarity_ann_bucketed",
     oracle=f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql("embedding")} AS qb
-               FROM embeddings WHERE vec_id = 0)
+               FROM embeddings WHERE vec_id = 0),
+    {_EMB_SCORABLE_CTE}
     SELECT e.vec_id, {_COS_SQL} AS score
-    FROM embeddings e, q
+    FROM e, q
     WHERE e.vec_id <> 0 AND {_bucket_sql("e.embedding")} = q.qb
     ORDER BY score DESC, e.vec_id
     LIMIT 5
     """,
 )
 def similarity_ann_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     return bucketed_cosine_topk_join(
         emb, _query_frame(emb, 0), k=5, bits=8, exclude_ids=(0,)
     )
@@ -324,9 +380,10 @@ def _multiprobe_sql(bits: int = 8, n_probes: int = 4) -> str:
     oracle=f"""
     WITH q AS (SELECT embedding::DOUBLE[] AS qv, {_bucket_sql("embedding")} AS qb
                FROM embeddings WHERE vec_id = 0),
-    p AS ({_multiprobe_sql(8, 4)})
+    p AS ({_multiprobe_sql(8, 4)}),
+    {_EMB_SCORABLE_CTE}
     SELECT e.vec_id, {_COS_SQL.replace("q.qv", "p.qv")} AS score
-    FROM embeddings e, p
+    FROM e, p
     WHERE e.vec_id <> 0 AND list_contains(p.probes, {_bucket_sql("e.embedding")})
     ORDER BY score DESC, e.vec_id
     LIMIT 10
@@ -339,7 +396,7 @@ def similarity_ann_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     test data: top-10 neighbors at cosine ≈0.3) both are low —
     measured in tests/test_ann_recall.py; the multi-table hyperplane
     query below is the recall path."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     return multiprobe_cosine_topk(
         emb, _query_frame(emb, 0), k=10, bits=8, n_probes=4, exclude_ids=(0,)
     )
@@ -371,11 +428,14 @@ def _hyperplane_oracle(bits: int, tables: int, planes) -> str:
     return f"""
     WITH p AS (SELECT {pl} AS pl),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    {_EMB_SCORABLE_CTE},
     b AS (SELECT e.vec_id AS vec_id, e.embedding::DOUBLE[] AS ev, qv, pl
-          FROM embeddings e, q, p WHERE e.vec_id <> 0)
+          FROM e, q, p WHERE e.vec_id <> 0)
     SELECT vec_id,
-           list_dot_product(ev, qv)
-             / sqrt(list_dot_product(ev, ev) * list_dot_product(qv, qv)) AS score
+           CASE WHEN list_dot_product(ev, ev) * list_dot_product(qv, qv) > 0
+                THEN list_dot_product(ev, qv)
+                  / sqrt(list_dot_product(ev, ev) * list_dot_product(qv, qv))
+           END AS score
     FROM b WHERE {tables_match}
     ORDER BY score DESC, vec_id
     LIMIT 10
@@ -389,7 +449,7 @@ def similarity_ann_hyperplane_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured at sf0.01: recall@10 ≈ 0.72 scanning ≈ 1/3 of the table
     (tests/test_ann_recall.py) — on data whose true top-10 sits at
     cosine ≈0.3, where any LSH needs amplification to hit recall."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     return hyperplane_lsh_topk(
         emb,
         _query_frame(emb, 0),
@@ -536,14 +596,21 @@ def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_norms",
-    oracle="""
+    oracle=f"""
     SELECT vec_id, label,
            CAST(len(embedding) AS INT) AS dims,
-           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm
+           CASE WHEN {_finite_sql("embedding")}
+                THEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           END AS l2_norm
     FROM embeddings
     """,
 )
 def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table diagnostic — keeps EVERY row (it is how junk vectors
+    get FOUND), so the validity contract applies per column, not as a
+    row filter: dims reports the actual length (NULL for a NULL
+    vector), l2_norm is NULL unless the vector is finite (a zero
+    vector still reports norm 0.0 — well-defined)."""
     from analytics_etl_spark.operators.similarity import as_double_array, dot
 
     emb = t(spark, sf_dir, "embeddings")
@@ -552,7 +619,7 @@ def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.size("embedding").cast("int").alias("dims"),
-        F.sqrt(dot(e, e)).alias("l2_norm"),
+        F.when(finite_vector("embedding"), F.sqrt(dot(e, e))).alias("l2_norm"),
     )
 
 
@@ -567,6 +634,7 @@ def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       i -> struct_pack(pos := i, v := embedding[i]::DOUBLE))) AS u
         FROM embeddings
       )
+      WHERE u.v IS NOT NULL AND isfinite(u.v)
     )
     SELECT label, CAST(pos AS INT) AS pos,
            list_reduce(list(v ORDER BY v), (a, b) -> a + b) / COUNT(*) AS centroid_component
@@ -577,11 +645,27 @@ def embedding_norms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components. The float fold runs in SORTED
     value order on both engines — deterministic under any partitioning
-    (the scalable alternative to a partition-order-dependent SUM)."""
+    (the scalable alternative to a partition-order-dependent SUM).
+    NULL/NaN/±Inf COMPONENTS are excluded per component (one junk
+    component would otherwise poison its whole (label, pos) centroid
+    to NaN, and Spark's collect_list silently drops NULLs while
+    DuckDB's list() keeps them — a count-vs-fold divergence the
+    hostile sweep exposed); a zero vector's 0.0s still contribute."""
     emb = t(spark, sf_dir, "embeddings")
-    comp = emb.select(
-        "label", F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias("p0", "v")
-    ).select("label", (F.col("p0") + 1).cast("int").alias("pos"), "v")
+    comp = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.transform("embedding", lambda x: x.cast("double"))
+            ).alias("p0", "v"),
+        )
+        .select("label", (F.col("p0") + 1).cast("int").alias("pos"), "v")
+        .filter(
+            F.col("v").isNotNull()
+            & ~F.isnan("v")
+            & (F.abs("v") != F.lit(float("inf")))
+        )
+    )
     folded = F.aggregate(
         F.array_sort(F.collect_list("v")), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -593,10 +677,13 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "top_similar_pairs",
     oracle=f"""
-    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                 WHERE vec_id < 200 AND {_scorable_sql("embedding")})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           list_dot_product(a.e, b.e)
-             / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS score
+           CASE WHEN list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e) > 0
+                THEN list_dot_product(a.e, b.e)
+                  / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e))
+           END AS score
     FROM sub a JOIN sub b ON a.vec_id < b.vec_id
     ORDER BY score DESC, vec_a, vec_b
     LIMIT 20
@@ -607,7 +694,9 @@ def top_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates feed at scale), top-20."""
     from analytics_etl_spark.operators.similarity import as_double_array, cosine
 
-    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = valid_embeddings(
+        t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200), dim=_EMB_DIM
+    )
     a = emb.select(F.col("vec_id").alias("vec_a"), as_double_array("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), as_double_array("embedding").alias("eb"))
     return (
@@ -646,7 +735,7 @@ def docs_stats_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                       {_bucket_sql("embedding")} AS bucket
-               FROM embeddings)
+               FROM embeddings WHERE {_scorable_sql("embedding")})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_dot_product(a.v, b.v)
              / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS score
@@ -659,10 +748,12 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-bucket LSH candidates → exact
     cosine ≥ 0.3. The same candidate-then-verify shape as MinHash-LSH,
     over vectors: candidate pairs only ever form within a bucket
-    (1/2^bits of the all-pairs space)."""
+    (1/2^bits of the all-pairs space). Corpus gated to scorable
+    vectors (the per-table gate pushes to the scans, so the join and
+    its cosine only ever see valid rows — in both engines)."""
     from analytics_etl_spark.operators.similarity import as_double_array, cosine, sign_bucket
 
-    emb = t(spark, sf_dir, "embeddings").select(
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM).select(
         "vec_id",
         as_double_array("embedding").alias("v"),
         sign_bucket("embedding", 8).alias("bucket"),
@@ -794,7 +885,10 @@ def similarity_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning."""
     from analytics_etl_spark.operators.ivf import ivf_topk, kmeans_centroids
 
-    emb = t(spark, sf_dir, "embeddings")
+    # gate BEFORE training: one NaN component would poison every
+    # centroid mean it touches (same scorable-vector contract as the
+    # rest of the family)
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     # training scan bounded to half the corpus (deterministic
     # md5-threshold sample; see kmeans_centroids) — the index-build
     # budget knob that matters at 100 TB
@@ -1234,8 +1328,9 @@ def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_topk_int8",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_scorable_sql("embedding")}),
     s AS (
       SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
@@ -1269,7 +1364,7 @@ def similarity_topk_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     score)."""
     from analytics_etl_spark.operators.similarity import int8_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     return int8_topk(emb, _query_frame(emb, 0), k=10, exclude_ids=(0,))
 
 
@@ -1388,7 +1483,10 @@ def _rp_oracle(d_out: int = 16, dim: int = 64) -> str:
         + f"]::DOUBLE[]) AS p{i}"
         for i, plane in enumerate(planes)
     )
-    return f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+    return (
+        f"SELECT vec_id,\n           {cols}\n    FROM embeddings"
+        f"\n    WHERE {_scorable_sql('embedding', dim)}"
+    )
 
 
 _CORPUS_BUILD_ORACLE = f"""
@@ -1789,8 +1887,9 @@ def text_tfidf_topterms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "similarity_topk_rerank",
-    oracle="""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE {_scorable_sql("embedding")}),
     s AS (
       SELECT vec_id, v,
              list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc
@@ -1833,7 +1932,7 @@ def similarity_topk_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank pipelines the WHOLE composition hash-matches."""
     from analytics_etl_spark.operators.similarity import int8_rerank_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     return int8_rerank_topk(
         emb, _query_frame(emb, 0), k=10, shortlist=50, exclude_ids=(0,)
     )
@@ -1849,7 +1948,10 @@ def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame
     left-fold order Spark's F.aggregate and DuckDB's list_dot_product
     share — so even this float-valued op is oracle-checked EXACTLY.
     Pure projection: zero shuffle, codegen-friendly, and the output is
-    a drop-in `embedding` for every ANN operator in the engine."""
+    a drop-in `embedding` for every ANN operator in the engine.
+    Gated to scorable vectors — junk rows are dropped, not projected
+    (a projection of a NULL/ragged vector has no defined value and
+    DuckDB's list_dot_product errors on length mismatch)."""
     from analytics_etl_spark.operators.similarity import (
         as_double_array,
         dot,
@@ -1857,7 +1959,7 @@ def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     planes = rademacher_planes(64, 16, tables=1, seed=11)[0]
-    emb = t(spark, sf_dir, "embeddings")
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     v = as_double_array("embedding")
     return emb.select(
         "vec_id",

@@ -61,16 +61,19 @@ def _ref_bpe(wc: dict[str, int], num_merges: int, min_count: int = 2):
         if not cands:
             break
         # max count; ties broken by lexicographically SMALLEST pair —
-        # the engine's (desc cnt, asc left, asc right) order
-        c, a, b = max(cands, key=lambda t: (t[0], _neg(t[1]), _neg(t[2])))
+        # the engine's (desc cnt, asc left, asc right) order. min()
+        # over the natural string order among max-count candidates
+        # (ADVICE r7: a negated-ordinal-tuple max() mis-ordered
+        # prefix-string ties — 'a' vs 'ab' — because the shorter tuple
+        # compares SMALLER when it is a prefix, picking the longer
+        # string where the engine's asc order picks the shorter)
+        top = max(c for c, _, _ in cands)
+        c, a, b = min(
+            (t for t in cands if t[0] == top), key=lambda t: (t[1], t[2])
+        )
         seqs = {w: _ref_merge(s, a, b) for w, s in seqs.items()}
         merges.append((rank, a, b, c))
     return merges, seqs
-
-
-def _neg(s: str):
-    # invert string order so max() picks the lexicographically smallest
-    return tuple(-ord(ch) for ch in s)
 
 
 def test_exact_mode_matches_reference(spark):
@@ -144,3 +147,25 @@ def test_bpe_is_jvm_pure(spark):
     plan = buf.getvalue()
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_exact_mode_prefix_string_tie_break(spark):
+    """Regression (ADVICE r7): when tied-count candidate pairs contain
+    prefix strings ('a' vs 'ab' as the left symbol), the engine's
+    (desc cnt, asc left, asc right) order must pick the SHORTER string
+    first — the old negated-ordinal reference helper picked the longer
+    one. This corpus forces exactly that tie at merge rank 1."""
+    texts = ["a abab aabb bab aa"]
+    docs = _docs(spark, texts)
+    wc = {r["word"]: r["n"] for r in word_counts(docs).collect()}
+    want_merges, want_seqs = _ref_bpe(wc, num_merges=3)
+    # rank 1 is the prefix tie: ('a','</w>') over ('ab','</w>'), both count 2
+    assert want_merges[1][1:3] == ("a", "</w>")
+
+    got = learn_bpe_merges(docs, num_merges=3, merges_per_round=1)
+    assert got == want_merges
+    toks = {
+        r["word"]: tuple(r["tokens"])
+        for r in apply_bpe(word_counts(docs), got).collect()
+    }
+    assert toks == want_seqs

@@ -422,3 +422,78 @@ def test_substring_spans_persisted_parity_and_narrow_scan(spark, tmp_path):
         import pytest
 
         pytest.fail("span_hashes ReadSchema not found")
+
+
+def test_scorable_vector_gate_and_guarded_cosine(spark):
+    """The r8 hostile-embeddings contract: scorable_vector admits only
+    non-NULL, right-dimension, all-finite, positive-norm vectors; the
+    guarded cosine NULLs (never NaNs) a zero-norm score; and the
+    Arrow/pandas scoring path survives — and masks — the same junk."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.similarity import (
+        as_double_array,
+        cosine,
+        cosine_topk_pandas,
+        scorable_vector,
+        valid_embeddings,
+    )
+
+    inf, nan = float("inf"), float("nan")
+    rows = [
+        (0, [1.0, 2.0, 2.0]),        # valid
+        (1, [0.0, 0.0, 0.0]),        # zero norm
+        (2, None),                   # NULL vector
+        (3, [1.0, None, 1.0]),       # NULL component
+        (4, [1.0, nan, 1.0]),        # NaN component
+        (5, [1.0, inf, 1.0]),        # +Inf component
+        (6, [1.0, -inf, 1.0]),       # -Inf component
+        (7, [1.0, 1.0]),             # too short
+        (8, [1.0, 1.0, 1.0, 1.0]),   # too long
+        (9, [3.0, 0.0, 4.0]),        # valid
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in valid_embeddings(emb, dim=3).select("vec_id").collect()
+    }
+    assert kept == {0, 9}
+
+    # guarded cosine: zero-norm -> NULL (not NaN, not an ANSI abort)
+    q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
+    scored = emb.filter(F.col("vec_id").isin(0, 1)).select(
+        "vec_id", cosine(as_double_array("embedding"), q).alias("s")
+    )
+    got = {r["vec_id"]: r["s"] for r in scored.collect()}
+    assert got[1] is None
+    assert abs(got[0] - 1.0 / 3.0) < 1e-12
+
+    # pandas path: same masking (needs non-ragged input: gate + known
+    # dim first, as every registered query does)
+    pdf = cosine_topk_pandas(
+        emb.filter(F.col("vec_id").isin(0, 1, 9)), [1.0, 0.0, 0.0], k=3
+    ).collect()
+    by_id = {r["vec_id"]: r["score"] for r in pdf}
+    assert by_id[1] is None
+    assert abs(by_id[9] - 0.6) < 1e-12
+
+
+def test_sign_bucket_never_raises_on_short_vectors(spark):
+    """sign_bucket uses get() (NULL past the end), so a ragged hostile
+    vector cannot abort the scan under ANSI even if Catalyst evaluates
+    the bucket expression before the validity gate."""
+    from analytics_etl_spark.operators.similarity import sign_bucket
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -1.0]), (1, [float("nan")] * 2), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id", sign_bucket("embedding", 8).alias("b")
+        ).collect()
+    }
+    # missing dims contribute 0; NaN > 0 follows Spark's NaN-largest
+    # rule in BOTH engines (gated rows never reach scoring anyway)
+    assert got[0] == 1 and got[2] == 0

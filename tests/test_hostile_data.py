@@ -52,6 +52,18 @@ SUBSET = [
     "math_functions_pack",
     "cheapest_supplier_per_part",
     "pricing_summary",
+    # the embedding-side classes (r8): zero-norm cosine, NULL/NaN/Inf
+    # components, ragged dims — every family member with a distinct
+    # formulation (plain top-k, bucketed ANSI element_at path, Arrow
+    # matmul kernel, int8 quantize, full-table per-column contracts)
+    "similarity_topk_cosine",
+    "similarity_ann_bucketed",
+    "similarity_ann_hyperplane",
+    "similarity_topk_int8",
+    "embedding_norms",
+    "embedding_centroids",
+    "dedup_embedding_cosine",
+    "embedding_random_projection",
 ]
 
 

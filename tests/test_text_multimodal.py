@@ -203,3 +203,51 @@ def test_byte_histogram_counts_and_guards(spark):
     assert all(got[(3, b)] == 16 for b in range(16))
     with pytest.raises(ValueError):
         byte_histogram(df, bins=100)
+
+
+def test_media_kernels_survive_empty_and_null_payloads(spark):
+    """r8 hostile-media contract: every mapInPandas media kernel must
+    survive NULL and zero-length payloads (np.frombuffer on an empty
+    buffer, len(None), modulo-by-zero in the stub decoders) — one
+    corrupt upload must never abort a 100 TB feature pass."""
+    from pyspark.sql import Row
+
+    from analytics_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        byte_histogram,
+        extract_features,
+        resize_images,
+        sample_frames,
+    )
+
+    meta = {"width": 1, "height": 1, "duration_ms": 1, "mime": "x"}
+    rows = [
+        Row(media_id=1, kind="image", payload=b"abc", meta=Row(**meta)),
+        Row(media_id=2, kind="image", payload=b"", meta=Row(**meta)),
+        Row(media_id=3, kind="video", payload=None, meta=Row(**meta)),
+        Row(media_id=4, kind="audio", payload=b"\x00", meta=Row(**meta)),
+        Row(media_id=5, kind="video", payload=b"z" * 130, meta=Row(**meta)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5}
+    assert feats[2]["n_bytes"] == 0 and len(feats[2]["feature"]) == 8
+    assert feats[3]["n_bytes"] == 0  # NULL payload treated as empty
+
+    resized = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert set(resized) == {1, 2}
+    assert len(resized[2]["payload"]) == 4  # empty in, fixed-size out
+
+    frames = sample_frames(df, every_n_bytes=64, max_frames=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # NULL-payload video yields one empty frame; 130 bytes at a
+    # 64-byte stride yields floor(130/64) = 2 frames
+    assert len(by_media[3]) == 1 and by_media[3][0]["frame"] == b""
+    assert len(by_media[5]) == 2
+
+    hist = byte_histogram(df, bins=16).collect()
+    ids = {r["media_id"] for r in hist}
+    assert ids == {1, 4, 5}  # empty/NULL payloads contribute nothing

@@ -24,8 +24,12 @@ malformed JSON aborting parse_json on one side and ->> on the other;
 DuckDB's TRY_CAST(NaN AS DECIMAL) raising instead of NULLing; and
 Spark's floor(double) SATURATING to Long.MIN on huge values where
 DuckDB floors to double — every one now pinned by an explicit
-contract in both formulations. All other tables are symlinked
-unchanged.
+contract in both formulations. Round 8 added HOSTILE_EMBEDDINGS
+(zero-norm, NULL vector/component, NaN/±Inf components, wrong
+dimension, NULL label) — the one table the r7 sweep symlinked clean;
+the similarity/ANN family now admits only scorable vectors (see the
+validity contract in queries/llm.py). Remaining dimension tables are
+symlinked unchanged.
 
 Usage:
     python tools/hostile_data.py [out_dir] [src_sf_dir]   # build
@@ -99,9 +103,35 @@ HOSTILE_LINEITEM_SQL = """
     (99106, 3, 3, 1, -5.0, -100.0, 1.5, 0.02, 'N', 'O', TIMESTAMP '1996-06-20')
 """
 
+# Hostile embeddings (r8, VERDICT r7 lead item): every junk-vector
+# shape a crawl-derived embedding table accumulates — zero-norm rows
+# (failed encoder calls), NULL vectors and NULL components (schema
+# drift), NaN/±Inf components (overflowed float16 exports), wrong
+# dimensions (model-version mixes), and a NULL label. First run
+# found: unguarded cosine 0.0/0.0 → NaN, ANSI element_at aborting
+# sign_bucket on short vectors, ragged numpy batches crashing the
+# hyperplane kernel, DuckDB list_dot_product erroring on NULL
+# elements, Spark collect_list-vs-DuckDB list() NULL-element drift in
+# the centroid fold, and the int8 path's floor(NaN) saturation vs
+# DuckDB CAST(NaN) raise — all now pinned by the scorable-vector
+# gate + per-column contracts in queries/llm.py.
+_DIM = 64
+HOSTILE_EMBEDDINGS = [
+    # (vec_id, embedding, label)
+    (9101, [0.0] * _DIM, 0),                                  # zero-norm
+    (9102, None, 1),                                          # NULL vector
+    (9103, [0.25] * 32 + [None] + [0.25] * 31, 0),            # NULL component
+    (9104, [0.25] * 16 + [float("nan")] + [0.25] * 47, 1),    # NaN component
+    (9105, [0.25] * 8 + [float("inf")] + [0.25] * 55, 0),     # +Inf component
+    (9106, [0.25] * 4 + [float("-inf")] + [0.25] * 59, 1),    # -Inf component
+    (9107, [1.0, -2.0], 0),                                   # too short
+    (9108, [], 1),                                            # empty vector
+    (9109, [0.5] * (_DIM + 8), 0),                            # too long
+    (9110, [0.125] * _DIM, None),                             # NULL label
+]
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "embeddings",
 ]
 
 
@@ -141,6 +171,23 @@ def build(out_dir: str, src_dir: str = "/root/testdata/sf0.001") -> str:
     pq.write_table(
         pa.concat_tables([t.replace_schema_metadata(None), extra]),
         os.path.join(out_dir, "events.parquet"),
+    )
+
+    # embeddings appended via pyarrow so the list<float> element type
+    # (and the NaN/Inf payloads SQL literals can't spell portably)
+    # survive exactly
+    et = pq.read_table(os.path.join(src_dir, "embeddings.parquet"))
+    extra_e = pa.table(
+        {
+            "vec_id": [r[0] for r in HOSTILE_EMBEDDINGS],
+            "embedding": [r[1] for r in HOSTILE_EMBEDDINGS],
+            "label": [r[2] for r in HOSTILE_EMBEDDINGS],
+        },
+        schema=pa.schema([f.remove_metadata() for f in et.schema]),
+    )
+    pq.write_table(
+        pa.concat_tables([et.replace_schema_metadata(None), extra_e]),
+        os.path.join(out_dir, "embeddings.parquet"),
     )
 
     con = duckdb.connect()
