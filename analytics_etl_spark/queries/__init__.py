@@ -63,58 +63,54 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-7 rotation (output of tools/rotate_window.py): the 29 queries
-# with no USABLE driver row — the 25 never-windowed (mostly r6
-# additions: simhash, triangles, intervals, BM25, DSIR, novelty,
-# percentile gate, search family), the 3 r6 `err` retries
-# (array_functions_pack, map_event_type_counts, packed_examples — now
-# scalar-projected per the r6 driver-canonicalizer lesson; the tool
-# treats err rows as unchecked), and this round's new
-# dedup_bloom_prescreen — then 11 r2-stale fills (shipping_priority,
-# alphabetically last of the r2 set, rotates out with its r2 row
-# standing). After this round EVERY oracle-paired query has at least
-# one driver row.
+# Round-9 rotation (output of tools/rotate_window.py, the steady-state
+# least-recently-checked policy finally exercised after r8 reused the
+# r7 window verbatim): the 40 stalest oracle-paired non-core queries —
+# the 7 remaining r2-row holders (shipping_priority et al.), then the
+# r4 cohort (17), then the alphabetically-first r5 fills. Every name
+# below last earned a driver row in r2/r4/r5; the r7/r8 window members
+# all rotate out with fresh green rows standing.
 ROTATION: tuple[str, ...] = (
-    "array_functions_pack",
-    "copurchase_triangles",
-    "dedup_bloom_prescreen",
-    "dedup_simhash",
-    "dedup_substring_stride",
-    "dsir_importance_topk",
-    "ingest_novelty_score",
-    "interval_overlap_events",
-    "map_event_type_counts",
-    "multimodal_byte_histogram",
-    "packed_examples",
-    "quality_percentile_gate",
-    "shipmode_priority_counts",
-    "similarity_topk_rerank",
-    "skew_key_census",
-    "sliding_window_agg",
-    "small_quantity_revenue",
-    "sole_late_supplier",
-    "supplier_pagerank",
-    "table_diff_reconciliation",
-    "table_profile_orders",
-    "temperature_mix_rates",
-    "text_search_bm25",
-    "text_search_conjunctive",
-    "text_search_phrase",
-    "text_tfidf_topterms",
-    "top_supplier_revenue",
-    "value_twap",
-    "wealthy_inactive_customers",
-    "avg_stats_per_nation",
-    "cohort_retention",
-    "conditional_pack",
-    "date_arithmetic_pack",
-    "distinct_customers",
-    "gap_fill_locf",
-    "hourly_histogram",
-    "math_functions_pack",
-    "priority_share_per_nation",
-    "set_except_customers",
-    "set_intersect_customers",
+    "shipping_priority",
+    "sql_api_revenue_by_status",
+    "string_functions_pack",
+    "time_bucket_15min",
+    "tumbling_window_agg",
+    "unpivot_event_counts",
+    "window_running_revenue",
+    "asof_join_last_click",
+    "corpus_filter_pipeline",
+    "corpus_frequency_score",
+    "docs_balanced_topn",
+    "docs_chunked_overlap",
+    "docs_stats_by_lang",
+    "embedding_centroids",
+    "funnel_conversion",
+    "grouping_sets_revenue",
+    "pricing_summary",
+    "quantiles_exact",
+    "rollup_revenue",
+    "sessionize_events",
+    "text_langid",
+    "text_pii_redact",
+    "text_repetition_metrics",
+    "top_similar_pairs",
+    "anti_join_inactive_customers",
+    "benchmark_contamination",
+    "broadcast_join_enrich",
+    "cents_to_dollars",
+    "corpus_build_pipeline",
+    "cube_counts",
+    "dataset_split",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental_batch",
+    "dedup_ngram_jaccard",
+    "dim_scan",
+    "doc_fingerprint_winnow",
+    "docs_stratified_sample",
+    "embedding_norms",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

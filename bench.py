@@ -711,17 +711,31 @@ def main() -> None:
         print(f"# {name}: median {timings[name]:.3f}s {spread} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    # Truncation-proof per-query record (VERDICT r8 item 3): the
+    # driver's stdout-tail capture has repeatedly cut the HEAD of the
+    # full line above (62/76 entries survived in BENCH_r08), hiding
+    # regressions in alphabetically-early queries. Write the complete
+    # map to a committed file so the judge can diff ALL timings
+    # round-over-round regardless of any stdout tail budget. The file
+    # is overwritten per run; the end-of-round snapshot commit
+    # preserves the driver's sf0.1 run.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
         )
-    )
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as e:  # never let the artifact write kill the bench
+        print(f"# BENCH_FULL_latest.json write failed: {e}", file=sys.stderr)
     # Compact summary as the LAST stdout line: the full line above
     # carries the per-query map and grows with the suite (~71 entries by
     # r6), and the driver's stdout-tail capture truncated its HEAD in
