@@ -218,7 +218,7 @@ def merge_sketch_batch(
     _merge_swap_table(batch_df.sparkSession, sketch_path, fresh, union_sketches)
 
 
-def _merge_swap_table(spark, path: str, fresh: DataFrame, merge_fn) -> None:
+def _merge_swap_table(spark, path: str, fresh: DataFrame, merge_fn, finalize_tmp=None) -> None:
     """The shared read-stored → merge → temp-write → swap skeleton for
     incrementally maintained side tables (HLL sketches, corpus bloom).
     One implementation so a future change to the recovery protocol or
@@ -226,7 +226,13 @@ def _merge_swap_table(spark, path: str, fresh: DataFrame, merge_fn) -> None:
     maintained tables: entry recovery of an interrupted swap, read the
     stored table (a missing/empty path means first batch — the merged
     table IS the fresh one), ``merge_fn(stored)`` → merged, write to
-    ``path + '.tmp'``, crash-safe swap in."""
+    ``path + '.tmp'``, crash-safe swap in.
+
+    ``finalize_tmp(tmp_path)``, if given, runs after the merged table
+    is written but BEFORE the swap — sidecar files written into the
+    tmp directory (the bloom param sidecar) therefore move in
+    atomically with the data they describe; a crash before the swap
+    discards data + sidecar together, never one without the other."""
     from pyspark.errors import AnalysisException
 
     _recover_interrupted_swap(path)
@@ -238,7 +244,10 @@ def _merge_swap_table(spark, path: str, fresh: DataFrame, merge_fn) -> None:
         ):
             raise
         merged = fresh
-    merged.write.mode("overwrite").parquet(path.rstrip("/") + ".tmp")
+    tmp = path.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if finalize_tmp is not None:
+        finalize_tmp(tmp)
     _crash_safe_swap_in(path)
 
 
@@ -269,15 +278,40 @@ def merge_bloom_batch(
     Same temp-write + crash-safe swap + entry recovery as the sketch
     table (the bloom IS reconstructible from raw corpus keys, but a
     rebuild is a corpus-priced scan — the recovery keeps it
-    batch-priced)."""
-    from analytics_etl_spark.operators.bloom import bloom_build, bloom_merge
+    batch-priced).
 
+    Param safety (ADVICE r8): the sparse (word_idx, bits) table is
+    parameter-blind, and OR-merging blooms built with different
+    (num_bits, num_hashes) silently yields FALSE NEGATIVES — the one
+    error this module forbids. So: ``check_bloom_meta`` fails loud at
+    entry if the stored table declares different params (or none —
+    an unstamped table's params are unknowable), and the merged table
+    is re-stamped with its ``_bloom_meta.json`` sidecar INSIDE the
+    crash-safe swap (written into the tmp directory, so the sidecar
+    moves in atomically with the bits it describes)."""
+    import os
+
+    from analytics_etl_spark.operators.bloom import (
+        BLOOM_META_FILE,
+        bloom_build,
+        bloom_merge,
+        bloom_meta_json,
+        check_bloom_meta,
+    )
+
+    check_bloom_meta(bloom_path, num_bits, num_hashes)
     fresh = bloom_build(batch_df, key_col, num_bits, num_hashes)
+
+    def _stamp(tmp_path: str) -> None:
+        with open(os.path.join(tmp_path, BLOOM_META_FILE), "w") as f:
+            f.write(bloom_meta_json(num_bits, num_hashes))
+
     _merge_swap_table(
         batch_df.sparkSession,
         bloom_path,
         fresh,
         lambda stored: bloom_merge(stored, fresh),
+        finalize_tmp=_stamp,
     )
 
 

@@ -251,7 +251,7 @@ def _setup_bloom(spark, sf_dir: str) -> None:
     each. At a real site the bloom is UPDATED per batch via
     bloom_merge (bit_or), not rebuilt."""
     global _BLOOM_PATH, _CORPUS_SPANS_PATH
-    from analytics_etl_spark.operators.bloom import bloom_build
+    from analytics_etl_spark.operators.bloom import bloom_build, write_bloom
     from pyspark.sql import functions as F
 
     base = tempfile.mkdtemp(prefix="aes_bench_bloom_")
@@ -263,9 +263,11 @@ def _setup_bloom(spark, sf_dir: str) -> None:
         .select(F.explode("span_hashes").alias("span_hash"))
     )
     spans.distinct().write.mode("overwrite").parquet(_CORPUS_SPANS_PATH)
-    bloom_build(spans, "span_hash", num_bits=1 << 21).write.mode(
-        "overwrite"
-    ).parquet(_BLOOM_PATH)
+    write_bloom(
+        bloom_build(spans, "span_hash", num_bits=1 << 21),
+        _BLOOM_PATH,
+        num_bits=1 << 21,
+    )
 
 
 def _bloom_batch_spans(spark):
@@ -284,14 +286,20 @@ def _dedup_bloom_probe_persisted(spark, sf_dir: str):
     the sketch (no false negatives), exact-verify only the maybe-set
     against the persisted corpus key table — the per-batch ingest
     cost once the bloom is an ingest artifact."""
-    from analytics_etl_spark.operators.bloom import bloom_prescreened_new_keys
+    from analytics_etl_spark.operators.bloom import (
+        bloom_prescreened_new_keys,
+        read_bloom,
+    )
 
     return bloom_prescreened_new_keys(
         spark.read.parquet(_CORPUS_SPANS_PATH),
         _bloom_batch_spans(spark),
         "span_hash",
         num_bits=1 << 21,
-        bloom=spark.read.parquet(_BLOOM_PATH),
+        # read_bloom, not a bare parquet read: the sidecar check is what
+        # guarantees the probe params match the build params (a mismatch
+        # here is a silent false negative)
+        bloom=read_bloom(spark, _BLOOM_PATH, num_bits=1 << 21),
         # the design case holds here (maybe-set ~15% of a batch that is
         # itself corpus-fraction-sized): verify scans the corpus key
         # table without exchanging it

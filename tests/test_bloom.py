@@ -238,3 +238,113 @@ def test_bloom_family_is_jvm_pure(spark):
         plan = buf.getvalue()
         for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert node not in plan
+
+
+def test_bloom_param_sidecar_roundtrip_and_mismatch(spark, tmp_path):
+    """The param sidecar contract (ADVICE r8): write_bloom stamps
+    _bloom_meta.json; read_bloom with matching params returns the
+    exact table; read_bloom (and check_bloom_meta) with MISMATCHED
+    params raises — OR-merging or probing across configs is the silent
+    false negative this module forbids."""
+    import os
+
+    from analytics_etl_spark.operators.bloom import (
+        BLOOM_META_FILE,
+        check_bloom_meta,
+        read_bloom,
+        write_bloom,
+    )
+
+    path = str(tmp_path / "bloom")
+    bloom = bloom_build(_keys(spark, 0, 300), "k", BITS)
+    write_bloom(bloom, path, num_bits=BITS)
+    assert os.path.exists(os.path.join(path, BLOOM_META_FILE))
+
+    got = {(r["word_idx"], r["bits"]) for r in read_bloom(spark, path, BITS).collect()}
+    want = {(r["word_idx"], r["bits"]) for r in bloom.collect()}
+    assert got == want and got
+
+    # wrong num_bits and wrong num_hashes both fail loud
+    with pytest.raises(ValueError, match="param mismatch"):
+        read_bloom(spark, path, num_bits=BITS * 2)
+    with pytest.raises(ValueError, match="param mismatch"):
+        check_bloom_meta(path, BITS, num_hashes=7)
+    # missing table is a clean FileNotFoundError, not a sidecar error
+    with pytest.raises(FileNotFoundError):
+        read_bloom(spark, str(tmp_path / "nope"), BITS)
+
+
+def test_bloom_sidecar_missing_rejected(spark, tmp_path):
+    """A bare .write.parquet bloom (no sidecar) must be REJECTED by
+    read_bloom/check_bloom_meta: its params are unknowable, so probing
+    it is a config-drift false negative waiting to happen."""
+    from analytics_etl_spark.operators.bloom import check_bloom_meta, read_bloom
+
+    path = str(tmp_path / "bare")
+    bloom_build(_keys(spark, 0, 100), "k", BITS).write.parquet(path)
+    with pytest.raises(ValueError, match="no _bloom_meta.json sidecar"):
+        read_bloom(spark, path, BITS)
+    with pytest.raises(ValueError, match="no _bloom_meta.json sidecar"):
+        check_bloom_meta(path, BITS, 4)
+    # a nonexistent path passes (the caller is about to create it)
+    check_bloom_meta(str(tmp_path / "new"), BITS, 4)
+
+
+def test_merge_bloom_batch_stamps_and_enforces_sidecar(spark, tmp_path):
+    """Streaming maintenance end of the same contract: every table
+    merge_bloom_batch maintains carries the sidecar (stamped inside
+    the crash-safe swap, so it survives every merge), a param change
+    against an existing table raises BEFORE any bits are OR-ed, and a
+    write_bloom-stamped table keeps its sidecar through a merge."""
+    import json
+    import os
+
+    from analytics_etl_spark.operators.bloom import BLOOM_META_FILE, write_bloom
+    from analytics_etl_spark.streaming.ingest import merge_bloom_batch
+
+    path = str(tmp_path / "bloom")
+    merge_bloom_batch(_keys(spark, 0, 200), 0, path, "k", num_bits=BITS)
+    meta = json.load(open(os.path.join(path, BLOOM_META_FILE)))
+    assert meta == {"num_bits": BITS, "num_hashes": 4}
+
+    # second merge keeps the sidecar; mismatched params fail loud first
+    merge_bloom_batch(_keys(spark, 200, 400), 1, path, "k", num_bits=BITS)
+    assert os.path.exists(os.path.join(path, BLOOM_META_FILE))
+    with pytest.raises(ValueError, match="param mismatch"):
+        merge_bloom_batch(_keys(spark, 400, 500), 2, path, "k", num_bits=BITS * 2)
+    with pytest.raises(ValueError, match="param mismatch"):
+        merge_bloom_batch(
+            _keys(spark, 400, 500), 2, path, "k", num_bits=BITS, num_hashes=2
+        )
+
+    # a write_bloom table merges cleanly and retains the stamp
+    path2 = str(tmp_path / "bloom2")
+    write_bloom(bloom_build(_keys(spark, 0, 100), "k", BITS), path2, num_bits=BITS)
+    merge_bloom_batch(_keys(spark, 100, 200), 0, path2, "k", num_bits=BITS)
+    meta2 = json.load(open(os.path.join(path2, BLOOM_META_FILE)))
+    assert meta2 == {"num_bits": BITS, "num_hashes": 4}
+    # and the merged bits equal the one-shot build (sidecar changed nothing)
+    got = {(r["word_idx"], r["bits"]) for r in spark.read.parquet(path2).collect()}
+    want = {
+        (r["word_idx"], r["bits"])
+        for r in bloom_build(_keys(spark, 0, 200), "k", BITS).collect()
+    }
+    assert got == want
+
+
+def test_prescreen_cache_handles_unpersist(spark):
+    """The cache_handles hook (ADVICE r7/r8): a long-lived caller
+    passes a list, receives the internally persisted probe frame,
+    and can unpersist it once the result is consumed — leaving no
+    accumulated batch caches to evict deliberately cached artifacts."""
+    corpus, batch = _keys(spark, 0, 500), _keys(spark, 250, 750)
+    handles: list = []
+    novel = bloom_prescreened_new_keys(
+        corpus, batch, "k", num_bits=BITS, cache_handles=handles
+    )
+    assert novel.count() == 250  # result consumed (== plain anti join)
+    assert len(handles) == 1
+    assert handles[0].storageLevel.useMemory  # persisted while in use
+    for h in handles:
+        h.unpersist(blocking=True)
+    assert not handles[0].storageLevel.useMemory  # storage level cleared
