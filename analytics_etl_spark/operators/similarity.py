@@ -46,9 +46,18 @@ def cosine(a: Column, b: Column) -> Column:
     unscorable vectors up front via ``scorable_vector`` (NULL / wrong
     dim / non-finite component / zero norm), so post-gate this guard
     is pure defense in depth and a no-op on clean data.
+
+    NaN norms are also NULLed (ADVICE r8): ``NaN > 0`` is TRUE in both
+    Spark and DuckDB, so a bare ``> 0`` guard would pass a NaN norm
+    through and return NaN — while the pandas scoring path
+    (``cosine_topk_pandas``) masks NaN denominators to NULL (numpy
+    ``NaN > 0`` is False). The extra ``~isnan`` keeps the two scoring
+    paths bit-identical for UNGATED callers too. Post-gate it is
+    unreachable (``finite_vector`` already rejects NaN components), so
+    the registered oracles' ``CASE WHEN n2 > 0`` mirror stays exact.
     """
     n2 = dot(a, a) * dot(b, b)
-    return F.when(n2 > 0, dot(a, b) / F.sqrt(n2))
+    return F.when((n2 > 0) & ~F.isnan(n2), dot(a, b) / F.sqrt(n2))
 
 
 def finite_vector(col: Column | str, dim: int | None = None) -> Column:

@@ -459,13 +459,18 @@ def test_scorable_vector_gate_and_guarded_cosine(spark):
     }
     assert kept == {0, 9}
 
-    # guarded cosine: zero-norm -> NULL (not NaN, not an ANSI abort)
+    # guarded cosine: zero-norm -> NULL (not NaN, not an ANSI abort),
+    # and a NaN norm ALSO NULLs (ADVICE r8: NaN > 0 is true in Spark,
+    # so the bare > 0 guard used to leak NaN scores from ungated
+    # callers while the pandas path masked them — the two scoring
+    # paths must agree bit for bit)
     q = F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))
-    scored = emb.filter(F.col("vec_id").isin(0, 1)).select(
+    scored = emb.filter(F.col("vec_id").isin(0, 1, 4)).select(
         "vec_id", cosine(as_double_array("embedding"), q).alias("s")
     )
     got = {r["vec_id"]: r["s"] for r in scored.collect()}
     assert got[1] is None
+    assert got[4] is None  # NaN component -> NaN norm -> NULL, not NaN
     assert abs(got[0] - 1.0 / 3.0) < 1e-12
 
     # pandas path: same masking (needs non-ragged input: gate + known

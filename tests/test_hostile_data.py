@@ -64,6 +64,13 @@ SUBSET = [
     "embedding_centroids",
     "dedup_embedding_cosine",
     "embedding_random_projection",
+    # ADVICE r8: the remaining gated members whose formulations can
+    # fail independently on junk vectors — multiprobe neighbor-bucket
+    # expansion, quantize-then-rerank two-phase scoring, and the
+    # kmeans/IVF assignment path
+    "similarity_ann_multiprobe",
+    "similarity_topk_rerank",
+    "similarity_ann_ivf",
 ]
 
 
