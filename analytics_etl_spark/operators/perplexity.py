@@ -1,0 +1,297 @@
+"""CCNet-style n-gram LM perplexity gate — exact fixed-point, JVM-pure.
+
+The standard quality stage next to DSIR importance weighting
+(queries/llm.py `dsir_importance_topk`): train a small n-gram language
+model on a trusted reference slice, score every document by how well
+the model predicts it, and gate out the worst tail (CCNet, Wenzek et
+al. 2020, keeps the "head/middle" perplexity buckets; the reference
+repo has no LM stage — this is part of the declared LLM-pipeline
+extension surface, SURVEY.md §2.7).
+
+Model: a word-BIGRAM LM with add-one smoothing over a HASHED vocab of
+``VOCAB_BUCKETS`` buckets (the DSIR trick — md5-bucket hashing bounds
+the model size AND is bit-identical in Spark and DuckDB, so the whole
+stage oracle-pairs):
+
+    p(f2 | f1) = (c(f1,f2) + 1) / (c(f1) + V)
+
+Exactness: perplexity is a geometric mean, so floats are unavoidable —
+but ONLY inside ``log2``. Every count is exact int64; the per-bigram
+surprisal is quantized to 1/256-bit units
+
+    s_q = floor(256 · (log2(c1 + V) − log2(c2 + 1)))
+
+and from there everything is exact integer arithmetic again (int64
+sums are order-invariant, unlike double sums — the BM25 linearization
+discipline, operators/search.py). The floor() can only straddle a
+representable boundary when log2 of a count ratio is a multiple of
+1/256 — i.e. at exact powers of two, where IEEE log2 is exact in both
+engines — so a last-ulp libm difference between Spark and DuckDB
+cannot flip a quantized surprisal. Per-doc score:
+
+    ppl_q256 = (Σ c·s_q) DIV (Σ c)    -- mean surprisal, 1/256 bits
+
+(2^(ppl_q256/256) is the conventional perplexity; the monotone
+transform stays in the report, never in the compared columns.)
+
+100 TB shape: the doc side is one explode → per-doc bigram count
+(map-side combined); the model side is bounded by the hashed vocab
+(≤ V unigram rows — broadcastable; observed-bigram rows ≤ V², in
+practice corpus-vocabulary-sized) and joins on (f1, f2)/f1 key
+shuffles or broadcasts at Catalyst's discretion. Nothing is
+all-pairs, nothing collects, no Python eval nodes (plan-asserted in
+tests/test_perplexity.py).
+
+Hostile-data contract: NULL text filtered at the scan; empty/one-word
+docs have no bigram and drop out (no defined perplexity — mirrored
+by construction in the oracle, which generates zero bigram rows for
+them); every token, including empty-string tokens from whitespace
+runs, hashes like any other word.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+VOCAB_BUCKETS = 65536
+# floor(256·log2(0 + V)) with V = 2^16: the surprisal of a bigram whose
+# prefix bucket was never seen in the reference slice (p = 1/V).
+UNSEEN_SURPRISAL_Q = 256 * 16
+
+
+def vocab_bucket(col: Column) -> Column:
+    """md5-bucket word hashing, identical in Spark and DuckDB (the
+    dsir_importance_topk pattern): 15 hex digits < 2^60 keeps the
+    conv() exact in int64; pmod-free since the value is non-negative."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % VOCAB_BUCKETS
+    )
+
+
+def doc_bigram_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, f1, f2, c): per-document counts of hashed word-bigram
+    buckets. Whitespace tokenization (split on single space — the
+    corpus convention shared by every text operator here); docs with
+    fewer than two tokens yield no rows."""
+    w = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.explode(pairs).alias("g"))
+        .select(
+            "doc_id",
+            vocab_bucket(F.col("g.w1")).alias("f1"),
+            vocab_bucket(F.col("g.w2")).alias("f2"),
+        )
+        .groupBy("doc_id", "f1", "f2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+
+def bigram_lm(ref_docs: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame]:
+    """Train the add-one-smoothed bigram LM on the reference slice.
+
+    Returns (model, backoff):
+      model   (f1, f2, s_q)  — quantized surprisal of each OBSERVED
+                               bigram bucket pair,
+      backoff (f1, s1_q)     — surprisal of an unseen f2 after a SEEN
+                               prefix f1 (c2 = 0 ⇒ p = 1/(c1+V)).
+    Prefix counts c1 = Σ_f2 c2(f1,·) so the smoothed distribution
+    normalizes exactly. Both frames are vocab-bounded: backoff ≤ V
+    rows (always broadcastable), model ≤ observed distinct bigrams."""
+    grams = doc_bigram_buckets(ref_docs, text_col)
+    # c2 feeds BOTH the model projection and the prefix-count rollup;
+    # without a pin the reference-slice bigram expansion runs twice
+    # (same double-consumption fix as dsir_importance_topk).
+    c2 = (
+        grams.groupBy("f1", "f2")
+        .agg(F.sum("c").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("f1").agg(F.sum("c2").alias("c1"))
+    v = F.lit(VOCAB_BUCKETS).cast("bigint")
+    log_den = F.log2((F.col("c1") + v).cast("double"))
+    model = (
+        c2.join(c1, "f1")
+        .select(
+            "f1",
+            "f2",
+            F.floor(
+                F.lit(256.0)
+                * (log_den - F.log2((F.col("c2") + F.lit(1)).cast("double")))
+            )
+            .cast("bigint")
+            .alias("s_q"),
+        )
+    )
+    backoff = c1.select(
+        "f1",
+        F.floor(F.lit(256.0) * log_den).cast("bigint").alias("s1_q"),
+    )
+    return model, backoff
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: DataFrame,
+    backoff: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, surprisal_q, ppl_q256): per-document mean
+    quantized surprisal under the LM. Docs with no bigram drop out.
+    ppl_q256 is mean surprisal in 1/256-bit units; conventional
+    perplexity = 2^(ppl_q256/256)."""
+    grams = doc_bigram_buckets(docs, text_col)
+    scored = (
+        grams.join(model, ["f1", "f2"], "left")
+        .join(backoff, "f1", "left")
+        .select(
+            "doc_id",
+            "c",
+            F.coalesce(
+                F.col("s_q"), F.col("s1_q"), F.lit(UNSEEN_SURPRISAL_Q).cast("bigint")
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("s")).cast("bigint").alias("surprisal_q"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "surprisal_q",
+            F.expr("surprisal_q DIV n_grams").cast("bigint").alias("ppl_q256"),
+        )
+    )
+
+
+def perplexity_gate(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    threshold_q256: int = UNSEEN_SURPRISAL_Q,
+    text_col: str = "text",
+    ref_pred: Column | None = None,
+) -> DataFrame:
+    """The composed CCNet-style gate: train on the reference slice,
+    score ``docs``, and flag ``keep = ppl_q256 <= threshold_q256``
+    (CCNet's head+middle retention, as a deterministic integer
+    comparison). Returns every scored doc with its flag rather than
+    silently dropping rows — the governance convention (quarantine,
+    not delete) every filter stage here follows.
+
+    Reference slice, exactly one of:
+      ``ref_docs`` — an arbitrary external corpus (its own scan);
+      ``ref_pred`` — a predicate over ``docs`` (e.g. lang == 'en').
+        This is the CCNet deployment shape AND the fast path: the
+        expensive bigram explode+count runs ONCE over the corpus with
+        a per-doc reference flag, and the model counts are a rollup of
+        the same table the scoring side consumes (persisted — it feeds
+        both, and recomputing it means re-exploding the corpus).
+    """
+    if (ref_docs is None) == (ref_pred is None):
+        raise ValueError("pass exactly one of ref_docs / ref_pred")
+    if ref_docs is not None:
+        model, backoff = bigram_lm(ref_docs, text_col)
+        scored = perplexity_score(docs, model, backoff, text_col)
+        return scored.select(
+            "doc_id",
+            "n_grams",
+            "surprisal_q",
+            "ppl_q256",
+            (F.col("ppl_q256") <= F.lit(int(threshold_q256))).alias("keep"),
+        )
+
+    # shared-scan form: one explode, per-doc counts carry the ref flag
+    w = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(1)),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    dc = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            "doc_id", F.coalesce(ref_pred, F.lit(False)).alias("is_ref"),
+            F.explode(pairs).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_ref",
+            vocab_bucket(F.col("g.w1")).alias("f1"),
+            vocab_bucket(F.col("g.w2")).alias("f2"),
+        )
+        .groupBy("doc_id", "is_ref", "f1", "f2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        # dc feeds the model rollup AND the scoring join — persist, or
+        # the corpus bigram explode runs twice (measured ~2× at sf0.1)
+        .persist()
+    )
+    c2 = (
+        dc.filter(F.col("is_ref"))
+        .groupBy("f1", "f2")
+        .agg(F.sum("c").alias("c2"))
+    )
+    c1 = c2.groupBy("f1").agg(F.sum("c2").alias("c1"))
+    v = F.lit(VOCAB_BUCKETS).cast("bigint")
+    log_den = F.log2((F.col("c1") + v).cast("double"))
+    model = c2.join(c1, "f1").select(
+        "f1",
+        "f2",
+        F.floor(
+            F.lit(256.0)
+            * (log_den - F.log2((F.col("c2") + F.lit(1)).cast("double")))
+        )
+        .cast("bigint")
+        .alias("s_q"),
+    )
+    backoff = c1.select(
+        "f1", F.floor(F.lit(256.0) * log_den).cast("bigint").alias("s1_q")
+    )
+    scored = (
+        dc.join(model, ["f1", "f2"], "left")
+        .join(backoff, "f1", "left")
+        .select(
+            "doc_id",
+            "c",
+            F.coalesce(
+                F.col("s_q"), F.col("s1_q"), F.lit(UNSEEN_SURPRISAL_Q).cast("bigint")
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("s")).cast("bigint").alias("surprisal_q"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "surprisal_q",
+            F.expr("surprisal_q DIV n_grams").cast("bigint").alias("ppl_q256"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "surprisal_q",
+        "ppl_q256",
+        (F.col("ppl_q256") <= F.lit(int(threshold_q256))).alias("keep"),
+    )

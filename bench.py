@@ -96,6 +96,8 @@ HEADLINE = [
     # round-7 additions
     "dedup_bloom_prescreen",
     "bpe_learned_merges",
+    # round-9 additions
+    "text_perplexity_gate",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

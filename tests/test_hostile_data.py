@@ -71,6 +71,9 @@ SUBSET = [
     "similarity_ann_multiprobe",
     "similarity_topk_rerank",
     "similarity_ann_ivf",
+    # r9: the bigram-LM stage tokenizes raw text — the doc-side junk
+    # classes (NULL/empty/whitespace/non-ASCII) all flow through it
+    "text_perplexity_gate",
 ]
 
 
