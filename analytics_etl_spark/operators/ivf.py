@@ -94,6 +94,12 @@ def kmeans_centroids(
         # guard the degenerate tiny-table case
         if sampled.count() >= 4 * k:
             train = sampled
+    # the training frame is consumed by the seed scan plus every Lloyd
+    # iteration (iters+1 passes) — pin it once instead of re-running
+    # the parquet scan + validity gate per pass; unpersisted before
+    # returning (training is index-build-time work, the cache must not
+    # outlive it)
+    train = train.persist()
     seed_rows = (
         train.select(F.col(id_col), v.alias("v"), hash_bucket(id_col, 1 << 30).alias("hb"))
         .orderBy("hb", id_col)
@@ -120,6 +126,7 @@ def kmeans_centroids(
         new = {r["cell"]: list(r["centroid"]) for r in means}
         # empty cells keep their previous centroid
         centroids = [new.get(i, centroids[i]) for i in range(k)]
+    train.unpersist()
     return centroids
 
 
@@ -231,3 +238,100 @@ def ivf_index_topk(
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+    target_cluster_size: int = 500,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compare
+    pairs only WITHIN a cluster, and keep one representative of each
+    near-duplicate group — embedding-space near-dedup where MinHash
+    sees only text shingles (paraphrases, translations, re-encodings).
+
+    Per scorable vector returns (id, cell, kept, dup_of):
+      kept   — False iff some SAME-CELL vector with a smaller id has
+               cosine ≥ threshold (SemDeDup's keep-one rule, made
+               deterministic by id order: the minimal element of every
+               duplicate neighborhood survives, independent of
+               partitioning);
+      dup_of — the smallest such witness id (NULL when kept).
+
+    100 TB shape — never all-pairs: the candidate join is an equi-join
+    on the cell id, so pair work is Σ s_c² over cluster sizes, bounded
+    by choosing k ∝ N/E[s] exactly as SemDeDup does (they use 11k
+    clusters for 1.8B embeddings ≈ 160k vectors/cluster on 50k GPUs;
+    here the default aims at ``target_cluster_size`` rows/cluster —
+    when ``k`` is None it is derived as ceil(n / target_cluster_size)
+    from one bounded count() at index-build time, so the pair join
+    stays ~n·target_cluster_size at every corpus size instead of
+    n²/k); training cost is bounded separately by ``sample_fraction``
+    (see kmeans_centroids). Vectors are
+    unit-normalized ONCE before the join, so each candidate pair costs
+    a single JVM dot fold, and the assigned frame is persisted — it
+    feeds both sides of the self-join and the final keep-join.
+    Junk vectors (NULL / wrong-dim / non-finite / zero-norm) are gated
+    out by ``valid_embeddings`` before clustering; they appear in
+    neither the kept nor the dropped set.
+
+    Rows-only by design (kmeans float means are not bit-stable across
+    engines); the property evidence is tests/test_semantic_dedup.py:
+    planted near-duplicates are dropped to one representative,
+    orthogonal vectors all survive, and the result is invariant under
+    input repartitioning.
+    """
+    from analytics_etl_spark.operators.similarity import valid_embeddings
+
+    gated = valid_embeddings(embeddings, vec_col, dim)
+    if k is None:
+        n = gated.count()
+        k = max(4, -(-n // max(1, int(target_cluster_size))))
+    centroids = kmeans_centroids(
+        gated, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample_fraction=sample_fraction,
+    )
+    v = as_double_array(vec_col)
+    unit = F.transform(v, lambda x: x / F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
+    )))
+    assigned = (
+        gated.select(
+            F.col(id_col).alias("id"),
+            _assign_udf(centroids)(v).alias("cell"),
+            unit.alias("u"),
+        )
+        # consumed three times (both self-join sides + the keep join);
+        # without the pin the Arrow assignment kernel runs three times
+        .persist()
+    )
+    a = assigned.select(F.col("id").alias("id_a"), F.col("cell"), F.col("u").alias("ua"))
+    b = assigned.select(F.col("id").alias("id_b"), F.col("cell"), F.col("u").alias("ub"))
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    witnesses = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(witnesses, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

@@ -98,3 +98,35 @@ def text_perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_pred=F.col("lang") == "en",
         threshold_q256=PPL_KEEP_THRESHOLD_Q256,
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_semantic",
+    rows_only=(
+        "SemDeDup composes iterative k-means (float centroid means are "
+        "not bit-stable across engines) — property evidence in "
+        "tests/test_semantic_dedup.py: planted near-dups collapse to "
+        "one representative, orthogonal vectors survive, result "
+        "invariant under repartitioning"
+    ),
+)
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped embedding-space near-dedup
+    (operators/ivf.py::semantic_dedup): cluster with deterministic
+    spherical k-means, within-cluster cosine ≥ 0.3 (calibrated to the
+    synthetic corpus — the same cut dedup_embedding_cosine uses, so
+    the two operators' duplicate sets are comparable), keep the
+    smallest id of every duplicate neighborhood. k is derived from the
+    corpus size (target ~500 rows/cluster) so the within-cluster pair
+    join scales linearly with the corpus, never n²/k."""
+    from analytics_etl_spark.operators.ivf import semantic_dedup
+
+    return semantic_dedup(
+        # 3 Lloyd iterations, not 5: near-duplicate vectors co-assign
+        # at ANY iteration count (they move between cells together),
+        # so extra iterations only reshuffle cell borders — measured
+        # 4-11% of rows between iters 3 and 5 on this corpus — which
+        # touches moderate-similarity pairs, not the ≥threshold pairs
+        # dedup acts on; each saved iteration is a full training pass
+        t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64, iters=3
+    ).orderBy("vec_id")

@@ -98,6 +98,7 @@ HEADLINE = [
     "bpe_learned_merges",
     # round-9 additions
     "text_perplexity_gate",
+    "dedup_semantic",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -138,6 +138,7 @@ PYTHON_KERNEL_OK = {
     "dedup_incremental_batch",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_semantic",  # k-means cell assignment is the declared Arrow matmul
     "dedup_simhash",
     "doc_fingerprint_winnow",
     "heavy_hitters_parts",

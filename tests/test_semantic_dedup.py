@@ -1,0 +1,119 @@
+"""SemDeDup-shaped semantic dedup (operators/ivf.py::semantic_dedup).
+
+The rows-only declaration for `dedup_semantic` points here: the
+properties that stand in for a SQL oracle are (1) planted
+near-duplicate groups collapse to exactly their smallest id, (2)
+dissimilar vectors all survive, (3) junk vectors are gated out of the
+result entirely, (4) the kept set is invariant under input
+repartitioning, and (5) the candidate join is an equi-join on the
+cluster cell — no cartesian anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.ivf import semantic_dedup
+
+SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _noisy(base, eps, j):
+    # deterministic tiny perturbation: cosine to base stays ~1
+    return [x + eps * ((j * 7 + i) % 3 - 1) for i, x in enumerate(base)]
+
+
+def test_planted_near_duplicates_collapse_to_min_id(spark):
+    b1 = [1.0, 2.0, 3.0, 4.0]
+    b2 = [-4.0, 3.0, -2.0, 1.0]
+    rows = (
+        [(10 + j, _noisy(b1, 1e-6, j)) for j in range(3)]
+        + [(20 + j, _noisy(b2, 1e-6, j)) for j in range(4)]
+        + [(30, [1.0, -1.0, 1.0, -1.0])]  # a singleton, far from both
+    )
+    out = semantic_dedup(
+        spark.createDataFrame(rows, SCHEMA), threshold=0.99, k=2, dim=4
+    ).collect()
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert kept == {10, 20, 30}
+    # every dropped row names a smaller same-group witness
+    dup_of = {r["vec_id"]: r["dup_of"] for r in out if not r["kept"]}
+    assert dup_of == {11: 10, 12: 10, 21: 20, 22: 20, 23: 20}
+
+
+def test_dissimilar_vectors_all_survive(spark):
+    rows = [(i, [1.0 if d == i else 0.0 for d in range(6)]) for i in range(6)]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, SCHEMA), threshold=0.5, k=3, dim=6
+    ).collect()
+    assert all(r["kept"] for r in out)
+    assert len(out) == 6
+
+
+def test_junk_vectors_are_gated_out(spark):
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 1e-7, 0.0]),     # near-dup of 0
+        (2, None),                  # NULL vector
+        (3, [0.0, 0.0, 0.0]),       # zero norm
+        (4, [1.0, nan, 0.0]),       # NaN
+        (5, [1.0, inf, 0.0]),       # Inf
+        (6, [1.0, 0.0]),            # wrong dim
+    ]
+    # k=1: with only two valid survivors, k=2 would seed each as its
+    # own cell and never compare them — a correct (if useless)
+    # clustering; one cell forces the comparison this test is about
+    out = semantic_dedup(
+        spark.createDataFrame(rows, SCHEMA), threshold=0.99, k=1, dim=3
+    ).collect()
+    assert {r["vec_id"] for r in out} == {0, 1}
+    assert {r["vec_id"] for r in out if r["kept"]} == {0}
+
+
+def test_kept_set_invariant_under_repartitioning(spark):
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11 - 5) for d in range(8)]) for i in range(60)
+    ] + [(100 + i, _noisy([float(d) for d in range(8)], 1e-6, i)) for i in range(5)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    base = {
+        (r["vec_id"], r["kept"], r["dup_of"])
+        for r in semantic_dedup(df, threshold=0.99, k=4, dim=8).collect()
+    }
+    shuffled = {
+        (r["vec_id"], r["kept"], r["dup_of"])
+        for r in semantic_dedup(
+            df.repartition(7, "vec_id"), threshold=0.99, k=4, dim=8
+        ).collect()
+    }
+    assert base == shuffled
+    # the modular vectors repeat with period 11 in i, so every i >= 11
+    # is an exact duplicate of i-11 and drops alongside the planted set
+    assert {v for v, k, _ in base if not k} == set(range(11, 60)) | {101, 102, 103, 104}
+
+
+def test_candidate_join_is_equi_on_cell_no_cartesian(spark):
+    rows = [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(20)]
+    out = semantic_dedup(
+        spark.createDataFrame(rows, SCHEMA), threshold=0.95, k=3, dim=3
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_derived_k_tracks_corpus_size(spark):
+    """k = ceil(n / target_cluster_size) with a floor of 4 — the pair
+    join stays ~n·target at any corpus size."""
+    rows = [(i, [float((i * 3 + d) % 7 - 3) for d in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = semantic_dedup(df, threshold=0.999, dim=4, target_cluster_size=10, iters=1)
+    cells = out.select("cell").distinct().collect()
+    assert len(cells) <= 4  # k == max(4, ceil(40/10)) == 4 cells max
+    assert out.count() == 40
