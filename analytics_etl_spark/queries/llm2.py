@@ -130,3 +130,95 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dedup acts on; each saved iteration is a full training pass
         t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64, iters=3
     ).orderBy("vec_id")
+
+
+# The pinned tokenizer artifact for the apply-side BPE query: the
+# first 16 merges textbook-greedy BPE learns on the sf0.001 documents
+# corpus (learn_bpe_merges, merges_per_round=1 — the exact mode pinned
+# against the pure-Python reference in tests/test_bpe.py). Pinned as
+# literals because APPLYING a merge table is not iterative: the fold
+# over a FIXED rank-ordered list is SQL-replayable, which is what
+# finally gives the BPE family a hash-checked oracle row (VERDICT r8
+# item 6). Applying this table to other corpora (sf0.01/sf0.1/hostile)
+# is exactly how a production tokenizer artifact is used.
+BPE_PINNED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"),
+    ("t", "</w>"), ("er", "</w>"), ("o", "w"), ("ow", "</w>"),
+    ("l", "u"), ("i", "n"), ("y", "</w>"), ("a", "r"),
+    ("p", "ar"), ("g", "</w>"), ("a", "s"), ("h", "</w>"),
+)
+
+
+def _bpe_apply_oracle() -> str:
+    """Generate the DuckDB replay of the rank-ordered merge fold.
+
+    One CTE per merge: list_reduce folds the token list into a
+    chr(31)-joined string; the running accumulator's last token is
+    ``a`` exactly when the acc equals 'a' or ends with sep||'a', and
+    merging [.., a] + b into [.., ab] is literally appending ``b``
+    WITHOUT a separator. This is the same left-to-right non-overlap
+    single-pass semantics as the Spark-side F.aggregate fold
+    (operators/bpe.py::_merge_expr), replayed strictly in rank order
+    — the sequential contract apply_bpe's batched groups are pinned
+    to preserve (tests/test_bpe.py)."""
+    sep = "chr(31)"
+    sql = """
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+      ) WHERE word <> '' GROUP BY word
+    ),
+    p0 AS (
+      SELECT word, n,
+             list_append(string_split(word, ''), '</w>') AS seq
+      FROM words
+    )"""
+    prev = "p0"
+    for i, (a, b) in enumerate(BPE_PINNED_MERGES, start=1):
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        sql += f""",
+    p{i} AS (
+      SELECT word, n, string_split(list_reduce(seq, (acc, x) ->
+        CASE WHEN x = '{qb}' AND (acc = '{qa}'
+                  OR right(acc, {len(a) + 1}) = {sep} || '{qa}')
+             THEN acc || '{qb}'
+             ELSE acc || {sep} || x END), {sep}) AS seq
+      FROM {prev}
+    )"""
+        prev = f"p{i}"
+    sql += f"""
+    SELECT token,
+           CAST(SUM(n) AS BIGINT) AS total_count,
+           CAST(COUNT(*) AS BIGINT) AS n_positions
+    FROM (SELECT n, unnest(seq) AS token FROM {prev})
+    GROUP BY token
+    ORDER BY total_count DESC, token
+    LIMIT 50
+    """
+    return sql
+
+
+@query("bpe_apply_tokens", oracle=_bpe_apply_oracle())
+def bpe_apply_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the pinned BPE merge table to the corpus word table and
+    report the top-50 resulting subword tokens: total_count weighs
+    each token position by its word's corpus frequency (the quantity
+    a tokenizer-compression report uses); n_positions counts distinct
+    (word, position) slots. The fold itself is the pure-JVM
+    F.aggregate replay (operators/bpe.py::apply_bpe) — word-table-
+    sized, one corpus pass for the counts, zero Python nodes."""
+    from analytics_etl_spark.operators.bpe import apply_bpe, word_counts
+
+    merges = [(i, a, b, 0) for i, (a, b) in enumerate(BPE_PINNED_MERGES)]
+    toks = apply_bpe(word_counts(t(spark, sf_dir, "documents")), merges)
+    return (
+        toks.select(F.col("n"), F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("n").cast("bigint").alias("total_count"),
+            F.count("*").cast("bigint").alias("n_positions"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("token"))
+        .limit(50)
+    )

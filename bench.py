@@ -99,6 +99,7 @@ HEADLINE = [
     # round-9 additions
     "text_perplexity_gate",
     "dedup_semantic",
+    "bpe_apply_tokens",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
