@@ -164,7 +164,9 @@ def distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct to avoid the full shuffle of the key.
 @query(
     "approx_distinct_buyers",
-    rows_only="HLL approx_count_distinct: engine-specific sketch, no cross-engine exact value",
+    rows_only="HLL approx_count_distinct: engine-specific sketch, no cross-engine "
+    "exact value; 3-sigma error envelope vs exact COUNT(DISTINCT) pinned in "
+    "tests/test_sketches.py::test_approx_distinct_buyers_within_envelope",
 )
 def approx_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")

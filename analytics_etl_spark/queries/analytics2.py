@@ -430,7 +430,9 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full sort); approximate by design → rows-only check.
 @query(
     "quantiles_approx",
-    rows_only="approx_percentile sketch: engine-specific, only exact quantiles are oracle-checked",
+    rows_only="approx_percentile sketch: engine-specific, only exact quantiles are "
+    "oracle-checked; per-group rank-error envelope vs exact percentiles pinned in "
+    "tests/test_sketches.py::test_quantiles_approx_within_rank_envelope",
 )
 def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")

@@ -229,3 +229,52 @@ def test_misra_gries_k_bounds_summary(spark):
     assert heavy_hitters(df, "item", k=10).count() <= 10
     with pytest.raises(ValueError):
         partition_summaries(df, "item", k=0)
+
+
+def test_approx_distinct_buyers_within_envelope(spark):
+    """Envelope pin for the registered rows-only query (VERDICT r8
+    item 7): approx_count_distinct(rsd=0.02) must land within 3
+    standard errors (6%) of exact COUNT(DISTINCT o_custkey) — the same
+    evidence class the sketch-union queries carry, so 'rows-only' for
+    this query means 'bounded-error', not 'unchecked'."""
+    from analytics_etl_spark.queries import REGISTRY
+
+    approx = REGISTRY["approx_distinct_buyers"].fn(spark, SF_SMOKE).collect()[0][
+        "approx_buyers"
+    ]
+    exact = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(approx - exact) <= 0.06 * exact, (approx, exact)
+
+
+def test_quantiles_approx_within_rank_envelope(spark):
+    """Envelope pin for the registered rows-only query (VERDICT r8
+    item 7): percentile_approx(.., accuracy=1000) guarantees rank
+    error ≤ n/1000; assert each group's p50_approx lies between the
+    exact 0.49 and 0.51 quantiles (rank slack 10× the guarantee, so
+    the pin is robust to interpolation-convention differences while
+    still catching a broken sketch)."""
+    from analytics_etl_spark.queries import REGISTRY
+
+    got = {
+        r["l_returnflag"]: r["p50_approx"]
+        for r in REGISTRY["quantiles_approx"].fn(spark, SF_SMOKE).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    bounds = {
+        r["l_returnflag"]: (r["lo"], r["hi"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.49).alias("lo"),
+            F.percentile("l_extendedprice", 0.51).alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(bounds) and got
+    for flag, p50 in got.items():
+        lo, hi = bounds[flag]
+        assert lo <= p50 <= hi, (flag, p50, lo, hi)
