@@ -32,58 +32,70 @@ PPL_KEEP_THRESHOLD_Q256 = 3150
 _BUCKET = "('0x' || substr(md5({x}), 1, 15))::BIGINT % " + str(VOCAB_BUCKETS)
 
 
-@query(
-    "text_perplexity_gate",
-    oracle=f"""
-    WITH words AS (
+def _ppl_cte_chain(source_where: str = "", prefix: str = "pp_") -> str:
+    """The LM scoring pipeline as a reusable CTE chain (DuckDB mirror
+    of operators/perplexity.py): ``source_where`` narrows the scored
+    corpus (e.g. " AND doc_id >= 25" for a pool slice); ``prefix``
+    namespaces the CTEs so the chain composes into larger oracles
+    (corpus_build's CTEs already use `words`/`tok`). Ends with
+    ``{prefix}agg (doc_id, n_grams, surprisal_q)``."""
+    p = prefix
+    return f"""
+    {p}words AS (
       SELECT doc_id, lang, string_split(text, ' ') AS w
-      FROM documents WHERE text IS NOT NULL
+      FROM documents WHERE text IS NOT NULL{source_where}
     ),
-    pos AS (
-      SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM words
+    {p}pos AS (
+      SELECT doc_id, lang, w, unnest(range(1, len(w))) AS i FROM {p}words
     ),
-    grams AS (
+    {p}grams AS (
       SELECT doc_id, lang,
              {_BUCKET.format(x="w[i]")} AS f1,
              {_BUCKET.format(x="w[i+1]")} AS f2
-      FROM pos
+      FROM {p}pos
     ),
-    dc AS (
+    {p}dc AS (
       SELECT doc_id, f1, f2, CAST(COUNT(*) AS BIGINT) AS c
-      FROM grams GROUP BY 1, 2, 3
+      FROM {p}grams GROUP BY 1, 2, 3
     ),
-    rc2 AS (
+    {p}rc2 AS (
       SELECT f1, f2, CAST(COUNT(*) AS BIGINT) AS c2
-      FROM grams WHERE lang = 'en' GROUP BY 1, 2
+      FROM {p}grams WHERE lang = 'en' GROUP BY 1, 2
     ),
-    rc1 AS (SELECT f1, CAST(SUM(c2) AS BIGINT) AS c1 FROM rc2 GROUP BY 1),
-    model AS (
-      SELECT rc2.f1, rc2.f2,
+    {p}rc1 AS (SELECT f1, CAST(SUM(c2) AS BIGINT) AS c1 FROM {p}rc2 GROUP BY 1),
+    {p}model AS (
+      SELECT {p}rc2.f1, {p}rc2.f2,
              CAST(FLOOR(256.0 * (log2(CAST(c1 + {VOCAB_BUCKETS} AS DOUBLE))
                                  - log2(CAST(c2 + 1 AS DOUBLE)))) AS BIGINT) AS s_q
-      FROM rc2 JOIN rc1 USING (f1)
+      FROM {p}rc2 JOIN {p}rc1 USING (f1)
     ),
-    backoff AS (
+    {p}backoff AS (
       SELECT f1,
              CAST(FLOOR(256.0 * log2(CAST(c1 + {VOCAB_BUCKETS} AS DOUBLE))) AS BIGINT) AS s1_q
-      FROM rc1
+      FROM {p}rc1
     ),
-    scored AS (
-      SELECT dc.doc_id, dc.c,
+    {p}scored AS (
+      SELECT {p}dc.doc_id, {p}dc.c,
              COALESCE(m.s_q, b.s1_q, {UNSEEN_SURPRISAL_Q}) AS s
-      FROM dc
-      LEFT JOIN model m ON m.f1 = dc.f1 AND m.f2 = dc.f2
-      LEFT JOIN backoff b ON b.f1 = dc.f1
+      FROM {p}dc
+      LEFT JOIN {p}model m ON m.f1 = {p}dc.f1 AND m.f2 = {p}dc.f2
+      LEFT JOIN {p}backoff b ON b.f1 = {p}dc.f1
     ),
-    agg AS (
+    {p}agg AS (
       SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
              CAST(SUM(c * s) AS BIGINT) AS surprisal_q
-      FROM scored GROUP BY 1
-    )
+      FROM {p}scored GROUP BY 1
+    )"""
+
+
+@query(
+    "text_perplexity_gate",
+    oracle=f"""
+    WITH {_ppl_cte_chain()}
     SELECT doc_id, n_grams, surprisal_q,
            CAST(surprisal_q // n_grams AS BIGINT) AS ppl_q256,
            (surprisal_q // n_grams) <= {PPL_KEEP_THRESHOLD_Q256} AS keep
-    FROM agg ORDER BY doc_id
+    FROM pp_agg ORDER BY doc_id
     """,
 )
 def text_perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,3 +234,71 @@ def bpe_apply_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), F.asc("token"))
         .limit(50)
     )
+
+
+def _ppl_gated_corpus_oracle() -> str:
+    """Compose the LM gate INTO the corpus-build oracle: prepend the
+    prefixed LM CTE chain (scored over the pool slice only) and swap
+    the pool CTE for its perplexity-kept subset. String surgery on the
+    shared oracle constant is anchored on the exact pool CTE text and
+    asserted — a drifted anchor fails at import, not silently."""
+    from analytics_etl_spark.queries.llm import _CORPUS_BUILD_ORACLE
+
+    anchor = "WITH pool AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),"
+    assert anchor in _CORPUS_BUILD_ORACLE, "corpus_build oracle pool CTE moved"
+    replacement = (
+        "WITH "
+        + _ppl_cte_chain(" AND doc_id >= 25")
+        + f""",
+    ppl_keep AS (
+      SELECT doc_id FROM pp_agg
+      WHERE surprisal_q // n_grams <= {PPL_KEEP_THRESHOLD_Q256}
+    ),
+    pool AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 25 AND doc_id IN (SELECT doc_id FROM ppl_keep)
+    ),"""
+    )
+    return _CORPUS_BUILD_ORACLE.replace(anchor, replacement, 1)
+
+
+@query("corpus_build_ppl_gated", oracle=_ppl_gated_corpus_oracle())
+def corpus_build_ppl_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-shaped nightly build: the corpus_build_pipeline
+    composition with the LM perplexity gate as stage 0 — train the
+    bigram LM on the pool's English slice, keep only docs at or below
+    the pinned perplexity cut, then run quality -> decontaminate ->
+    near-dedup -> split -> chunk on the survivors. Docs with no
+    bigram (one-word/empty) have no defined perplexity and drop at
+    the gate, conservatively, in both engines. Fully oracle-paired:
+    the whole five-gate composition hash-checks because every stage —
+    including the geometric-mean LM score — is exact fixed-point."""
+    from analytics_etl_spark.plans.corpus_build import corpus_build
+
+    docs = t(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") >= 25)
+    keep_ids = (
+        perplexity_gate(
+            pool,
+            ref_pred=F.col("lang") == "en",
+            threshold_q256=PPL_KEEP_THRESHOLD_Q256,
+        )
+        .filter(F.col("keep"))
+        .select("doc_id")
+        # id-sized decision frame, cached like corpus_build's own stage
+        # decisions: the gated pool is referenced ~10x inside the build
+        # plan, and without this pin each reference replays the whole
+        # LM train+score subtree (measured 41 s unpinned at sf0.001)
+        .cache()
+    )
+    # populate the cache EAGERLY: the build plan's ~10 branches all sit
+    # inside one job, and racing branches each recompute a not-yet-
+    # committed cache partition — one id-sized count() up front makes
+    # the LM subtree run exactly once (22 s -> ~7 s at sf0.001; same
+    # two-action shape as the kmeans/rollup-refresh queries)
+    keep_ids.count()
+    gated_pool = pool.select("doc_id", "text").join(keep_ids, "doc_id", "left_semi")
+    result, _ = corpus_build(
+        gated_pool, docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    )
+    return result

@@ -100,6 +100,7 @@ HEADLINE = [
     "text_perplexity_gate",
     "dedup_semantic",
     "bpe_apply_tokens",
+    "corpus_build_ppl_gated",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -22,10 +22,11 @@ def test_registry_shape():
     # distinct, approx quantiles, the synthetic REST source, IVF float
     # means, exact greedy packing, HLL sketch union, view-hidden file
     # identity, the HLL table profile, the Misra-Gries heavy-hitter
-    # sketch, r7's iterative BPE merge learner). simhash left this set
-    # in r6 — its 60-bit non-negative hashes made the bit ops
-    # engine-portable.
-    assert len(os_) >= len(qs) - 10
+    # sketch, r7's iterative BPE merge learner, r9's k-means semantic
+    # dedup). simhash left this set in r6 — its 60-bit non-negative
+    # hashes made the bit ops engine-portable; BPE gained a
+    # hash-checked member in r9 (bpe_apply_tokens).
+    assert len(os_) >= len(qs) - 11
 
 
 def test_driver_window_is_curated_and_pinned():
