@@ -51,7 +51,7 @@ runs, hashes like any other word.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 VOCAB_BUCKETS = 65536
@@ -294,4 +294,79 @@ def perplexity_gate(
         "surprisal_q",
         "ppl_q256",
         (F.col("ppl_q256") <= F.lit(int(threshold_q256))).alias("keep"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    ref_docs: DataFrame | None = None,
+    text_col: str = "text",
+    ref_pred: Column | None = None,
+) -> DataFrame:
+    """CCNet's actual deployment shape: head/middle/tail TERTILES of
+    the corpus's own perplexity distribution (Wenzek et al. 2020 §4.3
+    keep the head+middle buckets), instead of a hand-pinned absolute
+    cut. Self-calibrating by construction — the fixed
+    ``PPL_KEEP_THRESHOLD_Q256`` literal in queries/llm2.py splits
+    non-trivially at sf0.001/sf0.01 but keeps ~everything at sf0.1
+    (noted in ROUND9.md); tertiles of the observed distribution split
+    1/3-1/3-1/3 at EVERY corpus size.
+
+    Exact, order-free boundary computation — the 100 TB trick: NTILE
+    would need a global sort (one-partition window over every doc).
+    Instead, ``ppl_q256`` lives in a TINY bounded integer domain
+    (≲ 256·log2(corpus_bigrams + V) — a few thousand distinct values
+    even at 2^63 bigrams), so exact tertile boundaries come from a
+    value-HISTOGRAM: group docs by ppl_q256 (map-side combined, one
+    shuffle of ≤ few-thousand rows), cumulative-sum that driver-bounded
+    histogram, and pick
+
+        b1 = min{ p : 3·cum(p) ≥ n },   b2 = min{ p : 3·cum(p) ≥ 2n }
+
+    in pure int64 arithmetic (no percentile float, no sort of the
+    corpus). Ties at a boundary VALUE all land in the same bucket —
+    value-level assignment is the only deterministic rule both engines
+    express identically, so buckets are near-tertiles (exact tertiles
+    up to boundary-value ties). Returns every scored doc:
+    (doc_id, n_grams, surprisal_q, ppl_q256, bucket).
+
+    The single-partition window runs over the histogram (bounded),
+    never the corpus; the boundary frame is a 1-row broadcast.
+    """
+    scored = perplexity_gate(
+        docs, ref_docs=ref_docs, text_col=text_col, ref_pred=ref_pred
+    ).drop("keep")
+    # scored feeds the histogram AND the final bucket join — persist,
+    # or the LM score subtree (joins + two aggregations over the
+    # persisted bigram table) replays for each consumer
+    scored = scored.persist()
+    hist = scored.groupBy("ppl_q256").agg(F.count("*").cast("bigint").alias("cnt"))
+    w_cum = Window.orderBy("ppl_q256").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("ppl_q256").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "ppl_q256",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("ppl_q256"))
+        ).alias("b1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("ppl_q256"))
+        ).alias("b2"),
+    )
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_grams",
+        "surprisal_q",
+        "ppl_q256",
+        F.when(F.col("ppl_q256") <= F.col("b1"), F.lit("head"))
+        .when(F.col("ppl_q256") <= F.col("b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

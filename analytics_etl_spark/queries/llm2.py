@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from analytics_etl_spark.operators.perplexity import (
     UNSEEN_SURPRISAL_Q,
     VOCAB_BUCKETS,
+    perplexity_buckets,
     perplexity_gate,
 )
 from analytics_etl_spark.queries.registry import query, t
@@ -110,6 +111,52 @@ def text_perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_pred=F.col("lang") == "en",
         threshold_q256=PPL_KEEP_THRESHOLD_Q256,
     ).orderBy("doc_id")
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=f"""
+    WITH {_ppl_cte_chain()},
+    ppl AS (
+      SELECT doc_id, n_grams, surprisal_q,
+             CAST(surprisal_q // n_grams AS BIGINT) AS ppl_q256
+      FROM pp_agg
+    ),
+    hist AS (
+      SELECT ppl_q256, CAST(COUNT(*) AS BIGINT) AS cnt FROM ppl GROUP BY 1
+    ),
+    cum AS (
+      SELECT ppl_q256,
+             SUM(cnt) OVER (ORDER BY ppl_q256) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    ),
+    bounds AS (
+      SELECT MIN(CASE WHEN cum * 3 >= n THEN ppl_q256 END) AS b1,
+             MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_q256 END) AS b2
+      FROM cum
+    )
+    SELECT doc_id, n_grams, surprisal_q, ppl_q256,
+           CASE WHEN ppl_q256 <= b1 THEN 'head'
+                WHEN ppl_q256 <= b2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ppl, bounds ORDER BY doc_id
+    """,
+)
+def text_perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail tertile bucketing
+    (operators/perplexity.py::perplexity_buckets): the same bigram-LM
+    score as text_perplexity_gate, but bucketed by tertiles of the
+    corpus's OWN ppl distribution instead of the pinned absolute cut —
+    self-calibrating at every SF (the pinned 3150 cut keeps ~all docs
+    at sf0.1; tertiles split 1/3-1/3-1/3 everywhere). Boundaries come
+    from an exact int64 cumsum over the bounded ppl_q256 value
+    histogram — no global sort, no float percentile — so the whole
+    stage stays hash-exact and fully oracle-paired."""
+    docs = t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, ref_pred=F.col("lang") == "en").orderBy(
+        "doc_id"
+    )
 
 
 @query(
@@ -260,6 +307,81 @@ def _ppl_gated_corpus_oracle() -> str:
     ),"""
     )
     return _CORPUS_BUILD_ORACLE.replace(anchor, replacement, 1)
+
+
+def _bucket_gated_corpus_oracle() -> str:
+    """Like _ppl_gated_corpus_oracle, but the keep rule is CCNet's
+    deployed one — drop the TAIL tertile of the pool's own perplexity
+    distribution (keep head+middle, Wenzek et al. 2020 §4.3) instead
+    of a hand-pinned absolute cut. Same anchored string surgery on the
+    shared corpus-build oracle; the spliced chain adds the bounded
+    value-histogram CTEs and keeps docs with ppl_q256 <= b2."""
+    from analytics_etl_spark.queries.llm import _CORPUS_BUILD_ORACLE
+
+    anchor = "WITH pool AS (SELECT doc_id, text FROM documents WHERE doc_id >= 25),"
+    assert anchor in _CORPUS_BUILD_ORACLE, "corpus_build oracle pool CTE moved"
+    replacement = (
+        "WITH "
+        + _ppl_cte_chain(" AND doc_id >= 25")
+        + """,
+    pp_ppl AS (
+      SELECT doc_id, CAST(surprisal_q // n_grams AS BIGINT) AS ppl_q256
+      FROM pp_agg
+    ),
+    pp_hist AS (
+      SELECT ppl_q256, CAST(COUNT(*) AS BIGINT) AS cnt FROM pp_ppl GROUP BY 1
+    ),
+    pp_cum AS (
+      SELECT ppl_q256,
+             SUM(cnt) OVER (ORDER BY ppl_q256) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM pp_hist
+    ),
+    pp_bounds AS (
+      SELECT MIN(CASE WHEN cum * 3 >= 2 * n THEN ppl_q256 END) AS b2
+      FROM pp_cum
+    ),
+    ppl_keep AS (
+      SELECT doc_id FROM pp_ppl, pp_bounds WHERE ppl_q256 <= b2
+    ),
+    pool AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 25 AND doc_id IN (SELECT doc_id FROM ppl_keep)
+    ),"""
+    )
+    return _CORPUS_BUILD_ORACLE.replace(anchor, replacement, 1)
+
+
+@query("corpus_build_bucket_gated", oracle=_bucket_gated_corpus_oracle())
+def corpus_build_bucket_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELF-CALIBRATING CCNet build: corpus_build_ppl_gated's
+    five-gate composition, but stage 0 drops the tail TERTILE of the
+    pool's own perplexity distribution instead of the pinned 3150-q
+    cut (which keeps ~everything at sf0.1 — see ROUND9.md). Tertiles
+    cut a real ~1/3 at every corpus size, so this is the variant a
+    production pipeline would actually schedule. Still fully
+    oracle-paired: boundaries come from the exact int64 cumsum over
+    the bounded ppl_q256 histogram, so even the distribution-relative
+    gate hash-checks."""
+    from analytics_etl_spark.plans.corpus_build import corpus_build
+
+    docs = t(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") >= 25)
+    keep_ids = (
+        perplexity_buckets(pool, ref_pred=F.col("lang") == "en")
+        .filter(F.col("bucket") != "tail")
+        .select("doc_id")
+        # same id-sized decision pin + eager populate as
+        # corpus_build_ppl_gated: the build plan's ~10 branches would
+        # otherwise each replay the LM train+score+histogram subtree
+        .cache()
+    )
+    keep_ids.count()
+    gated_pool = pool.select("doc_id", "text").join(keep_ids, "doc_id", "left_semi")
+    result, _ = corpus_build(
+        gated_pool, docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    )
+    return result
 
 
 @query("corpus_build_ppl_gated", oracle=_ppl_gated_corpus_oracle())

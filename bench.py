@@ -98,6 +98,8 @@ HEADLINE = [
     "bpe_learned_merges",
     # round-9 additions
     "text_perplexity_gate",
+    "text_perplexity_buckets",
+    "corpus_build_bucket_gated",
     "dedup_semantic",
     "bpe_apply_tokens",
     "corpus_build_ppl_gated",

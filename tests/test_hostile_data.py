@@ -74,6 +74,10 @@ SUBSET = [
     # r9: the bigram-LM stage tokenizes raw text — the doc-side junk
     # classes (NULL/empty/whitespace/non-ASCII) all flow through it
     "text_perplexity_gate",
+    # r9: tertile boundaries from the ppl histogram — a tiny hostile
+    # corpus stresses the degenerate-distribution edges (few distinct
+    # ppl values, boundary ties spanning whole buckets)
+    "text_perplexity_buckets",
     # r9: the merge fold walks every character of every distinct word,
     # incl. non-ASCII and control chars; the oracle replays it with a
     # chr(31)-joined accumulator that junk words could theoretically

