@@ -250,6 +250,7 @@ def semantic_dedup(
     dim: int | None = None,
     sample_fraction: float | None = None,
     target_cluster_size: int = 500,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, compare
@@ -264,6 +265,24 @@ def semantic_dedup(
                duplicate neighborhood survives, independent of
                partitioning);
       dup_of — the smallest such witness id (NULL when kept).
+
+    CHAIN-DELETION semantics (deliberate, ADVICE r9): a vector is
+    dropped when ANY smaller-id same-cell witness clears the
+    threshold, even if that witness is itself dropped. For a chain
+    A~B, B~C with A!~C, both B and C are deleted (C's dup_of=B points
+    at a non-survivor) although the surviving representative A is not
+    a near-duplicate of C — i.e. the drop set is "everything except
+    the per-chain minimum", slightly MORE aggressive than
+    keep-one-per-ε-neighborhood. This is the chosen rule because it is
+    one self-join (no iteration), deterministic, and partition-
+    invariant; SemDeDup itself tolerates the same over-deletion (its
+    random-keep within ε-balls makes no transitive-closure guarantee
+    either, §2 of the paper). Callers needing exact
+    one-per-connected-component semantics should feed the ≥threshold
+    pair list to operators/graph.py connected_components
+    (dedup_cluster_canonical does exactly this for MinHash pairs).
+    dup_of is therefore a WITNESS (proof of some near-dup with a
+    smaller id), not the surviving representative.
 
     100 TB shape — never all-pairs: the candidate join is an equi-join
     on the cell id, so pair work is Σ s_c² over cluster sizes, bounded
@@ -309,9 +328,15 @@ def semantic_dedup(
             unit.alias("u"),
         )
         # consumed three times (both self-join sides + the keep join);
-        # without the pin the Arrow assignment kernel runs three times
+        # without the pin the Arrow assignment kernel runs three times.
+        # Lifetime (ADVICE r9): must outlive the caller's action, so no
+        # unpersist here — long-lived callers take the handle via
+        # ``cache_handles`` (the bloom.py convention) and unpersist
+        # after consuming; otherwise LRU eviction reclaims it.
         .persist()
     )
+    if cache_handles is not None:
+        cache_handles.append(assigned)
     a = assigned.select(F.col("id").alias("id_a"), F.col("cell"), F.col("u").alias("ua"))
     b = assigned.select(F.col("id").alias("id_b"), F.col("cell"), F.col("u").alias("ub"))
     pair_cos = F.aggregate(

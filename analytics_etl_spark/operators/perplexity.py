@@ -23,11 +23,18 @@ surprisal is quantized to 1/256-bit units
 
 and from there everything is exact integer arithmetic again (int64
 sums are order-invariant, unlike double sums — the BM25 linearization
-discipline, operators/search.py). The floor() can only straddle a
-representable boundary when log2 of a count ratio is a multiple of
-1/256 — i.e. at exact powers of two, where IEEE log2 is exact in both
-engines — so a last-ulp libm difference between Spark and DuckDB
-cannot flip a quantized surprisal. Per-doc score:
+discipline, operators/search.py). Cross-engine floor() stability is
+PROBABILISTIC, not absolute (ADVICE r9): 256·(log2(c1+V) − log2(c2+1))
+lands exactly ON an integer only when the count ratio is a power of
+two (where IEEE log2 is exact in both engines and no flip is
+possible), but it can land arbitrarily CLOSE to an integer for other
+ratios, where a last-ulp libm difference could in principle flip the
+floor. For int64 counts the gap to the nearest integer is ≳1e-12 in
+all but adversarially-constructed cases vs a libm disagreement of
+≤1 ulp (~2e-16 at this magnitude) — a ~1e-4 relative margin per
+distinct count pair, so a flip is overwhelmingly improbable but not
+guaranteed; the oracle gate would surface one as a hash mismatch.
+Per-doc score:
 
     ppl_q256 = (Σ c·s_q) DIV (Σ c)    -- mean surprisal, 1/256 bits
 
@@ -185,6 +192,7 @@ def perplexity_gate(
     threshold_q256: int = UNSEEN_SURPRISAL_Q,
     text_col: str = "text",
     ref_pred: Column | None = None,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The composed CCNet-style gate: train on the reference slice,
     score ``docs``, and flag ``keep = ppl_q256 <= threshold_q256``
@@ -242,9 +250,18 @@ def perplexity_gate(
         .groupBy("doc_id", "is_ref", "f1", "f2")
         .agg(F.count("*").cast("bigint").alias("c"))
         # dc feeds the model rollup AND the scoring join — persist, or
-        # the corpus bigram explode runs twice (measured ~2× at sf0.1)
+        # the corpus bigram explode runs twice (measured ~2× at sf0.1).
+        # Lifetime (ADVICE r9): the handle must outlive the caller's
+        # action, so we cannot unpersist here; callers that run many
+        # queries in one session (the driver, bench reps) pass
+        # ``cache_handles`` and unpersist after consuming the result —
+        # otherwise the entry stays until LRU block eviction (MEMORY_*
+        # storage is evictable, so this degrades to recompute, never
+        # OOM).
         .persist()
     )
+    if cache_handles is not None:
+        cache_handles.append(dc)
     c2 = (
         dc.filter(F.col("is_ref"))
         .groupBy("f1", "f2")
@@ -302,6 +319,7 @@ def perplexity_buckets(
     ref_docs: DataFrame | None = None,
     text_col: str = "text",
     ref_pred: Column | None = None,
+    cache_handles: list[DataFrame] | None = None,
 ) -> DataFrame:
     """CCNet's actual deployment shape: head/middle/tail TERTILES of
     the corpus's own perplexity distribution (Wenzek et al. 2020 §4.3
@@ -334,12 +352,17 @@ def perplexity_buckets(
     never the corpus; the boundary frame is a 1-row broadcast.
     """
     scored = perplexity_gate(
-        docs, ref_docs=ref_docs, text_col=text_col, ref_pred=ref_pred
+        docs, ref_docs=ref_docs, text_col=text_col, ref_pred=ref_pred,
+        cache_handles=cache_handles,
     ).drop("keep")
     # scored feeds the histogram AND the final bucket join — persist,
     # or the LM score subtree (joins + two aggregations over the
-    # persisted bigram table) replays for each consumer
+    # persisted bigram table) replays for each consumer. Same lifetime
+    # contract as ``dc`` above: handle exported via cache_handles,
+    # else LRU-evictable.
     scored = scored.persist()
+    if cache_handles is not None:
+        cache_handles.append(scored)
     hist = scored.groupBy("ppl_q256").agg(F.count("*").cast("bigint").alias("cnt"))
     w_cum = Window.orderBy("ppl_q256").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

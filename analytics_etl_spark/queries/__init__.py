@@ -64,54 +64,54 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-9 rotation (output of tools/rotate_window.py, the steady-state
-# least-recently-checked policy finally exercised after r8 reused the
-# r7 window verbatim): the 40 stalest oracle-paired non-core queries —
-# the 7 remaining r2-row holders (shipping_priority et al.), then the
-# r4 cohort (17), then the alphabetically-first r5 fills. Every name
-# below last earned a driver row in r2/r4/r5; the r7/r8 window members
-# all rotate out with fresh green rows standing.
+# Round-10 rotation (output of tools/rotate_window.py): leads with the
+# five r9 additions that have NEVER held a driver row (they landed
+# after the r9 window was pinned — VERDICT r9 item 1:
+# perplexity gate/buckets, bpe_apply_tokens, the two gated corpus
+# builds), then the stalest r5-row holders, then the
+# alphabetically-first r6 cohort. Every r9 window member rotates out
+# with a fresh green row standing (CORRECTNESS_r09.json: 50/50).
 ROTATION: tuple[str, ...] = (
-    "shipping_priority",
-    "sql_api_revenue_by_status",
-    "string_functions_pack",
-    "time_bucket_15min",
-    "tumbling_window_agg",
-    "unpivot_event_counts",
-    "window_running_revenue",
-    "asof_join_last_click",
-    "corpus_filter_pipeline",
-    "corpus_frequency_score",
-    "docs_balanced_topn",
-    "docs_chunked_overlap",
-    "docs_stats_by_lang",
-    "embedding_centroids",
-    "funnel_conversion",
-    "grouping_sets_revenue",
-    "pricing_summary",
-    "quantiles_exact",
-    "rollup_revenue",
-    "sessionize_events",
-    "text_langid",
-    "text_pii_redact",
-    "text_repetition_metrics",
-    "top_similar_pairs",
-    "anti_join_inactive_customers",
-    "benchmark_contamination",
-    "broadcast_join_enrich",
-    "cents_to_dollars",
-    "corpus_build_pipeline",
-    "cube_counts",
-    "dataset_split",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_incremental_batch",
-    "dedup_ngram_jaccard",
-    "dim_scan",
-    "doc_fingerprint_winnow",
-    "docs_stratified_sample",
-    "embedding_norms",
+    "bpe_apply_tokens",
+    "corpus_build_bucket_gated",
+    "corpus_build_ppl_gated",
+    "text_perplexity_buckets",
+    "text_perplexity_gate",
+    "embedding_random_projection",
+    "explode_words",
+    "hypertable_rollup",
+    "json_extract_props",
+    "latest_order_per_customer",
+    "multimodal_binary_meta",
+    "pivot_event_counts",
+    "range_join_price_bands",
+    "regional_revenue",
+    "revenue_denylist_filter",
+    "sales_count_by_location",
+    "sales_date_range",
+    "semi_join_active_customers",
+    "similarity_ann_bucketed",
+    "similarity_ann_hyperplane",
+    "similarity_ann_multiprobe",
+    "similarity_topk_int8",
+    "text_quality_score",
+    "text_token_count",
+    "topk_per_group",
+    "tz_convert",
+    "union_all_accumulate",
+    "vocab_coverage_topk",
+    "window_function_family",
+    "binational_volume",
+    "cheapest_supplier_per_part",
+    "contrastive_triplets",
+    "corpus_checksum",
+    "dedup_exact_canonical",
+    "dedup_substring_spans",
+    "deterministic_shuffle",
+    "disjunctive_filter_revenue",
+    "equi_depth_histogram",
+    "events_dau",
+    "events_props_variant_stats",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -104,7 +104,19 @@ def text_perplexity_gate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with add-one smoothing trained on the English reference slice,
     every document scored by quantized mean surprisal, gated at a
     pinned threshold. Fully oracle-paired — the fixed-point surprisal
-    quantization makes the geometric-mean statistic hash-exact."""
+    quantization makes the geometric-mean statistic hash-exact.
+
+    KNOWN DEGENERACY of the pinned cut (VERDICT r9 item 5): the
+    absolute threshold (3150 q-units) splits non-trivially at sf0.001
+    (observed ppl range 3090-3287) and sf0.01 (3058-3231), but at
+    sf0.1 the bigger reference slice drives almost the whole corpus
+    under the cut, so keep ≈ all. That is inherent to ANY absolute
+    perplexity cut — more training data lowers scores corpus-wide.
+    This query is kept as the oracle-simplest member of the family;
+    the PRODUCTION gate is the distribution-relative tertile rule
+    (text_perplexity_buckets / corpus_build_bucket_gated — CCNet's
+    deployed head+middle retention), which self-calibrates at every
+    corpus size."""
     docs = t(spark, sf_dir, "documents")
     return perplexity_gate(
         docs,
@@ -367,8 +379,11 @@ def corpus_build_bucket_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pool = docs.filter(F.col("doc_id") >= 25)
+    lm_handles: list[DataFrame] = []
     keep_ids = (
-        perplexity_buckets(pool, ref_pred=F.col("lang") == "en")
+        perplexity_buckets(
+            pool, ref_pred=F.col("lang") == "en", cache_handles=lm_handles
+        )
         .filter(F.col("bucket") != "tail")
         .select("doc_id")
         # same id-sized decision pin + eager populate as
@@ -377,6 +392,11 @@ def corpus_build_bucket_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     keep_ids.count()
+    # the eager count materialized the id-sized decision; the LM's
+    # internal bigram/score caches are dead weight from here (ADVICE
+    # r9 — the driver runs 50 queries in one session)
+    for h in lm_handles:
+        h.unpersist()
     gated_pool = pool.select("doc_id", "text").join(keep_ids, "doc_id", "left_semi")
     result, _ = corpus_build(
         gated_pool, docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
@@ -399,11 +419,13 @@ def corpus_build_ppl_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pool = docs.filter(F.col("doc_id") >= 25)
+    lm_handles: list[DataFrame] = []
     keep_ids = (
         perplexity_gate(
             pool,
             ref_pred=F.col("lang") == "en",
             threshold_q256=PPL_KEEP_THRESHOLD_Q256,
+            cache_handles=lm_handles,
         )
         .filter(F.col("keep"))
         .select("doc_id")
@@ -419,6 +441,10 @@ def corpus_build_ppl_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the LM subtree run exactly once (22 s -> ~7 s at sf0.001; same
     # two-action shape as the kmeans/rollup-refresh queries)
     keep_ids.count()
+    # the LM's internal bigram cache is dead weight once the id-sized
+    # decision is materialized (ADVICE r9)
+    for h in lm_handles:
+        h.unpersist()
     gated_pool = pool.select("doc_id", "text").join(keep_ids, "doc_id", "left_semi")
     result, _ = corpus_build(
         gated_pool, docs.filter(F.col("doc_id") < 25).select("doc_id", "text")

@@ -15,18 +15,24 @@ SF = "/root/testdata/sf0.001"
 
 def test_registry_shape():
     qs, os_ = queries(), oracle_sql()
-    assert len(qs) >= 40
+    # EXACT pins (VERDICT r9 item 3): a silently dropped or
+    # deregistered query family must fail the suite, not shrink the
+    # denominator. Update both numbers INTENTIONALLY, in the same
+    # commit that changes the registry.
+    assert len(qs) == 167, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
-    # the vast majority of the surface must be oracle-checked; the
-    # rows-only set is the approximate/hermetic/sequential ops (approx
-    # distinct, approx quantiles, the synthetic REST source, IVF float
-    # means, exact greedy packing, HLL sketch union, view-hidden file
-    # identity, the HLL table profile, the Misra-Gries heavy-hitter
-    # sketch, r7's iterative BPE merge learner, r9's k-means semantic
-    # dedup). simhash left this set in r6 — its 60-bit non-negative
-    # hashes made the bit ops engine-portable; BPE gained a
-    # hash-checked member in r9 (bpe_apply_tokens).
-    assert len(os_) >= len(qs) - 11
+    # the rows-only set is the approximate/hermetic/sequential ops
+    # (approx distinct, approx quantiles, the synthetic REST source,
+    # IVF float means, exact greedy packing, HLL sketch union,
+    # view-hidden file identity, the HLL table profile, the
+    # Misra-Gries heavy-hitter sketch, r7's iterative BPE merge
+    # learner, r9's k-means semantic dedup). simhash left this set in
+    # r6 — its 60-bit non-negative hashes made the bit ops
+    # engine-portable; BPE gained a hash-checked member in r9
+    # (bpe_apply_tokens).
+    assert len(qs) - len(os_) == 11, (
+        f"rows-only count changed: {len(qs) - len(os_)}"
+    )
 
 
 def test_driver_window_is_curated_and_pinned():
