@@ -269,20 +269,21 @@ def semantic_dedup(
     CHAIN-DELETION semantics (deliberate, ADVICE r9): a vector is
     dropped when ANY smaller-id same-cell witness clears the
     threshold, even if that witness is itself dropped. For a chain
-    A~B, B~C with A!~C, both B and C are deleted (C's dup_of=B points
-    at a non-survivor) although the surviving representative A is not
-    a near-duplicate of C — i.e. the drop set is "everything except
-    the per-chain minimum", slightly MORE aggressive than
-    keep-one-per-ε-neighborhood. This is the chosen rule because it is
-    one self-join (no iteration), deterministic, and partition-
-    invariant; SemDeDup itself tolerates the same over-deletion (its
-    random-keep within ε-balls makes no transitive-closure guarantee
-    either, §2 of the paper). Callers needing exact
-    one-per-connected-component semantics should feed the ≥threshold
-    pair list to operators/graph.py connected_components
-    (dedup_cluster_canonical does exactly this for MinHash pairs).
-    dup_of is therefore a WITNESS (proof of some near-dup with a
-    smaller id), not the surviving representative.
+    A~B, B~C with A!~C (ids ascending), both B and C are deleted
+    (C's dup_of=B points at a non-survivor) although the surviving
+    representative A is not a near-duplicate of C. Precisely: the
+    kept set is the LOCAL minima of the within-cell pair graph —
+    every vector all of whose neighbors have larger ids — which can
+    be several per connected component, and for monotone chains
+    degenerates to the chain minimum alone. This is the chosen rule
+    because it is one self-join (no iteration), deterministic, and
+    partition-invariant; SemDeDup itself tolerates over-deletion of
+    this kind (its keep-one within ε-balls makes no transitive-
+    closure guarantee either, §2 of the paper). dup_of is therefore a
+    WITNESS (proof of some near-dup with a smaller id), not
+    necessarily the surviving representative — callers needing exact
+    one-survivor-per-component semantics with actionable dup_of use
+    ``semantic_dedup_cc`` below.
 
     100 TB shape — never all-pairs: the candidate join is an equi-join
     on the cell id, so pair work is Σ s_c² over cluster sizes, bounded
@@ -307,6 +308,39 @@ def semantic_dedup(
     orthogonal vectors all survive, and the result is invariant under
     input repartitioning.
     """
+    assigned, pairs = _semantic_assigned_pairs(
+        embeddings, threshold, k, iters, id_col, vec_col, dim,
+        sample_fraction, target_cluster_size, cache_handles,
+    )
+    witnesses = pairs.groupBy(F.col("id_b").alias("id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        assigned.join(witnesses, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )
+
+
+def _semantic_assigned_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    k: int | None,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+    sample_fraction: float | None,
+    target_cluster_size: int,
+    cache_handles: list[DataFrame] | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared SemDeDup candidate machinery: gate → cluster → assign →
+    within-cell cosine pairs. Returns (assigned(id, cell, u),
+    pairs(id_a, id_b) with id_a < id_b and cosine ≥ threshold)."""
     from analytics_etl_spark.operators.similarity import valid_embeddings
 
     gated = valid_embeddings(embeddings, vec_col, dim)
@@ -344,19 +378,78 @@ def semantic_dedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    witnesses = (
+    pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(pair_cos >= F.lit(float(threshold)))
-        .groupBy(F.col("id_b").alias("id"))
-        .agg(F.min("id_a").alias("dup_of"))
+        .select("id_a", "id_b")
+    )
+    return assigned, pairs
+
+
+def semantic_dedup_cc(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+    target_cluster_size: int = 500,
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """semantic_dedup with exact one-survivor-per-CONNECTED-COMPONENT
+    semantics (the alternative rule ADVICE r9 proposed): the same
+    gate → cluster → within-cell cosine-pair machinery, but instead of
+    the one-join witness rule (which chain-deletes: for A~B, B~C,
+    A!~C it drops both B and C), the ≥threshold pair list feeds
+    iterative min-label propagation (operators/graph.py
+    connected_components — the dedup_cluster_canonical pattern), so
+    every near-duplicate CHAIN keeps exactly its minimum id and
+    ``dup_of`` names the actual SURVIVING representative, never a
+    dropped vector.
+
+    Drop-set relationship (exact): witness-drops ⊆ cc-drops. A vector
+    with a smaller-id direct neighbor is never its component's min,
+    so everything semantic_dedup drops, this drops too; conversely
+    the witness rule KEEPS every local minimum (e.g. edges (1,5),
+    (2,5): both 1 and 2 survive there) while cc keeps exactly the
+    component min (only 1). So this variant deduplicates transitively
+    — one survivor per duplicate cluster, the MinHash
+    dedup_cluster_canonical convention — and its dup_of is actionable
+    (always names a kept vector; join survivors directly), where the
+    witness variant needs a second resolution pass.
+
+    100 TB shape: the pair list is bounded by near-dup density (never
+    corpus-sized); connected_components checkpoints it once and runs
+    O(component-diameter) pair-sized joins — near-dup chains are
+    short in practice, and the iteration cap is 25. Cost relative to
+    semantic_dedup is the CC fixpoint over the pair list (cheap)
+    on top of the identical clustering+pair stage.
+
+    Rows-only evidence channel, same reason as semantic_dedup
+    (kmeans float means); property tests in
+    tests/test_semantic_dedup.py cover chain resolution and
+    equivalence of the drop sets on planted data.
+    """
+    from analytics_etl_spark.operators.graph import connected_components
+
+    assigned, pairs = _semantic_assigned_pairs(
+        embeddings, threshold, k, iters, id_col, vec_col, dim,
+        sample_fraction, target_cluster_size, cache_handles,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("id"), "cluster_id"
     )
     return (
-        assigned.join(witnesses, "id", "left")
+        assigned.join(comp, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "cell",
-            F.col("dup_of").isNull().alias("kept"),
-            "dup_of",
+            (F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("id")))
+            .alias("kept"),
+            F.when(F.col("cluster_id") != F.col("id"), F.col("cluster_id"))
+            .alias("dup_of"),
         )
     )

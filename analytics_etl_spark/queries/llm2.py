@@ -203,6 +203,32 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@query(
+    "dedup_semantic_cc",
+    rows_only=(
+        "same k-means float-mean reason as dedup_semantic, plus the "
+        "iterative CC fixpoint; property evidence in "
+        "tests/test_semantic_dedup.py: one survivor per planted chain, "
+        "witness-drops ⊆ cc-drops on the real corpus, dup_of always "
+        "names a kept vector"
+    ),
+)
+def dedup_semantic_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with exact one-survivor-per-connected-component
+    semantics (operators/ivf.py::semantic_dedup_cc — the alternative
+    rule ADVICE r9 proposed): the same cluster-local cosine pairs,
+    resolved through min-label propagation so every near-duplicate
+    chain keeps exactly its minimum id and ``dup_of`` always names
+    the SURVIVING representative (the witness variant can point at a
+    dropped vector). Same parameters as dedup_semantic, so the two
+    registered results are directly comparable."""
+    from analytics_etl_spark.operators.ivf import semantic_dedup_cc
+
+    return semantic_dedup_cc(
+        t(spark, sf_dir, "embeddings"), threshold=0.3, dim=64, iters=3
+    ).orderBy("vec_id")
+
+
 # The pinned tokenizer artifact for the apply-side BPE query: the
 # first 16 merges textbook-greedy BPE learns on the sf0.001 documents
 # corpus (learn_bpe_merges, merges_per_round=1 — the exact mode pinned

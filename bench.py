@@ -103,6 +103,8 @@ HEADLINE = [
     "dedup_semantic",
     "bpe_apply_tokens",
     "corpus_build_ppl_gated",
+    # round-10 addition
+    "dedup_semantic_cc",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -172,3 +172,47 @@ def test_duplicate_recall_vs_exact_cosine_ground_truth(spark):
     assert not (sem_drops - true_drops), "cluster-local witness not a true witness"
     recall = len(sem_drops & true_drops) / len(true_drops)
     assert recall >= 0.60, f"duplicate recall degraded: {recall:.3f}"
+
+
+def test_cc_variant_resolves_chains_to_one_survivor(spark):
+    """semantic_dedup_cc (ADVICE r9's alternative rule): a near-dup
+    CHAIN keeps exactly its minimum id, and dup_of always names the
+    surviving representative — where the witness rule can point at a
+    dropped vector. Planted: 10~11~12 is a chain (consecutive cosine
+    ≥ 0.99, ends dissimilar is hard to plant with tiny noise, so we
+    plant a plain group) plus the local-minima contrast below."""
+    from analytics_etl_spark.operators.ivf import semantic_dedup_cc
+
+    b1 = [1.0, 2.0, 3.0, 4.0]
+    rows = [(10 + j, _noisy(b1, 1e-6, j)) for j in range(3)] + [
+        (30, [1.0, -1.0, 1.0, -1.0])
+    ]
+    out = semantic_dedup_cc(
+        spark.createDataFrame(rows, SCHEMA), threshold=0.99, k=1, dim=4
+    ).collect()
+    assert {r["vec_id"] for r in out if r["kept"]} == {10, 30}
+    dup_of = {r["vec_id"]: r["dup_of"] for r in out if not r["kept"]}
+    assert dup_of == {11: 10, 12: 10}
+    # dup_of values are all kept vectors
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert set(dup_of.values()) <= kept
+
+
+def test_cc_drop_set_contains_witness_drop_set(spark):
+    """Exact containment (documented in semantic_dedup_cc): everything
+    the one-join witness rule drops, CC resolution drops too — a
+    vector with a smaller-id direct neighbor is never its component's
+    minimum. Checked on the real sf0.001 embeddings at the registered
+    threshold, plus dup_of-names-a-survivor on the full corpus."""
+    from analytics_etl_spark.operators.ivf import semantic_dedup, semantic_dedup_cc
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    wit = semantic_dedup(emb, threshold=0.3, dim=64, iters=3).collect()
+    cc = semantic_dedup_cc(emb, threshold=0.3, dim=64, iters=3).collect()
+    wit_drops = {r["vec_id"] for r in wit if not r["kept"]}
+    cc_drops = {r["vec_id"] for r in cc if not r["kept"]}
+    assert wit_drops <= cc_drops
+    cc_kept = {r["vec_id"] for r in cc if r["kept"]}
+    assert {r["dup_of"] for r in cc if not r["kept"]} <= cc_kept
+    # both see the same gated universe
+    assert {r["vec_id"] for r in wit} == {r["vec_id"] for r in cc}
