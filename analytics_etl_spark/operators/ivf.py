@@ -251,6 +251,7 @@ def semantic_dedup(
     sample_fraction: float | None = None,
     target_cluster_size: int = 500,
     cache_handles: list[DataFrame] | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, compare
@@ -310,7 +311,7 @@ def semantic_dedup(
     """
     assigned, pairs = _semantic_assigned_pairs(
         embeddings, threshold, k, iters, id_col, vec_col, dim,
-        sample_fraction, target_cluster_size, cache_handles,
+        sample_fraction, target_cluster_size, cache_handles, centroids,
     )
     witnesses = pairs.groupBy(F.col("id_b").alias("id")).agg(
         F.min("id_a").alias("dup_of")
@@ -337,20 +338,25 @@ def _semantic_assigned_pairs(
     sample_fraction: float | None,
     target_cluster_size: int,
     cache_handles: list[DataFrame] | None,
+    centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared SemDeDup candidate machinery: gate → cluster → assign →
     within-cell cosine pairs. Returns (assigned(id, cell, u),
-    pairs(id_a, id_b) with id_a < id_b and cosine ≥ threshold)."""
+    pairs(id_a, id_b) with id_a < id_b and cosine ≥ threshold).
+    Pass ``centroids`` (an index-time quantizer, k·dim floats) to
+    skip training entirely — the production shape, where the
+    quantizer is built once at index time and reused per run."""
     from analytics_etl_spark.operators.similarity import valid_embeddings
 
     gated = valid_embeddings(embeddings, vec_col, dim)
-    if k is None:
-        n = gated.count()
-        k = max(4, -(-n // max(1, int(target_cluster_size))))
-    centroids = kmeans_centroids(
-        gated, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        sample_fraction=sample_fraction,
-    )
+    if centroids is None:
+        if k is None:
+            n = gated.count()
+            k = max(4, -(-n // max(1, int(target_cluster_size))))
+        centroids = kmeans_centroids(
+            gated, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            sample_fraction=sample_fraction,
+        )
     v = as_double_array(vec_col)
     unit = F.transform(v, lambda x: x / F.sqrt(F.aggregate(
         F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
@@ -398,6 +404,7 @@ def semantic_dedup_cc(
     sample_fraction: float | None = None,
     target_cluster_size: int = 500,
     cache_handles: list[DataFrame] | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """semantic_dedup with exact one-survivor-per-CONNECTED-COMPONENT
     semantics (the alternative rule ADVICE r9 proposed): the same
@@ -437,7 +444,7 @@ def semantic_dedup_cc(
 
     assigned, pairs = _semantic_assigned_pairs(
         embeddings, threshold, k, iters, id_col, vec_col, dim,
-        sample_fraction, target_cluster_size, cache_handles,
+        sample_fraction, target_cluster_size, cache_handles, centroids,
     )
     comp = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("doc_id").alias("id"), "cluster_id"
@@ -451,5 +458,126 @@ def semantic_dedup_cc(
             .alias("kept"),
             F.when(F.col("cluster_id") != F.col("id"), F.col("cluster_id"))
             .alias("dup_of"),
+        )
+    )
+
+
+def semantic_dedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.95,
+    k: int | None = None,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+    target_cluster_size: int = 500,
+    centroids: list[list[float]] | None = None,
+    corpus_cell_col: str | None = None,
+    cache_handles: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Incremental (daily-ingest) SemDeDup: NEW batch vs EXISTING
+    corpus — the embedding-space twin of
+    ``dedup.incremental_minhash_dedup``. Corpus vectors are already
+    admitted and are never re-judged; each BATCH vector returns
+    (id, cell, kept, dup_of) where kept is False iff some same-cell
+    corpus vector OR some smaller-id same-cell batch vector clears
+    ``threshold`` (batches can contain internal dups), and dup_of is
+    the smallest such witness id (corpus and batch ids share one id
+    space here, as in the text twin).
+
+    The shape that keeps a 100 TB corpus ingestable:
+    - the quantizer is INDEX-TIME state: pass ``centroids`` (trained
+      once at index build, k·dim floats) and no training scan runs at
+      ingest; with ``corpus_cell_col`` the corpus side's cell
+      assignment is ingest-persisted too (``write_ivf_index`` layout:
+      cell is a partition column), so NO Python kernel touches the
+      corpus at batch time and the cell equi-join against the
+      batch-sized build side drives dynamic partition pruning — the
+      corpus scan touches only the cells the batch lands in
+      (k-bounded), never the whole index.
+    - join work is O(batch × cell density) + O(batch²/cells): the
+      batch-vs-corpus candidate join never generates corpus-corpus
+      pairs, exactly like the MinHash twin's bucket join.
+    - when ``centroids`` is None (cold start / tests), the quantizer
+      trains on the CORPUS slice only (sample-boundable via
+      ``sample_fraction``) — the batch must not shift the cells that
+      existing index entries were assigned under.
+
+    Junk vectors gate out on BOTH sides via ``valid_embeddings``
+    before any comparison. Rows-only evidence channel (k-means float
+    means, as semantic_dedup); property tests in
+    tests/test_semantic_dedup.py.
+    """
+    from analytics_etl_spark.operators.similarity import valid_embeddings
+
+    gated_c = valid_embeddings(corpus, vec_col, dim)
+    gated_b = valid_embeddings(batch, vec_col, dim)
+    if centroids is None:
+        if k is None:
+            n = gated_c.count()
+            k = max(4, -(-n // max(1, int(target_cluster_size))))
+        centroids = kmeans_centroids(
+            gated_c, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            sample_fraction=sample_fraction,
+        )
+    v = as_double_array(vec_col)
+    unit = F.transform(v, lambda x: x / F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
+    )))
+    bat = (
+        gated_b.select(
+            F.col(id_col).alias("id"),
+            _assign_udf(centroids)(v).alias("cell"),
+            unit.alias("u"),
+        )
+        # consumed three times (corpus join, batch self-join both
+        # sides, final keep join) — and it is batch-sized, the cheap
+        # side; cache_handles per the bloom.py lifetime convention
+        .persist()
+    )
+    if cache_handles is not None:
+        cache_handles.append(bat)
+    cell_expr = (
+        F.col(corpus_cell_col) if corpus_cell_col is not None
+        else _assign_udf(centroids)(v)
+    )
+    cor = gated_c.select(
+        F.col(id_col).alias("wid"), cell_expr.alias("cell"), unit.alias("wu")
+    )
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("u"), F.col("wu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    corpus_wit = (
+        bat.join(cor, "cell")
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .select("id", "wid")
+    )
+    batch_wit = (
+        bat.join(
+            bat.select(
+                F.col("id").alias("wid"), "cell", F.col("u").alias("wu")
+            ),
+            "cell",
+        )
+        .filter(F.col("wid") < F.col("id"))
+        .filter(pair_cos >= F.lit(float(threshold)))
+        .select("id", "wid")
+    )
+    witnesses = (
+        corpus_wit.unionByName(batch_wit)
+        .groupBy("id")
+        .agg(F.min("wid").alias("dup_of"))
+    )
+    return (
+        bat.join(witnesses, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
         )
     )

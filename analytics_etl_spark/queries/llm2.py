@@ -229,6 +229,37 @@ def dedup_semantic_cc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@query(
+    "dedup_semantic_incremental",
+    rows_only=(
+        "same k-means float-mean reason as dedup_semantic; property "
+        "evidence in tests/test_semantic_dedup.py: corpus near-dups "
+        "drop batch vectors with corpus dup_of, batch-internal dups "
+        "resolve to the smallest batch id, novel vectors survive, "
+        "corpus rows are never re-judged"
+    ),
+)
+def dedup_semantic_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup at ingest
+    (operators/ivf.py::semantic_dedup_incremental): the embedding
+    twin of dedup_incremental_batch — judge only the NEW batch
+    (vec_id ≥ 400) against the admitted corpus (vec_id < 400) plus
+    itself, never re-judging or regenerating corpus-corpus pairs.
+    Quantizer trained on the corpus slice only, so cells match what a
+    persisted write_ivf_index layout would hold; same 0.3 threshold
+    as the rest of the semantic family."""
+    from analytics_etl_spark.operators.ivf import semantic_dedup_incremental
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup_incremental(
+        emb.filter(F.col("vec_id") < 400),
+        emb.filter(F.col("vec_id") >= 400),
+        threshold=0.3,
+        dim=64,
+        iters=3,
+    ).orderBy("vec_id")
+
+
 # The pinned tokenizer artifact for the apply-side BPE query: the
 # first 16 merges textbook-greedy BPE learns on the sf0.001 documents
 # corpus (learn_bpe_merges, merges_per_round=1 — the exact mode pinned

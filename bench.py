@@ -103,8 +103,9 @@ HEADLINE = [
     "dedup_semantic",
     "bpe_apply_tokens",
     "corpus_build_ppl_gated",
-    # round-10 addition
+    # round-10 additions
     "dedup_semantic_cc",
+    "dedup_semantic_incremental",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

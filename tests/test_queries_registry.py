@@ -19,18 +19,18 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 168, f"registry count changed: {len(qs)}"
+    assert len(qs) == 169, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set is the approximate/hermetic/sequential ops
     # (approx distinct, approx quantiles, the synthetic REST source,
     # IVF float means, exact greedy packing, HLL sketch union,
     # view-hidden file identity, the HLL table profile, the
     # Misra-Gries heavy-hitter sketch, r7's iterative BPE merge
-    # learner, r9's k-means semantic dedup, r10's CC-resolved semantic
-    # dedup). simhash left this set in r6 — its 60-bit non-negative
-    # hashes made the bit ops engine-portable; BPE gained a
-    # hash-checked member in r9 (bpe_apply_tokens).
-    assert len(qs) - len(os_) == 12, (
+    # learner, r9's k-means semantic dedup, r10's CC-resolved and
+    # incremental semantic dedups). simhash left this set in r6 — its
+    # 60-bit non-negative hashes made the bit ops engine-portable;
+    # BPE gained a hash-checked member in r9 (bpe_apply_tokens).
+    assert len(qs) - len(os_) == 13, (
         f"rows-only count changed: {len(qs) - len(os_)}"
     )
 
@@ -149,6 +149,7 @@ PYTHON_KERNEL_OK = {
     "dedup_ngram_jaccard",
     "dedup_semantic",  # k-means cell assignment is the declared Arrow matmul
     "dedup_semantic_cc",  # same Arrow assignment kernel, CC resolution
+    "dedup_semantic_incremental",  # same Arrow assignment kernel, batch side
     "dedup_simhash",
     "doc_fingerprint_winnow",
     "heavy_hitters_parts",

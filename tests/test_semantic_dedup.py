@@ -216,3 +216,80 @@ def test_cc_drop_set_contains_witness_drop_set(spark):
     assert {r["dup_of"] for r in cc if not r["kept"]} <= cc_kept
     # both see the same gated universe
     assert {r["vec_id"] for r in wit} == {r["vec_id"] for r in cc}
+
+
+def test_incremental_batch_vs_corpus(spark):
+    """semantic_dedup_incremental: the embedding twin of
+    incremental_minhash_dedup. Planted: batch vector 100 near-dups
+    corpus vector 10 (dropped, dup_of=10); batch 101/102 are mutual
+    near-dups of each other but novel vs the corpus (101 kept as the
+    smaller id, 102 dropped with dup_of=101); batch 103 is orthogonal
+    to everything (kept). Corpus rows never appear in the output."""
+    from analytics_etl_spark.operators.ivf import semantic_dedup_incremental
+
+    b1 = [1.0, 2.0, 3.0, 4.0]
+    b2 = [-4.0, 3.0, -2.0, 1.0]
+    corpus = spark.createDataFrame(
+        [(10, b1), (11, [2.0, -1.0, 0.5, -3.0])], SCHEMA
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, _noisy(b1, 1e-6, 1)),
+            (101, _noisy(b2, 1e-6, 0)),
+            (102, _noisy(b2, 1e-6, 2)),
+            (103, [1.0, -1.0, 1.0, -1.0]),
+        ],
+        SCHEMA,
+    )
+    out = semantic_dedup_incremental(
+        corpus, batch, threshold=0.99, k=1, dim=4
+    ).collect()
+    assert {r["vec_id"] for r in out} == {100, 101, 102, 103}
+    by_id = {r["vec_id"]: r for r in out}
+    assert not by_id[100]["kept"] and by_id[100]["dup_of"] == 10
+    assert by_id[101]["kept"] and by_id[101]["dup_of"] is None
+    assert not by_id[102]["kept"] and by_id[102]["dup_of"] == 101
+    assert by_id[103]["kept"]
+
+
+def test_incremental_agrees_with_full_on_shared_quantizer(spark):
+    """With the quantizer trained on the corpus and passed explicitly
+    to both calls, the incremental judgment of a batch equals the
+    full-run judgment restricted to batch ids: the witness rule's
+    drop condition (any smaller-id same-cell witness) is identical
+    when corpus ids all precede batch ids."""
+    from analytics_etl_spark.operators.ivf import (
+        kmeans_centroids,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from analytics_etl_spark.operators.similarity import valid_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 400")
+    batch = emb.filter("vec_id >= 400")
+    cents = kmeans_centroids(
+        valid_embeddings(corpus, "embedding", 64), k=4, iters=3
+    )
+    inc = {
+        (r["vec_id"], r["kept"], r["dup_of"])
+        for r in semantic_dedup_incremental(
+            corpus, batch, threshold=0.3, dim=64, centroids=cents
+        ).collect()
+    }
+    # same quantizer on both paths → the incremental judgment of the
+    # batch is EXACTLY the full-run witness judgment restricted to
+    # batch ids: corpus ids all precede batch ids, so "any same-cell
+    # corpus witness OR smaller-id batch witness" is the same
+    # condition as "any smaller-id same-cell witness", and dup_of is
+    # the same min in both
+    full = {
+        (r["vec_id"], r["kept"], r["dup_of"])
+        for r in semantic_dedup(
+            emb, threshold=0.3, dim=64, centroids=cents
+        ).collect()
+        if r["vec_id"] >= 400
+    }
+    assert inc == full
+    # batch-internal determinism: dup_of < id always
+    assert all(d < i for i, k, d in inc if not k)
