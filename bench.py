@@ -229,6 +229,32 @@ def _ann_lsh_indexed(spark, sf_dir: str):
     return lsh_index_topk(index, _QVEC, planes, k=10, exclude_ids=(0,))
 
 
+def _dedup_semantic_incr_persisted(spark, sf_dir: str):
+    """dedup_semantic_incremental in its DEPLOYMENT shape: quantizer =
+    the index-time centroids (no training scan at ingest), corpus =
+    the write_ivf_index layout with the cell partition column
+    (corpus_cell_col — zero Python kernels on the corpus side; only
+    the batch runs the assign kernel). Compare the registered query,
+    which trains the quantizer and assigns the corpus inline — the
+    delta is the ingest-time work a real site pays once at index
+    build, not per batch."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.ivf import semantic_dedup_incremental
+    from analytics_etl_spark.tables import load_table
+
+    index, cents = _IVF_INDEX
+    batch = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") >= 400)
+    return semantic_dedup_incremental(
+        index.filter(F.col("vec_id") < 400),
+        batch,
+        threshold=0.3,
+        dim=64,
+        centroids=cents,
+        corpus_cell_col="cell",
+    )
+
+
 def _ann_ivf_indexed(spark, sf_dir: str):
     from analytics_etl_spark.operators.ivf import ivf_index_topk
 
@@ -708,6 +734,7 @@ def main() -> None:
     plans["corpus_build_persisted"] = _corpus_build_persisted
     plans["similarity_ann_lsh_indexed"] = _ann_lsh_indexed
     plans["similarity_ann_ivf_indexed"] = _ann_ivf_indexed
+    plans["dedup_semantic_incr_persisted"] = _dedup_semantic_incr_persisted
     plans["similarity_topk_int8_persisted"] = _int8_persisted
     plans["sketch_union_persisted"] = _sketch_union_persisted
     plans["text_search_indexed"] = _text_search_indexed
