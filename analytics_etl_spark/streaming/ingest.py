@@ -372,3 +372,133 @@ def streaming_bloom_maintenance(
         .foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def ingest_vector_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    centroids: list[list[float]],
+    rejects_path: str | None = None,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of the EMBEDDING-side gated ingest — the vector
+    twin of ``ingest_batch``: admit only vectors that are novel vs the
+    already-admitted index AND within the batch, and grow the
+    ``write_ivf_index``-shaped layout by exactly the survivors.
+
+    Per micro-batch (semantic_dedup_incremental does 2+3 in one plan):
+    1. the quantizer is INDEX-TIME state (``centroids`` — fixed for
+       the life of the index; retraining per batch would silently
+       shift every stored row's cell and corrupt cell-local search);
+    2. drop batch-internal near-dups (smaller id survives);
+    3. drop vectors with a same-cell index witness at
+       cosine ≥ threshold — the index side reads its persisted
+       ``cell`` partition column, zero Python kernels corpus-side;
+    4. write survivors under ``epoch=<id>/cell=<c>/`` — epoch-dir
+       overwrite makes a failure replay idempotent, and the corpus
+       read EXCLUDES the replaying epoch (the replay must judge
+       against exactly the state the first attempt saw, or every doc
+       would self-dedup to zero — the ingest_batch lesson);
+    5. optionally record (vec_id, cell, dup_of) rejects for audit —
+       every dropped vector is attributable (quarantine discipline).
+
+    Module-level so failure replay is directly testable: same
+    (batch, epoch) in, same index state out.
+    """
+    from analytics_etl_spark.operators.ivf import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+
+    spark = batch_df.sparkSession
+    try:
+        corpus = spark.read.parquet(index_path).filter(
+            F.col("epoch") != int(epoch_id)
+        )
+        have_corpus = corpus.limit(1).count() > 0
+    except Exception:  # first batch: nothing admitted yet
+        have_corpus = False
+
+    if have_corpus:
+        judged = semantic_dedup_incremental(
+            corpus,
+            batch_df,
+            threshold=threshold,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+            corpus_cell_col="cell",
+        )
+    else:
+        # empty index: batch-internal witness rule alone — exactly
+        # what the incremental judgment degenerates to with no corpus
+        judged = semantic_dedup(
+            batch_df,
+            threshold=threshold,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+        )
+    # id-sized decision frame, consumed by rejects + the keep join;
+    # eager populate so the two consumers inside one job don't race
+    # an uncommitted cache (the corpus_build_ppl_gated lesson)
+    judged = judged.localCheckpoint(eager=True)
+
+    if rejects_path is not None:
+        judged.filter(~F.col("kept")).select(
+            id_col, "cell", "dup_of"
+        ).withColumn("epoch", F.lit(int(epoch_id))).write.mode(
+            "overwrite"
+        ).parquet(f"{rejects_path}/epoch={int(epoch_id)}")
+
+    # judged already carries each batch vector's cell — join it back
+    # instead of re-running the assign kernel on the survivors
+    kept_cells = judged.filter(F.col("kept")).select(id_col, "cell")
+    survivors = batch_df.join(kept_cells, id_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cell")
+    )
+    # epoch-directory overwrite = idempotent under foreachBatch replay;
+    # cell stays a partition column inside the epoch dir, so the
+    # combined layout reads back with BOTH partition columns and
+    # cell-equi-joins keep pruning (epoch=*/cell=*)
+    survivors.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{index_path}/epoch={int(epoch_id)}")
+
+
+def streaming_vector_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    rejects_path: str | None = None,
+    threshold: float = 0.95,
+    dim: int | None = None,
+):
+    """Wire the gated vector ingest into a streaming writer (caller
+    .start()s it) — the always-current deduplicated embedding index
+    as a side effect of ingest, the vector twin of
+    ``streaming_corpus_ingest``."""
+
+    def _ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_vector_batch(
+            batch_df,
+            epoch_id,
+            index_path,
+            centroids,
+            rejects_path=rejects_path,
+            threshold=threshold,
+            dim=dim,
+        )
+
+    return (
+        vec_stream.writeStream.outputMode("append")
+        .foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+    )

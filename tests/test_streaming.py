@@ -377,3 +377,109 @@ def test_streaming_corpus_ingest_gates_near_dups(spark, tmp_path):
     before = corpus.count()
     ingest_batch(b2, 1, corpus_path, rejects_path=rejects_path, min_jaccard=0.5)
     assert spark.read.parquet(corpus_path).count() == before
+
+
+def test_streaming_vector_ingest_gates_semantic_dups(spark, tmp_path):
+    """The vector twin of the corpus-ingest test: batch 1 seeds the
+    embedding index (batch-internal near-dups dropped, quantizer is
+    FIXED index-time state), batch 2 is gated against the persisted
+    cell-partitioned index, rejects are attributable, the streaming
+    path reproduces the batch operators' judgment exactly, and a
+    replayed micro-batch leaves the index byte-identical."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from analytics_etl_spark.operators.ivf import (
+        kmeans_centroids,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from analytics_etl_spark.streaming.ingest import (
+        ingest_vector_batch,
+        streaming_vector_ingest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    b1 = emb.filter(F.col("vec_id") < 400)
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    # index-time quantizer: trained once on the seed corpus
+    cents = kmeans_centroids(b1, k=4, iters=2)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    index_path = str(tmp_path / "index")
+    rejects_path = str(tmp_path / "rejects")
+
+    def stage(df, name):
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stage(b1, "f1.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    q = streaming_vector_ingest(
+        stream,
+        index_path,
+        str(tmp_path / "ck"),
+        cents,
+        rejects_path=rejects_path,
+        threshold=0.3,
+        dim=64,
+    ).start()
+    try:
+        q.processAllAvailable()
+        stage(b2, "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    index = spark.read.parquet(index_path)
+    got_ids = {r["vec_id"] for r in index.select("vec_id").collect()}
+
+    # expectation from the BATCH operators with the SAME quantizer
+    j1 = semantic_dedup(b1, threshold=0.3, dim=64, centroids=cents)
+    b1_ids = {r["vec_id"] for r in j1.collect() if r["kept"]}
+    corpus_b1 = b1.join(
+        spark.createDataFrame([(i,) for i in b1_ids], "vec_id long"),
+        "vec_id",
+        "left_semi",
+    )
+    j2 = semantic_dedup_incremental(
+        corpus_b1, b2, threshold=0.3, dim=64, centroids=cents
+    ).collect()
+    b2_ids = {r["vec_id"] for r in j2 if r["kept"]}
+    assert got_ids == b1_ids | b2_ids
+
+    # dups were actually present and are attributable in rejects
+    rejects = spark.read.parquet(rejects_path)
+    n_dropped_b2 = sum(1 for r in j2 if not r["kept"])
+    assert rejects.filter(F.col("epoch") == 1).count() == n_dropped_b2 > 0
+    assert {"vec_id", "cell", "dup_of"} <= set(rejects.columns)
+    # the index reads back with BOTH partition columns (epoch, cell)
+    assert {"epoch", "cell"} <= set(index.columns)
+
+    # failure replay: re-running epoch 1 with the same batch leaves
+    # the index identical (epoch-dir overwrite; corpus read excludes
+    # the replaying epoch)
+    before = sorted(
+        (r["vec_id"], r["epoch"], r["cell"]) for r in index.collect()
+    )
+    ingest_vector_batch(
+        b2, 1, index_path, cents, rejects_path=rejects_path,
+        threshold=0.3, dim=64,
+    )
+    after = sorted(
+        (r["vec_id"], r["epoch"], r["cell"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    assert after == before
