@@ -1,0 +1,400 @@
+"""Product quantization (PQ) ANN: subspace codebooks + ADC scoring.
+
+The memory-compression ANN path the int8 family deliberately defers
+(see operators/similarity.py's int8 section): split each unit vector
+into ``m`` contiguous subspaces, k-means each subspace into ``ksub``
+codewords, and store only the m codeword ids — m·log2(ksub) bits per
+vector (m=8, ksub=16 → 32 bits vs 2048 bits of float32, a 64× cut;
+the engine stores the ids as array<int> for schema clarity and leaves
+nibble-packing to the writer, exactly as the int8 family stores its
+codes). Queries score by Asymmetric Distance Computation (ADC,
+Jégou/Douze/Schmid 2011, "Product Quantization for Nearest Neighbor
+Search"): precompute a lookup table lut[j][c] = q_j · codebook[j][c]
+(m·ksub floats, index-metadata-sized), then every corpus vector's
+approximate cosine is m table lookups and m-1 adds — no per-row float
+dot at all.
+
+Spark shape:
+- training mirrors operators/ivf.kmeans_centroids: deterministic
+  md5-smallest seeds, Lloyd iterations where assignment is one Arrow
+  matmul per batch and the update is a codegen (sub, code, dim) mean;
+  the per-iteration driver collect is m·ksub·dsub floats — bounded by
+  the CODEBOOK size, never the corpus. ``sample_fraction`` bounds the
+  training scan the same way (hash-smallest prefix, contains the
+  seeds).
+- encoding is the one Python kernel (Arrow batch matmul per subspace,
+  the _assign_udf family) and runs ONCE at ingest via
+  ``with_pq_codes`` / ``write_ivfpq_index``; with persisted codes the
+  query plan is 100% JVM: the LUT is built by constant-foldable
+  expressions on the 1-row query frame (or driver-side literals for
+  the persisted-index path) and the score is
+  aggregate(transform(zip_with(codes, 0..m-1))) — whole-stage
+  codegen, scan reads only (id, codes).
+- vectors are unit-normalized BEFORE encoding, so ADC's inner product
+  approximates cosine directly (the FAISS normalize-then-IP
+  convention); codebooks here quantize raw unit vectors, not IVF
+  residuals (FAISS ``by_residual=false``) — one global LUT per query
+  regardless of probed cell, at a modest recall cost the rerank pass
+  absorbs.
+
+100 TB story: the coarse pass scans m·4 bytes/vector (int codes;
+4 bits/code after writer packing) instead of 256 — the corpus's codes
+for 10^11 vectors fit a few hundred GB, streamable per partition; the
+float vectors are touched only by the shortlist-sized rerank join.
+Composed with the IVF coarse quantizer (``write_ivfpq_index``), the
+probe filter is partition pruning over ``cell`` directories and the
+ADC scan touches n_probe/k of the codes.
+
+Like IVF, registered queries over this module are rows-only: the
+codebooks are k-means float MEANS, not bit-stable across engines;
+recall is measured against brute force in tests/test_ann_recall.py
+and the encode/ADC algebra is pinned against a NumPy reference in
+tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.sampling import hash_bucket
+from analytics_etl_spark.operators.similarity import (
+    as_double_array,
+    cosine,
+    dot,
+    valid_embeddings,
+)
+
+
+def unit_vector(col: Column | str) -> Column:
+    """vec / ||vec|| as a pure JVM expression (callers gate zero norms
+    out first via ``valid_embeddings``)."""
+    v = as_double_array(col)
+    return F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
+
+
+def _encode_udf(codebooks: list[list[list[float]]]):
+    """unit vec -> array<int> of m codeword ids (argmin L2 per
+    subspace). One Arrow batch: reshape to (n, m, dsub), one small
+    matmul per subspace; ||x|| is constant within a subspace argmin so
+    the score is ||c||² - 2x·c. Ties break to the smallest code id
+    (np.argmin), deterministic under any batching: each row's
+    reduction touches only its own dsub elements in fixed order."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    m, _ksub, dsub = C.shape
+    cn2 = (C**2).sum(axis=2)  # (m, ksub)
+
+    def _enc(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.array(v.tolist(), dtype=np.float64)
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Xs = X.reshape(X.shape[0], m, dsub)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            d = cn2[j][None, :] - 2.0 * (Xs[:, j, :] @ C[j].T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    _enc.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_enc, "array<int>")
+
+
+def pq_encode(vec_col: Column | str, codebooks: list[list[list[float]]]) -> Column:
+    """Column form of the encoder (normalizes internally, so raw or
+    unit input both work)."""
+    return _encode_udf(codebooks)(as_double_array(vec_col))
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means codebooks (m × ksub × dsub).
+
+    Seeds: the ksub gated vectors with the smallest md5 hash of their
+    id, sliced into their m subvectors — stable under any partitioning
+    (the kmeans_centroids convention). Each Lloyd iteration runs ONE
+    encode kernel over the (optionally sampled) unit-vector frame,
+    explodes codes and subvector components JVM-side, and collects the
+    (sub, code, dim)-mean codebook — m·ksub·dsub floats. Empty cells
+    keep their previous codeword.
+    """
+    gated = valid_embeddings(embeddings, vec_col, dim)
+    train_src = gated
+    if sample_fraction is not None and sample_fraction < 1.0:
+        n_buckets = 1 << 30
+        thresh = int(sample_fraction * n_buckets)
+        sampled = gated.filter(hash_bucket(id_col, n_buckets) < thresh)
+        if sampled.count() >= 4 * ksub:
+            train_src = sampled
+    train = train_src.select(
+        F.col(id_col).alias("id"),
+        unit_vector(vec_col).alias("u"),
+        hash_bucket(id_col, 1 << 30).alias("hb"),
+    ).persist()
+    seed_rows = train.orderBy("hb", "id").limit(ksub).collect()
+    seeds = [list(r["u"]) for r in seed_rows]
+    ksub = len(seeds)  # tables smaller than ksub seed fewer codewords
+    d = len(seeds[0])
+    if d % m != 0:
+        train.unpersist()
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    codebooks = [
+        [s[j * dsub : (j + 1) * dsub] for s in seeds] for j in range(m)
+    ]
+    for _ in range(iters):
+        enc = train.select(
+            F.col("u"), _encode_udf(codebooks)(F.col("u")).alias("codes")
+        )
+        # two selects: a generator (posexplode) cannot nest inside
+        # another generator's projection
+        ex = enc.select(F.posexplode("codes").alias("sub", "code"), "u")
+        elems = ex.select(
+            "sub",
+            "code",
+            F.posexplode(
+                F.slice(F.col("u"), F.col("sub") * dsub + 1, dsub)
+            ).alias("dim", "x"),
+        )
+        # decimal mean, not float avg: float partial-aggregate merge
+        # order varies with partitioning, so avg(double) drifts in the
+        # last ulp across cluster layouts; decimal sums are EXACT and
+        # order-invariant (the engine's decimal-sums convention), so
+        # the trained codebook is a pure function of the data — the
+        # partition-invariance test pins this. decimal(38,20) holds
+        # 10^17 unit-component rows per (sub, code, dim) group before
+        # overflow; one final deterministic cast back to double.
+        means = (
+            elems.groupBy("sub", "code", "dim")
+            .agg(F.avg(F.col("x").cast("decimal(38,20)")).cast("double").alias("mu"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+            .select("sub", "code", F.col("dm.mu").alias("cw"))
+            .collect()
+        )
+        new = {(r["sub"], r["code"]): list(r["cw"]) for r in means}
+        codebooks = [
+            [new.get((j, c), codebooks[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
+    train.unpersist()
+    return codebooks
+
+
+def with_pq_codes(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """embeddings + persisted-ready ``pq_codes`` column — the INGEST
+    form (the with_int8_codes / with_shingle_column convention): pay
+    the encode kernel once at write time; every downstream ADC scan
+    reads m ints per row and column-prunes the float vectors."""
+    return embeddings.withColumn(codes_col, pq_encode(vec_col, codebooks))
+
+
+def _codebook_literal(codebooks: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in sub])
+            for sub in codebooks
+        ]
+    )
+
+
+def _adc_score(codes: Column, lut: Column, m: int, ksub: int) -> Column:
+    """Σ_j lut[j·ksub + codes[j]] — pure JVM: m element_at lookups and
+    an aggregate fold, inside whole-stage codegen."""
+    idx = F.zip_with(
+        codes,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: (j * F.lit(ksub) + c + 1).cast("int"),
+    )
+    return F.aggregate(
+        F.transform(idx, lambda i: F.element_at(lut, i)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    codes_col: str | None = None,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Top-k by ADC approximate cosine, one lazy plan.
+
+    The LUT is computed on the 1-row query frame BEFORE the broadcast
+    join (the ivf_topk q_probed / int8_topk _qq rule): the codebook
+    rides as a constant-folded literal, lut[j][c] = codeword_c^j · q̂_j
+    via JVM array HOFs, evaluated once. With ``codes_col`` (written by
+    ``with_pq_codes``) the corpus side runs ZERO Python and the scan
+    reads only (id, codes); otherwise the encode kernel runs inline
+    (the oracle-comparable test form).
+
+    Returns (id, score) with score the ADC inner product against the
+    unit query — approximate cosine, exact given the codes.
+    """
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = _codebook_literal(codebooks)
+    qu = unit_vector(qvec_col)
+    lut = F.flatten(
+        F.transform(
+            cb,
+            lambda sub, j: F.transform(
+                sub, lambda cw: dot(cw, F.slice(qu, j * F.lit(dsub) + 1, dsub))
+            ),
+        )
+    )
+    qdf = query_df.withColumn("_lut", lut)
+    codes = (
+        F.col(codes_col)
+        if codes_col is not None
+        else pq_encode(vec_col, codebooks)
+    )
+    out = embeddings.crossJoin(F.broadcast(qdf)).select(
+        F.col(id_col),
+        _adc_score(codes, F.col("_lut"), m, ksub).alias("score"),
+    )
+    for ex in exclude_ids:
+        out = out.filter(F.col(id_col) != ex)
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def pq_rerank_topk(
+    embeddings: DataFrame,
+    query_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qv",
+    codes_col: str | None = None,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """ADC coarse pass → exact float cosine rerank of the shortlist →
+    final top-k by exact score (the int8_rerank_topk pattern with a
+    64× cheaper coarse scan). The rerank join touches float vectors
+    for ``shortlist`` rows only; recall vs brute force is recall of
+    the true top-k WITHIN the ADC shortlist, measured in
+    tests/test_ann_recall.py."""
+    coarse = pq_adc_topk(
+        embeddings,
+        query_df,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        qvec_col=qvec_col,
+        codes_col=codes_col,
+        exclude_ids=exclude_ids,
+    )
+    cand = embeddings.join(coarse.select(id_col), id_col, "left_semi")
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    out = cand.crossJoin(F.broadcast(query_df)).select(
+        F.col(id_col), cosine(e, q).alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def write_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index: one pass assigns the coarse cell
+    (operators/ivf._assign_udf) and encodes the PQ codes; ``cell`` is
+    a partition column (probe filter = partition pruning) and the
+    float vector rides along for the rerank fetch. The write is the
+    only time either Python kernel touches the corpus."""
+    from analytics_etl_spark.operators.ivf import _assign_udf
+
+    v = as_double_array(vec_col)
+    idx = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_udf(centroids)(v).alias("cell"),
+        pq_encode(vec_col, codebooks).alias("pq_codes"),
+    )
+    idx.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """ANN top-k over a ``write_ivfpq_index`` layout — the full FAISS
+    IVF-PQ query shape on Spark, 100% JVM at query time:
+
+    - probe cells and the ADC LUT are computed DRIVER-SIDE against
+      index metadata (k×dim centroids, m×ksub×dsub codebooks — the
+      legitimate driver class of ivf_index_topk / query_signature),
+      so the probe predicate is a literal ``cell IN (...)`` (static
+      partition pruning) and the LUT is a 128-double literal array;
+    - the coarse scan reads (id, pq_codes) of the probed cells only;
+    - with ``rerank`` > 0, the top-``rerank`` ADC shortlist is
+      re-scored by exact cosine against the float column (shortlist-
+      sized semi-join back into the pruned cells).
+    """
+    import numpy as np
+
+    m, ksub = len(codebooks), len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    C = np.array(centroids, dtype=np.float64)
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probes = [int(x) for x in np.argsort(-(qn @ cn.T))[:n_probe]]
+    B = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+    lut = np.einsum("jkd,jd->jk", B, qn.reshape(m, dsub)).ravel()
+    lut_lit = F.array(*[F.lit(float(x)) for x in lut])
+
+    pruned = index.filter(F.col("cell").isin(probes))
+    coarse = pruned.select(
+        F.col(id_col),
+        _adc_score(F.col(codes_col), lut_lit, m, ksub).alias("score"),
+    )
+    for ex in exclude_ids:
+        coarse = coarse.filter(F.col(id_col) != ex)
+    if rerank <= 0:
+        return coarse.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    short = coarse.orderBy(F.desc("score"), F.asc(id_col)).limit(rerank)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    e = as_double_array(vec_col)
+    out = pruned.join(short.select(id_col), id_col, "left_semi").select(
+        F.col(id_col), cosine(e, qlit).alias("score")
+    )
+    return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

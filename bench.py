@@ -106,6 +106,8 @@ HEADLINE = [
     # round-10 additions
     "dedup_semantic_cc",
     "dedup_semantic_incremental",
+    "similarity_ann_pq",
+    "similarity_ann_pq_rerank",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

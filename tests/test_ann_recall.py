@@ -351,3 +351,36 @@ def test_ivf_index_partition_pruning_and_parity(emb, spark, tmp_path):
     inline = ivf_topk(emb, _qf(emb, 17), cents, k=K, n_probe=4, exclude_ids=(17,))
     key = lambda df: [(r["vec_id"], round(r["score"], 9)) for r in df.collect()]  # noqa: E731
     assert key(got) == key(inline)
+
+
+def test_pq_rerank_recall_and_scan_budget(emb):
+    """Product quantization (operators/pq.py), measured in the same
+    harness as the other strategies. ADC-only ranking on this
+    near-uniform corpus (true neighbors at cosine ≈0.3, quantization
+    error comparable to the score gaps) measures ≈0.34 recall@10; the
+    deployment shape — ADC shortlist of 50 (10% of the corpus touches
+    floats) + exact rerank — measures ≈0.70, i.e. hyperplane-LSH-class
+    recall at less than a third of its float-scan budget (0.72 @ ~34%
+    scan). Pinned with margin below the 2026-08-15 measurements
+    (recorded in SCALING.md); clustered real-world embeddings sit far
+    higher on the same curve."""
+    from analytics_etl_spark.operators.pq import (
+        pq_adc_topk,
+        pq_rerank_topk,
+        pq_train_codebooks,
+    )
+
+    cbs = pq_train_codebooks(emb, m=8, ksub=16, iters=3, sample_fraction=0.5)
+    adc = _recall(
+        emb,
+        lambda vid: pq_adc_topk(emb, _qf(emb, vid), cbs, k=K, exclude_ids=(vid,)),
+    )
+    rerank = _recall(
+        emb,
+        lambda vid: pq_rerank_topk(
+            emb, _qf(emb, vid), cbs, k=K, shortlist=50, exclude_ids=(vid,)
+        ),
+    )
+    assert adc >= 0.2, f"PQ ADC recall@10 regressed: {adc}"
+    assert rerank >= 0.6, f"PQ rerank recall@10 regressed: {rerank}"
+    assert rerank >= adc  # the rerank pass can only fix ADC mistakes

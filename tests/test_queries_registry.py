@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 169, f"registry count changed: {len(qs)}"
+    assert len(qs) == 171, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set is the approximate/hermetic/sequential ops
     # (approx distinct, approx quantiles, the synthetic REST source,
@@ -27,10 +27,11 @@ def test_registry_shape():
     # view-hidden file identity, the HLL table profile, the
     # Misra-Gries heavy-hitter sketch, r7's iterative BPE merge
     # learner, r9's k-means semantic dedup, r10's CC-resolved and
-    # incremental semantic dedups). simhash left this set in r6 — its
+    # incremental semantic dedups and the PQ pair — float-codebook
+    # means, the IVF reason). simhash left this set in r6 — its
     # 60-bit non-negative hashes made the bit ops engine-portable;
     # BPE gained a hash-checked member in r9 (bpe_apply_tokens).
-    assert len(qs) - len(os_) == 13, (
+    assert len(qs) - len(os_) == 15, (
         f"rows-only count changed: {len(qs) - len(os_)}"
     )
 
@@ -159,6 +160,8 @@ PYTHON_KERNEL_OK = {
     "packed_examples_exact",
     "similarity_ann_hyperplane",
     "similarity_ann_ivf",
+    "similarity_ann_pq",  # inline PQ encode kernel (persisted-codes path is plan-asserted Python-free in test_pq.py)
+    "similarity_ann_pq_rerank",
     "text_repetition_metrics",
     "text_search_phrase",
     "token_budget_packing",
