@@ -1178,10 +1178,67 @@ def packed_examples_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "packed_examples_exact",
-    rows_only="greedy first-fit packing is inherently sequential (bin of chunk i "
-    "depends on every earlier assignment) — not expressible in DuckDB SQL short "
-    "of a recursive CTE over every chunk; invariants vs the window form are "
-    "pinned in tests/test_text_multimodal.py instead",
+    # Greedy first-fit packing is sequential (bin of chunk i depends on
+    # every earlier assignment), so it was rows-only through r9. The
+    # oracle below IS the recursive CTE that sequentiality demands —
+    # but recursing over pack BOUNDARIES, not chunks: the anchor seeds
+    # one start per stratum, each iteration finds every stratum's next
+    # boundary (the first chunk whose running total would overflow the
+    # open bin) via one scan of the MATERIALIZED cumsum table, and a
+    # row's bin is the last start at or before it. Iterations =
+    # max packs per stratum (~130 at sf0.1, 3.6 s), not chunk count.
+    oracle="""
+    WITH RECURSIVE w AS (SELECT doc_id, lang, string_split(text, ' ') AS words
+           FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT)),
+               i -> struct_pack(
+                 chunk_id := i,
+                 chunk_text := array_to_string(words[i*40 + 1 : i*40 + 50], ' ')
+               ))) AS ch
+      FROM w
+    ),
+    chunks AS (
+      SELECT lang, doc_id, CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+             len(string_split(ch.chunk_text, ' ')) AS n_words
+      FROM c
+    ),
+    -- MATERIALIZED: the recursive step references seq each iteration;
+    -- inlined, DuckDB would re-run the whole chunking chain per pack
+    -- (measured 19 s -> 3.6 s at sf0.1)
+    seq AS MATERIALIZED (
+      SELECT lang, n_words,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id, chunk_id) AS rn,
+             SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM chunks
+    ),
+    starts AS (
+      SELECT lang, CAST(1 AS BIGINT) AS s, CAST(0 AS BIGINT) AS base,
+             CAST(0 AS BIGINT) AS example_id
+      FROM (SELECT DISTINCT lang FROM seq)
+      UNION ALL
+      SELECT nxt.lang, nxt.rn, CAST(nxt.cum - nxt.n_words AS BIGINT),
+             st.example_id + 1
+      FROM starts st
+      JOIN seq nxt ON nxt.lang IS NOT DISTINCT FROM st.lang
+       AND nxt.rn = (SELECT MIN(s2.rn) FROM seq s2
+                     WHERE s2.lang IS NOT DISTINCT FROM st.lang AND s2.rn > st.s
+                       AND s2.cum - st.base > 500)
+    ),
+    assign AS (
+      SELECT q.lang, q.rn, q.n_words,
+             (SELECT MAX(st.example_id) FROM starts st
+              WHERE st.lang IS NOT DISTINCT FROM q.lang AND st.s <= q.rn) AS example_id
+      FROM seq q
+    )
+    SELECT lang, example_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM assign GROUP BY 1, 2
+    """,
 )
 def packed_examples_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT greedy packing (applyInPandas per language): bins never

@@ -21,17 +21,18 @@ def test_registry_shape():
     # commit that changes the registry.
     assert len(qs) == 171, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
-    # the rows-only set is the approximate/hermetic/sequential ops
-    # (approx distinct, approx quantiles, the synthetic REST source,
-    # IVF float means, exact greedy packing, HLL sketch union,
-    # view-hidden file identity, the HLL table profile, the
-    # Misra-Gries heavy-hitter sketch, r7's iterative BPE merge
-    # learner, r9's k-means semantic dedup, r10's CC-resolved and
-    # incremental semantic dedups and the PQ pair — float-codebook
-    # means, the IVF reason). simhash left this set in r6 — its
-    # 60-bit non-negative hashes made the bit ops engine-portable;
-    # BPE gained a hash-checked member in r9 (bpe_apply_tokens).
-    assert len(qs) - len(os_) == 15, (
+    # the rows-only set is the approximate/hermetic ops (approx
+    # distinct, approx quantiles, the synthetic REST source, IVF float
+    # means, HLL sketch union, view-hidden file identity, the HLL
+    # table profile, the Misra-Gries heavy-hitter sketch, r7's
+    # iterative BPE merge learner, r9's k-means semantic dedup, r10's
+    # CC-resolved and incremental semantic dedups and the PQ pair —
+    # float-codebook means, the IVF reason). simhash left this set in
+    # r6 — its 60-bit non-negative hashes made the bit ops
+    # engine-portable; BPE gained a hash-checked member in r9
+    # (bpe_apply_tokens); exact greedy packing left in r10 via a
+    # recursive-CTE-over-boundaries oracle.
+    assert len(qs) - len(os_) == 14, (
         f"rows-only count changed: {len(qs) - len(os_)}"
     )
 
