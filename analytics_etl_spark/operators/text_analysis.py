@@ -463,3 +463,97 @@ def ngram_contamination(
             "contamination_frac"
         ),
     )
+
+
+# The Gopher/MassiveWeb stopword list (Rae et al. 2021, appendix A1.1):
+# a document must contain at least two DISTINCT members to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher/MassiveWeb quality-rule cascade (Rae et al. 2021,
+    appendix A1.1) as per-document boolean flags plus the composite
+    keep decision — the published rule set deployed (with per-corpus
+    threshold tuning) by Gopher, RefinedWeb, Dolma, and FineWeb:
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (``#`` chars + ``...`` runs) <= 0.1;
+    - < 90% of lines start with a bullet (``-``/``*``);
+    - < 30% of lines end with an ellipsis;
+    - >= 80% of words contain at least one alphabetic character;
+    - at least ``min_stopwords`` distinct ``stopwords`` present
+      (Gopher's list and 2 by default; the paper itself tunes the
+      list per corpus — pass the target corpus' function words).
+
+    Every threshold is evaluated as an INTEGER cross-multiplied
+    comparison (mean-word-length in [3,10] is ``3*n_words <= sum_len
+    AND sum_len <= 10*n_words``; the ellipsis count stays in 3x units
+    so no division happens at all) — no float ratio ever
+    materializes, so the flags are bit-exact across engines and
+    immune to summation-order drift at any scale.
+
+    NULL text -> NULL flags, keep=false (the quality_features
+    empty-text contract: degenerate input is a decision, not a crash).
+    All expressions are built-in array/regexp ops — whole-stage
+    codegen on the scan, shuffle-free, one pass over the corpus.
+    """
+    c = F.col(text_col)
+    words = F.split(c, " ")
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("bigint")
+    n_lines = F.size(lines).cast("bigint")
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast(
+        "bigint"
+    )
+    n_hash = (F.length(c) - F.length(F.regexp_replace(c, "#", ""))).cast("bigint")
+    # non-overlapping '...' runs, kept in 3x units (length delta of a
+    # literal-replace) so the ratio rule below needs no division
+    n_ell3 = (F.length(c) - F.length(F.regexp_replace(c, "\\.\\.\\.", ""))).cast(
+        "bigint"
+    )
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*]"))).cast("bigint")
+    n_ell_lines = F.size(F.filter(lines, lambda l: l.rlike("\\.\\.\\.$"))).cast(
+        "bigint"
+    )
+    n_stop = F.size(
+        F.array_distinct(F.filter(words, lambda w: w.isin(*stopwords)))
+    ).cast("bigint")
+
+    f_word_count = (n_words >= 50) & (n_words <= 100000)
+    f_mean_word_len = (3 * n_words <= sum_wlen) & (sum_wlen <= 10 * n_words)
+    f_symbol_ratio = 10 * (3 * n_hash + n_ell3) <= 3 * n_words
+    f_bullet = 10 * n_bullet < 9 * n_lines
+    f_ellipsis = 10 * n_ell_lines < 3 * n_lines
+    f_alpha = 5 * n_alpha_words >= 4 * n_words
+    f_stop = n_stop >= min_stopwords
+    keep = F.when(
+        c.isNotNull(),
+        f_word_count
+        & f_mean_word_len
+        & f_symbol_ratio
+        & f_bullet
+        & f_ellipsis
+        & f_alpha
+        & f_stop,
+    ).otherwise(F.lit(False))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        f_word_count.alias("f_word_count"),
+        f_mean_word_len.alias("f_mean_word_len"),
+        f_symbol_ratio.alias("f_symbol_ratio"),
+        f_bullet.alias("f_bullet"),
+        f_ellipsis.alias("f_ellipsis"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        keep.alias("keep"),
+    )

@@ -251,3 +251,52 @@ def test_media_kernels_survive_empty_and_null_payloads(spark):
     hist = byte_histogram(df, bins=16).collect()
     ids = {r["media_id"] for r in hist}
     assert ids == {1, 4, 5}  # empty/NULL payloads contribute nothing
+
+
+def test_gopher_flags_planted_rules(spark):
+    from analytics_etl_spark.operators.text_analysis import gopher_quality_flags
+
+    good = " ".join(["the", "have", "word"] * 20)  # 60 words, 2 stopwords
+    rows = [
+        (1, good),
+        (2, "the have short doc"),  # fails word count only
+        (3, " ".join(["the", "have"] * 30) + " ###### ...... ......"),  # symbols
+        (4, "\n".join(["- bullet"] * 10)),  # 100% bullet lines
+        (5, "\n".join(["line one...", "line two...", "x"] * 5)),  # 2/3 ellipsis
+        (6, " ".join(["the", "have"] * 15 + ["123", "456", "789"] * 8)),  # alpha
+        (7, " ".join(["word"] * 60)),  # no stopwords
+        (8, None),  # NULL text
+        (9, ""),  # empty text
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["keep"] is True and all(
+        out[1][f] for f in ("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+                            "f_bullet", "f_ellipsis", "f_alpha", "f_stop")
+    )
+    assert out[2]["keep"] is False and out[2]["f_word_count"] is False
+    assert out[3]["f_symbol_ratio"] is False
+    assert out[4]["f_bullet"] is False
+    assert out[5]["f_ellipsis"] is False
+    assert out[6]["f_alpha"] is False and out[6]["keep"] is False
+    assert out[7]["f_stop"] is False
+    # NULL text: flags NULL, keep decided false (not a crash)
+    assert out[8]["f_word_count"] is None and out[8]["keep"] is False
+    # empty text: one empty token, mean-word-length floor fails
+    assert out[9]["f_mean_word_len"] is False and out[9]["keep"] is False
+
+
+def test_gopher_stopword_calibration(spark):
+    from analytics_etl_spark.operators.text_analysis import gopher_quality_flags
+
+    docs = _docs(spark, [(1, " ".join(["the", "a", "word"] * 20))])
+    # published list: only 'the' present -> f_stop False
+    assert gopher_quality_flags(docs).first()["f_stop"] is False
+    # corpus-calibrated set: both present -> True
+    assert (
+        gopher_quality_flags(docs, stopwords=("the", "a")).first()["f_stop"] is True
+    )
