@@ -1,0 +1,156 @@
+"""Count-min sketch — mergeable frequency estimates, fully hash-exact.
+
+Completes the sketch family (HLL distinct counts `sketches.py`,
+Misra-Gries heavy hitters `freq.py`, bloom membership `bloom.py`) with
+the classic frequency estimator (Cormode & Muthukrishnan 2005): a
+``depth × width`` grid of int64 counters; each key increments one
+counter per row via an independent hash; an estimate is the MIN over
+the key's ``depth`` counters. Guarantees: never an underestimate
+(every counter the key touches holds its full count plus collisions),
+and overestimate ≤ ⌈e·N/width⌉ with probability 1−e^−depth.
+
+Unlike the HLL family, every CMS operation is EXACT integer
+arithmetic over md5-derived buckets (the perplexity/DSIR hashing — no
+platform-specific sketch encoding), so the whole family oracle-pairs:
+DuckDB reproduces build, estimate, and merge bit for bit.
+
+Relational encoding: the sketch is a sparse (r, b, cnt) table —
+zero-count cells are absent; estimates LEFT-join and coalesce to 0,
+which is exactly what a dense grid would hold. Bounded size:
+≤ depth·width rows regardless of input (collisions merge; the table
+never grows past the grid) — always broadcastable at the defaults
+(4 × 2048 = ≤ 8192 rows).
+
+100 TB shape: build is one explode (×depth) → groupBy(r, b) with
+map-side combine, so the shuffle moves ≤ depth·width partial cells
+per mapper, never raw keys. Merge is cell-wise SUM (lossless AND
+commutative: merged sketches equal the one-shot sketch of the
+concatenated input EXACTLY — integer addition, no register
+saturation), so per-partition/per-day sketches roll up like the HLL
+table. Same param-safety contract as bloom.py: estimating against or
+merging into a sketch built with different (depth, width) is silent
+garbage, so persisted sketches carry a meta sidecar checked at entry
+(streaming/ingest.py `merge_cms_batch`).
+
+NULL contract: NULL keys are dropped at build AND estimate (a NULL
+key has no frequency; mirrors exact GROUP BY semantics where the
+NULL group is reported separately, which a frequency sketch does not
+model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 2048
+CMS_META_FILE = "_cms_meta.json"
+
+
+def cms_bucket(key: Column, row: Column | int, width: int = CMS_WIDTH) -> Column:
+    """Row-salted md5 bucket in [0, width): the ``depth`` independent
+    hash functions are one md5 with the row index as a prefix salt
+    (15 hex digits < 2^60 keeps conv() exact in int64 — the
+    perplexity.py discipline)."""
+    r = F.lit(row) if isinstance(row, int) else row
+    salted = F.concat(r.cast("string"), F.lit(":"), key.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+        % F.lit(width).cast("long")
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Sparse CMS table (r, b, cnt) over ``df[key_col]`` occurrences."""
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+            F.col(key_col).alias("k"),
+        )
+        .select("r", cms_bucket(F.col("k"), F.col("r"), width).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum — lossless: merge(build(X), build(Y)) equals
+    build(X ∪ Y) exactly (pinned in tests/test_cms.py). NOT
+    idempotent (counts double on replay, unlike bloom's OR) — replay
+    protection is the epoch ledger's job, not the sketch's."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    est_col: str = "est_n",
+) -> DataFrame:
+    """Point estimates for ``keys[key_col]``: min over the key's
+    ``depth`` counters, absent cells = 0. The sketch side is grid-
+    bounded (≤ depth·width rows) so Catalyst broadcasts it; the probe
+    explode is ×depth on the KEYS side only."""
+    probes = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+        )
+        .select(
+            key_col,
+            "r",
+            cms_bucket(F.col(key_col), F.col("r"), width).alias("b"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(cms), ["r", "b"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias(est_col)
+        )
+    )
+
+
+def cms_meta_json(depth: int, width: int) -> str:
+    return json.dumps({"depth": int(depth), "width": int(width)})
+
+
+def check_cms_meta(cms_path: str, depth: int, width: int) -> None:
+    """Fail loud if a persisted sketch declares different (depth,
+    width) — or none. The bloom.py param-safety contract: cross-param
+    cells are silent garbage, an unstamped table's params are
+    unknowable."""
+    meta_path = os.path.join(cms_path, CMS_META_FILE)
+    if not os.path.isdir(cms_path):
+        return  # first write: nothing to contradict
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"CMS table at {cms_path} has no {CMS_META_FILE} sidecar; "
+            "its (depth, width) are unknowable — refusing to touch it"
+        )
+    with open(meta_path) as f:
+        stored = json.load(f)
+    if stored != {"depth": int(depth), "width": int(width)}:
+        raise ValueError(
+            f"CMS param mismatch at {cms_path}: stored {stored}, "
+            f"caller depth={depth} width={width}"
+        )

@@ -2721,3 +2721,60 @@ def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n < 10).alias("k_at_risk"),
         (l < 2).alias("l_at_risk"),
     )
+
+
+@query(
+    "cms_frequency_estimate",
+    oracle="""
+    WITH tc AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+    ),
+    top AS (SELECT * FROM tc ORDER BY true_n DESC, l_partkey LIMIT 20),
+    ck AS (
+      SELECT unnest(range(0, 4)) AS r, l_partkey AS k
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    cms AS (
+      SELECT r,
+             ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % 2048 AS b,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ck GROUP BY 1, 2
+    ),
+    pb AS (
+      SELECT l_partkey, r,
+             ('0x' || substr(md5(r::VARCHAR || ':' || l_partkey::VARCHAR), 1, 15))::BIGINT % 2048 AS b
+      FROM (SELECT l_partkey, unnest(range(0, 4)) AS r FROM top)
+    ),
+    est AS (
+      SELECT l_partkey, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est_n
+      FROM pb LEFT JOIN cms USING (r, b) GROUP BY 1
+    )
+    SELECT top.l_partkey, true_n, est_n FROM top JOIN est USING (l_partkey)
+    """,
+)
+def cms_frequency_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates (operators/cms.py) for
+    the 20 highest-frequency parts, next to their exact counts — the
+    sketch family's first fully ORACLE-PAIRED member: md5-bucket
+    hashing + int64 counters make build, estimate, and the min-over-
+    rows reduction bit-identical across engines (the HLL/Misra-Gries
+    members are rows-only because their encodings are
+    engine-specific; CMS has no such encoding). est_n ≥ true_n always
+    (one-sided guarantee — collisions only add); at sf0.01's ~2000
+    distinct parts over a 4×2048 grid, several top keys genuinely
+    collide, so the overestimate path is exercised, not idle.
+    Exact side: one hash-agg; sketch side: explode ×4 → grid-bounded
+    agg (≤ 8192 cells, broadcast to the probe join)."""
+    from analytics_etl_spark.operators.cms import cms_build, cms_estimate
+
+    li = t(spark, sf_dir, "lineitem")
+    tc = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("true_n"))
+    )
+    top = tc.orderBy(F.desc("true_n"), "l_partkey").limit(20)
+    cms = cms_build(li, "l_partkey")
+    est = cms_estimate(cms, top.select("l_partkey"), "l_partkey")
+    return top.join(est, "l_partkey").select("l_partkey", "true_n", "est_n")

@@ -374,6 +374,78 @@ def streaming_bloom_maintenance(
     )
 
 
+def merge_cms_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    cms_path: str,
+    key_col: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> None:
+    """foreachBatch maintenance of a count-min frequency sketch
+    (operators/cms.py) — the frequency sibling of the HLL and bloom
+    maintained tables. Cell-wise SUM merge is LOSSLESS (incremental
+    merges equal the one-shot sketch exactly — int64 addition) but,
+    unlike bloom's OR, NOT idempotent: a replayed batch double-counts,
+    so this runs under exactly-once foreachBatch semantics (the
+    streaming checkpoint is the epoch ledger; same stance as
+    merge_sketch_batch, whose HLL union happens to tolerate replay —
+    the CMS contract is stated rather than accidental). Param safety
+    as bloom: ``check_cms_meta`` fails loud on a mismatched or
+    unstamped stored table; the `_cms_meta.json` sidecar is re-stamped
+    inside the crash-safe swap."""
+    import os
+
+    from analytics_etl_spark.operators.cms import (
+        CMS_DEPTH,
+        CMS_META_FILE,
+        CMS_WIDTH,
+        check_cms_meta,
+        cms_build,
+        cms_merge,
+        cms_meta_json,
+    )
+
+    d = CMS_DEPTH if depth is None else depth
+    w = CMS_WIDTH if width is None else width
+    check_cms_meta(cms_path, d, w)
+    fresh = cms_build(batch_df, key_col, d, w)
+
+    def _stamp(tmp_path: str) -> None:
+        with open(os.path.join(tmp_path, CMS_META_FILE), "w") as f:
+            f.write(cms_meta_json(d, w))
+
+    _merge_swap_table(
+        batch_df.sparkSession,
+        cms_path,
+        fresh,
+        lambda stored: cms_merge(stored, fresh),
+        finalize_tmp=_stamp,
+    )
+
+
+def streaming_cms_maintenance(
+    events_stream: DataFrame,
+    cms_path: str,
+    checkpoint: str,
+    key_col: str,
+    depth: int | None = None,
+    width: int | None = None,
+):
+    """Wire merge_cms_batch into a streaming writer (caller .start()s
+    it) — the always-current frequency sketch as a side effect of
+    ingest."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_cms_batch(batch_df, epoch_id, cms_path, key_col, depth, width)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def ingest_vector_batch(
     batch_df: DataFrame,
     epoch_id: int,

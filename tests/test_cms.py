@@ -1,0 +1,132 @@
+"""Count-min sketch (operators/cms.py + streaming maintenance).
+
+Contract pins: never an underestimate (one-sided theorem, asserted
+over every key of a collision-forcing corpus), exact when the grid is
+collision-free, merge is lossless (incremental == one-shot, bit for
+bit), the observed overestimate envelope on the fixed corpus is
+pinned (the test_sketches.py error-envelope discipline), params are
+sidecar-protected, and the family is JVM-pure.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.cms import (
+    check_cms_meta,
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k long")
+
+
+def _corpus(spark, n=500, dom=60):
+    # deterministic skewed corpus: key i appears (i % dom) times
+    vals = [i % dom for i in range(n)]
+    return _keys(spark, vals)
+
+
+def test_exact_when_collision_free(spark):
+    """width >> distinct keys: every estimate equals the true count."""
+    df = _corpus(spark)
+    true = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    cms = cms_build(df, "k", depth=4, width=4096)
+    est = cms_estimate(cms, _keys(spark, sorted(true)), "k", depth=4, width=4096)
+    for r in est.collect():
+        assert r["est_n"] == true[r["k"]]
+
+
+def test_one_sided_and_pinned_envelope_under_collisions(spark):
+    """width=16 forces heavy collisions over 60 keys: estimates never
+    drop below truth (the CMS theorem), and the worst observed
+    overestimate on this fixed corpus is pinned so a hashing
+    regression moves a number a human can read."""
+    df = _corpus(spark)
+    true = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    cms = cms_build(df, "k", depth=4, width=16)
+    est = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(
+            cms, _keys(spark, sorted(true)), "k", depth=4, width=16
+        ).collect()
+    }
+    overs = [est[k] - true[k] for k in true]
+    assert all(o >= 0 for o in overs), "CMS underestimated"
+    assert max(overs) > 0, "width=16 over 60 keys must collide"
+    # theorem bound: overestimate <= e/width * N w.h.p.; N=500 tokens
+    assert max(overs) <= int(2.72 / 16 * 500) + 1
+
+
+def test_merge_is_lossless_and_cellwise_exact(spark):
+    a, b = _keys(spark, [1, 1, 2, 3]), _keys(spark, [2, 3, 3, 4])
+    both = a.unionByName(b)
+    merged = cms_merge(cms_build(a, "k"), cms_build(b, "k"))
+    oneshot = cms_build(both, "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+
+
+def test_null_keys_dropped_both_sides(spark):
+    df = spark.createDataFrame([(1,), (None,), (1,)], "k long")
+    cms = cms_build(df, "k")
+    # grid rows only for the non-null key
+    assert cms.agg(F.sum("cnt")).first()[0] == 2 * 4  # 2 occurrences x depth
+    est = cms_estimate(cms, df, "k")
+    rows = est.collect()
+    assert len(rows) == 1 and rows[0]["est_n"] == 2
+
+
+def test_grid_bounded_size(spark):
+    """The scale contract: the sparse table never exceeds depth*width
+    cells no matter the input size."""
+    cms = cms_build(_corpus(spark, n=500, dom=400), "k", depth=3, width=8)
+    assert cms.count() <= 3 * 8
+
+
+def test_streaming_maintenance_matches_oneshot_and_sidecar(spark, tmp_path):
+    from analytics_etl_spark.streaming.ingest import merge_cms_batch
+
+    path = str(tmp_path / "cms")
+    b1, b2 = _keys(spark, [1, 1, 2]), _keys(spark, [2, 3])
+    merge_cms_batch(b1, 0, path, "k", depth=4, width=64)
+    merge_cms_batch(b2, 1, path, "k", depth=4, width=64)
+    stored = spark.read.parquet(path)
+    oneshot = cms_build(b1.unionByName(b2), "k", depth=4, width=64)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )
+    # param sidecar: mismatched or missing params fail loud
+    with pytest.raises(ValueError, match="param mismatch"):
+        merge_cms_batch(b1, 2, path, "k", depth=4, width=128)
+    check_cms_meta(str(tmp_path / "fresh"), 4, 64)  # absent table is fine
+
+
+def test_cms_family_is_jvm_pure(spark):
+    df = _corpus(spark)
+    out = cms_estimate(cms_build(df, "k"), _keys(spark, [1, 2]), "k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for node in (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert node not in plan
