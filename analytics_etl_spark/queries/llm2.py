@@ -704,3 +704,82 @@ def text_nb_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_classifier_scores(
         t(spark, sf_dir, "documents"), ref_pred=F.col("lang") == "en"
     )
+
+
+# --- round-10 addition: unigram-LM Viterbi tokenizer ----------------------
+
+def _unigram_oracle() -> str:
+    """DuckDB replay of the unigram Viterbi DP (operators/unigram.py):
+    the same best[j] = min_i best[i] + metric(word[i..j]) fold,
+    expressed with list_reduce over a [position] list whose [0]-seed
+    is prepended (DuckDB's reduce has no init value; a single-element
+    list returns the seed unreduced, which is exactly best=[0] for
+    the impossible empty word). Piece lookup mirrors Spark's
+    array_position semantics: both return 0/absent -> the > 0 guard
+    takes the UNK/INF branch identically."""
+    from analytics_etl_spark.operators.unigram import (
+        INF_Q,
+        MAX_WORD_LEN,
+        TIE_K,
+        UNIGRAM_PIECES,
+        UNK_COST_Q,
+    )
+
+    pieces = "[" + ", ".join(f"'{p}'" for p, _ in UNIGRAM_PIECES) + "]"
+    costs = "[" + ", ".join(
+        f"CAST({c} AS BIGINT)" for _, c in UNIGRAM_PIECES
+    ) + "]"
+    sub = f"substr(substr(word, 1, {MAX_WORD_LEN}), CAST(i+1 AS INT), CAST(x[1]-i AS INT))"
+    return f"""
+    WITH ugocc AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL)
+      WHERE word <> ''
+    ),
+    ugw AS (SELECT word FROM ugocc GROUP BY 1),
+    ugdp AS (
+      SELECT word,
+        list_reduce(
+          list_prepend([CAST(0 AS BIGINT)],
+            list_transform(range(1, length(substr(word, 1, {MAX_WORD_LEN})) + 1),
+                           j -> [CAST(j AS BIGINT)])),
+          (acc, x) -> list_append(acc,
+            list_min(list_transform(range(0, CAST(x[1] AS INT)), i ->
+              acc[i+1] + {TIE_K} * (CASE
+                WHEN list_position({pieces}, {sub}) > 0
+                  THEN {costs}[list_position({pieces}, {sub})]
+                WHEN x[1] - i = 1 THEN CAST({UNK_COST_Q} AS BIGINT)
+                ELSE CAST({INF_Q} AS BIGINT) END) + 1))
+          )
+        )[-1] AS m,
+        CAST(greatest(length(word) - {MAX_WORD_LEN}, 0) AS BIGINT) AS tl
+      FROM ugw
+    ),
+    ugtab AS (
+      SELECT word, m // {TIE_K} + tl * {UNK_COST_Q} AS cost_q,
+             m % {TIE_K} + tl AS n_pieces
+      FROM ugdp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(cost_q) AS BIGINT) AS cost_q
+    FROM ugocc JOIN ugtab USING (word) GROUP BY 1
+    """
+
+
+@query("unigram_tokenize_viterbi", oracle=_unigram_oracle())
+def unigram_tokenize_viterbi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram tokenizer decode
+    (operators/unigram.py): per-document word/piece/cost accounting of
+    the min-cost Viterbi segmentation under the PINNED piece table —
+    the tokenizer family's second algorithm next to BPE, and its
+    second hash-checked member. The O(L²) per-word DP runs entirely
+    in built-in higher-order functions (aggregate fold + array_min
+    sweep, whole-stage codegen, zero Python nodes), once per DISTINCT
+    word; the int64 tie-break metric (cost·64 + pieces) makes the
+    decode deterministic in both engines without a float anywhere."""
+    from analytics_etl_spark.operators.unigram import unigram_doc_metrics
+
+    return unigram_doc_metrics(t(spark, sf_dir, "documents"))
