@@ -51,16 +51,23 @@ CMS_WIDTH = 2048
 CMS_META_FILE = "_cms_meta.json"
 
 
-def cms_bucket(key: Column, row: Column | int, width: int = CMS_WIDTH) -> Column:
-    """Row-salted md5 bucket in [0, width): the ``depth`` independent
-    hash functions are one md5 with the row index as a prefix salt
-    (15 hex digits < 2^60 keeps conv() exact in int64 — the
-    perplexity.py discipline)."""
-    r = F.lit(row) if isinstance(row, int) else row
-    salted = F.concat(r.cast("string"), F.lit(":"), key.cast("string"))
-    return (
-        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-        % F.lit(width).cast("long")
+def cms_bucket_array(key: Column, depth: int, width: int) -> Column:
+    """The key's ``depth`` bucket indices as an array: ONE md5 per
+    key, with each hash row reading a disjoint 8-hex-digit (32-bit)
+    slice of the digest — pairwise independence from digest slicing
+    instead of ``depth`` salted digests (the first cut salted one md5
+    per row and measured md5-bound at sf0.1: 4.8 s → one digest cuts
+    the hash work ×depth). 8 hex digits < 2^32 keeps conv() exact in
+    int64. depth ≤ 4 because md5 yields four disjoint 32-bit slices."""
+    if not 1 <= depth <= 4:
+        raise ValueError(f"depth must be in [1, 4], got {depth}")
+    h = F.md5(key.cast("string"))
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * r, 8), 16, 10).cast("long")
+            % F.lit(width).cast("long")
+            for r in range(depth)
+        ]
     )
 
 
@@ -70,16 +77,29 @@ def cms_build(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
 ) -> DataFrame:
-    """Sparse CMS table (r, b, cnt) over ``df[key_col]`` occurrences."""
-    return (
+    """Sparse CMS table (r, b, cnt) over ``df[key_col]`` occurrences.
+
+    Two-level build: per-key exact counts first (map-side combined —
+    the same shuffle any exact groupBy pays), THEN hash/explode the
+    key-cardinality table into grid cells. Exploding occurrence rows
+    directly measured 2.3 s at sf0.1 (×depth row blowup through the
+    Generate node before any combine); exploding the distinct-key
+    table is ~free and the cell counts are identical by construction
+    (Σ over a key's occurrences commutes with the per-key rollup)."""
+    per_key = (
         df.filter(F.col(key_col).isNotNull())
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
-            F.col(key_col).alias("k"),
+        .groupBy(key_col)
+        .agg(F.count("*").cast("bigint").alias("kn"))
+    )
+    return (
+        per_key.select(
+            F.posexplode(
+                cms_bucket_array(F.col(key_col), depth, width)
+            ).alias("r", "b"),
+            "kn",
         )
-        .select("r", cms_bucket(F.col("k"), F.col("r"), width).alias("b"))
         .groupBy("r", "b")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(F.sum("kn").cast("bigint").alias("cnt"))
     )
 
 
@@ -107,17 +127,11 @@ def cms_estimate(
     ``depth`` counters, absent cells = 0. The sketch side is grid-
     bounded (≤ depth·width rows) so Catalyst broadcasts it; the probe
     explode is ×depth on the KEYS side only."""
-    probes = (
-        keys.filter(F.col(key_col).isNotNull())
-        .select(
-            F.col(key_col),
-            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
-        )
-        .select(
-            key_col,
-            "r",
-            cms_bucket(F.col(key_col), F.col("r"), width).alias("b"),
-        )
+    probes = keys.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col),
+        F.posexplode(
+            cms_bucket_array(F.col(key_col), depth, width)
+        ).alias("r", "b"),
     )
     return (
         probes.join(F.broadcast(cms), ["r", "b"], "left")

@@ -2732,18 +2732,18 @@ def k_anonymity_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     top AS (SELECT * FROM tc ORDER BY true_n DESC, l_partkey LIMIT 20),
     ck AS (
-      SELECT unnest(range(0, 4)) AS r, l_partkey AS k
-      FROM lineitem WHERE l_partkey IS NOT NULL
+      SELECT unnest(range(0, 4)) AS r, md5(l_partkey::VARCHAR) AS h, true_n AS kn
+      FROM tc
     ),
     cms AS (
       SELECT r,
-             ('0x' || substr(md5(r::VARCHAR || ':' || k::VARCHAR), 1, 15))::BIGINT % 2048 AS b,
-             CAST(COUNT(*) AS BIGINT) AS cnt
+             ('0x' || substr(h, CAST(1 + 8 * r AS INT), 8))::BIGINT % 2048 AS b,
+             CAST(SUM(kn) AS BIGINT) AS cnt
       FROM ck GROUP BY 1, 2
     ),
     pb AS (
       SELECT l_partkey, r,
-             ('0x' || substr(md5(r::VARCHAR || ':' || l_partkey::VARCHAR), 1, 15))::BIGINT % 2048 AS b
+             ('0x' || substr(md5(l_partkey::VARCHAR), CAST(1 + 8 * r AS INT), 8))::BIGINT % 2048 AS b
       FROM (SELECT l_partkey, unnest(range(0, 4)) AS r FROM top)
     ),
     est AS (

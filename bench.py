@@ -108,6 +108,11 @@ HEADLINE = [
     "dedup_semantic_incremental",
     "similarity_ann_pq",
     "similarity_ann_pq_rerank",
+    "text_gopher_rules",
+    "text_nb_classifier",
+    "unigram_tokenize_viterbi",
+    "cms_frequency_estimate",
+    "k_anonymity_audit",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
