@@ -113,6 +113,7 @@ HEADLINE = [
     "unigram_tokenize_viterbi",
     "cms_frequency_estimate",
     "k_anonymity_audit",
+    "corpus_build_classifier_gated",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

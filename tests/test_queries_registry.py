@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 176, f"registry count changed: {len(qs)}"
+    assert len(qs) == 177, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set is the approximate/hermetic ops (approx
     # distinct, approx quantiles, the synthetic REST source, IVF float
@@ -145,6 +145,7 @@ PYTHON_KERNEL_OK = {
     "corpus_build_pipeline",
     "corpus_build_bucket_gated",  # composes corpus_build's declared kernels
     "corpus_build_ppl_gated",  # composes corpus_build's declared kernels
+    "corpus_build_classifier_gated",  # composes corpus_build's declared kernels
     "corpus_filter_pipeline",
     "dedup_incremental_batch",
     "dedup_minhash_lsh",
