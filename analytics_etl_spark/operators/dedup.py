@@ -686,3 +686,40 @@ def incremental_minhash_dedup(
         ),
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def containment_pairs(shingled: DataFrame, min_containment: float = 0.0) -> DataFrame:
+    """Exact pairwise shingle CONTAINMENT over docs sharing ≥1
+    shingle: |A ∩ B| / min(|A|, |B|) — the asymmetric near-dup
+    measure (C4/RealNews-style sub-document detection). A short doc
+    fully embedded in a long one scores 1.0 here while its Jaccard
+    (|A∩B|/|A∪B|) stays tiny — exactly the pairs `jaccard_pairs`
+    structurally under-ranks. Same candidate generation (equi-join on
+    the shingle — only docs with real overlap ever pair, never
+    all-pairs); the division is one float op over exact int64
+    operands, deterministic in any engine.
+    """
+    sizes = shingled.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("common").cast("double")
+                / F.least(F.col("sz_a"), F.col("sz_b"))
+            ).alias("containment"),
+        )
+    )
+    return out.filter(F.col("containment") >= min_containment)

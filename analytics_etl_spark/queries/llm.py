@@ -2625,3 +2625,38 @@ def bpe_learned_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
     ).orderBy("rank")
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_TOK3_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      FROM tok a JOIN tok b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT p.doc_a, p.doc_b,
+             CAST(p.common AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+    ) WHERE containment >= 0.2
+    """,
+)
+def dedup_ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs
+    (operators/dedup.py::containment_pairs): |A∩B| / min(|A|,|B|) ≥
+    0.2 — the C4/RealNews sub-document measure that catches a short
+    doc embedded in a long one (containment 1.0) where Jaccard stays
+    near |A|/|B| and dedup_ngram_jaccard's 0.1 cut misses it. Same
+    scale shape as the Jaccard member: candidates only via the
+    shingle equi-join (never all-pairs), one float division over
+    exact int64 counts."""
+    from analytics_etl_spark.operators.dedup import containment_pairs, word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    shingled = word_shingles(docs, n=3, distinct=True)
+    return containment_pairs(shingled, min_containment=0.2)

@@ -114,6 +114,7 @@ HEADLINE = [
     "cms_frequency_estimate",
     "k_anonymity_audit",
     "corpus_build_classifier_gated",
+    "dedup_ngram_containment",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -502,3 +502,28 @@ def test_sign_bucket_never_raises_on_short_vectors(spark):
     # missing dims contribute 0; NaN > 0 follows Spark's NaN-largest
     # rule in BOTH engines (gated rows never reach scoring anyway)
     assert got[0] == 1 and got[2] == 0
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A 5-word doc fully inside a 50-word doc: containment = 1.0,
+    Jaccard ≈ |A|/|B| — the asymmetric measure's whole point."""
+    from analytics_etl_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+        word_shingles,
+    )
+
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"w{i}" for i in range(45))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, n=3, distinct=True)
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(sh, 0.2).collect()}
+    jac = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(sh, 0.0).collect()}
+    assert cont[(1, 2)] == 1.0
+    assert jac[(1, 2)] < 0.1  # the symmetric measure under-ranks it
+    assert (1, 3) not in cont and (2, 3) not in cont
