@@ -255,3 +255,49 @@ def test_bloom_prescreen_plan_shape(spark):
     assert "Python" not in plan
     assert "BroadcastHashJoin" in tree
     assert "CartesianProduct" not in tree
+
+
+def test_gopher_rules_shuffle_free_single_pass(spark):
+    """The rule cascade is pure projections on the scan: zero
+    exchanges of any kind, no Python nodes."""
+    tree = tree_of(plan_of(spark, "text_gopher_rules"))
+    assert "Exchange" not in tree
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in tree
+
+
+def test_unigram_word_table_single_corpus_shuffle(spark):
+    """The Viterbi DP runs on the distinct-word table: one corpus-
+    priced shuffle (the word groupBy) plus the occurrence join and
+    doc agg — and the DP itself adds no exchange and no Python."""
+    tree = tree_of(plan_of(spark, "unigram_tokenize_viterbi"))
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_k_anonymity_single_shuffle(spark):
+    """One QI-keyed hash aggregation: partial -> exchange -> final
+    (countDistinct adds its Expand inside the same key's exchanges,
+    never a join or sort)."""
+    tree = tree_of(plan_of(spark, "k_anonymity_audit"))
+    assert "Join" not in tree and "Sort" not in tree
+
+
+def test_cms_sketch_side_broadcasts_to_probe(spark):
+    """The grid-bounded cell table reaches the probe join as a
+    broadcast — the probe side never shuffles on (r, b)."""
+    tree = tree_of(plan_of(spark, "cms_frequency_estimate"))
+    assert "BroadcastHashJoin" in tree
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in tree
+
+
+def test_nb_classifier_consts_broadcast_no_cartesian(spark):
+    """The 1-row constants frame rides a broadcast nested-loop (the
+    engine's declared cross-join-of-broadcast-scalars pattern); no
+    bare CartesianProduct, no Python nodes."""
+    tree = tree_of(plan_of(spark, "text_nb_classifier"))
+    assert "CartesianProduct" not in tree
+    for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert node not in tree
