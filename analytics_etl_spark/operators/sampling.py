@@ -96,3 +96,71 @@ def dataset_split(
         lo = hi
     case = case.otherwise(F.lit(names[-1]))
     return df.withColumn(out_col, case)
+
+
+PRIORITY_HASH_SCALE = float(2**48)  # u ~ (h+1)/2^48 with a 48-bit hash
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, JACM 2007): priority q_i = w_i / u_i
+    with u_i a per-row hash-uniform in (0, 1]; keep the k highest
+    priorities; the (k+1)-th priority is the threshold τ and
+    ŵ_i = max(w_i, τ) is the UNBIASED per-row estimator whose sums
+    estimate any subset-sum of the full table — the primitive behind
+    "sample 10k docs ∝ quality weight and still report unbiased
+    corpus statistics from the sample".
+
+    Deterministic and oracle-exact: u derives from md5(salt:id)
+    (bit-identical in any engine) and the priority is ONE double
+    multiply + ONE correctly-rounded IEEE division of exact-integer
+    operands — both engines compute the identical bit pattern, so the
+    top-k SET (ordered by priority, id-tiebroken) is identical, not
+    merely close. No floats cross an aggregation.
+
+    Scale shape: the heavy step is top-(k+1) — a TakeOrdered heap per
+    partition, never a global sort; everything after operates on the
+    (k+1)-row frame (τ is a 1-row broadcast). Zero/negative/NULL
+    weights are excluded (they have no defined priority).
+
+    Rows with tied priorities at τ resolve by the strict ``pri > τ``
+    rule, identically in both engines; with distinct ids and a 48-bit
+    hash the tie is a measure-zero event, and a sub-(k+1)-row input
+    degrades to n−1 sampled rows by the same rule (documented, not
+    special-cased).
+    """
+    w = F.col(weight_col)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = (
+        w.cast("double") * F.lit(PRIORITY_HASH_SCALE) / (hv + 1).cast("double")
+    ).alias("pri")
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        F.col(id_col), w.alias("weight"), pri
+    )
+    topk1 = base.orderBy(F.desc("pri"), id_col).limit(k + 1)
+    tau = topk1.agg(F.min("pri").alias("tau"))
+    return (
+        topk1.crossJoin(F.broadcast(tau))
+        .filter(F.col("pri") > F.col("tau"))
+        .select(
+            id_col,
+            "weight",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )

@@ -2660,3 +2660,40 @@ def dedup_ngram_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     shingled = word_shingles(docs, n=3, distinct=True)
     return containment_pairs(shingled, min_containment=0.2)
+
+
+@query(
+    "docs_priority_sample",
+    oracle="""
+    WITH psw AS (
+      SELECT doc_id, n_chars AS weight FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    psq AS (
+      SELECT doc_id, weight,
+             CAST(weight AS DOUBLE) * 281474976710656.0
+               / CAST(('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 12))::BIGINT + 1 AS DOUBLE) AS pri
+      FROM psw
+    ),
+    pstop AS (SELECT * FROM psq ORDER BY pri DESC, doc_id LIMIT 51),
+    pstau AS (SELECT MIN(pri) AS tau FROM pstop)
+    SELECT doc_id, weight,
+           greatest(CAST(weight AS DOUBLE), tau) AS w_est
+    FROM pstop, pstau WHERE pri > tau
+    """,
+)
+def docs_priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement — priority sampling
+    (operators/sampling.py::priority_sample, Duffield-Lund-Thorup
+    2007): the 50 docs with highest w/u priority under weight =
+    n_chars, each carrying the unbiased subset-sum estimator
+    ŵ = max(w, τ). The data-mixing primitive: "sample ∝ length but
+    keep corpus statistics estimable from the sample". Fully
+    oracle-paired — the priority is one deterministic IEEE expression
+    over md5-derived integers, so the selected SET is bit-identical
+    across engines (see the operator docstring for why this holds
+    exactly, not approximately). Heavy step is a TakeOrdered heap,
+    never a global sort."""
+    from analytics_etl_spark.operators.sampling import priority_sample
+
+    return priority_sample(t(spark, sf_dir, "documents"), "n_chars", k=50)

@@ -115,6 +115,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "corpus_build_classifier_gated",
     "dedup_ngram_containment",
+    "docs_priority_sample",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -428,3 +428,73 @@ def test_bloom_no_false_negatives_and_prescreen_exact(
     )
     want = sorted(r["key"] for r in batch.join(corpus, "key", "left_anti").collect())
     assert got == want
+
+
+def test_priority_sample_matches_reference_and_is_unbiased(spark):
+    """Priority sampling (operators/sampling.py): Spark output equals
+    an independent pure-Python replay of the same md5 formula for two
+    salts (implementation pin), and over 400 salts of the Python
+    reference the subset-sum estimator's mean is within 3% of the true
+    total weight (the Duffield-Lund-Thorup unbiasedness — math pin;
+    pure-Python so the sweep costs milliseconds, not 400 Spark jobs)."""
+    import hashlib
+
+    from analytics_etl_spark.operators.sampling import priority_sample
+
+    rows = [(i, 10 + 37 * (i % 13)) for i in range(40)]
+    total = sum(w for _, w in rows)
+
+    def ref(salt, k=8):
+        pri = {}
+        for i, w in rows:
+            hv = int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:12], 16)
+            pri[i] = float(w) * float(2**48) / float(hv + 1)
+        order = sorted(rows, key=lambda t: (-pri[t[0]], t[0]))[: 8 + 1]
+        tau = min(pri[i] for i, _ in order)
+        return {
+            i: max(float(w), tau) for i, w in order if pri[i] > tau
+        }
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for salt in ("ps", "other"):
+        got = {
+            r["doc_id"]: r["w_est"]
+            for r in priority_sample(df, "w", k=8, salt=salt).collect()
+        }
+        assert got == ref(salt), salt
+
+    est_means = [sum(ref(f"s{n}").values()) for n in range(400)]
+    mean = sum(est_means) / len(est_means)
+    assert abs(mean - total) / total < 0.03
+    # heavier items are sampled more often (monotone inclusion)
+    heavy = sum(1 for n in range(400) if 12 in ref(f"s{n}"))   # w=10+37*12
+    light = sum(1 for n in range(400) if 13 in ref(f"s{n}"))   # w=10
+    assert heavy > light * 2
+
+
+def test_priority_sample_excludes_nonpositive_and_null_weights(spark):
+    from analytics_etl_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, -4), (4, None), (5, 7), (6, 9)],
+        "doc_id long, w long",
+    )
+    out = priority_sample(df, "w", k=2).collect()
+    assert {r["doc_id"] for r in out} <= {1, 5, 6}
+    assert len(out) == 2
+
+
+def test_priority_sample_plan_uses_take_ordered(spark):
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.sampling import priority_sample
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        priority_sample(df, "w", k=50).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
