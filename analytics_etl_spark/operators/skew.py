@@ -48,3 +48,45 @@ def salted_join(
     )
     out = l_salted.join(r_replicated, [key, "__salt"])
     return out.drop("__salt")
+
+
+def hot_key_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_count_threshold: int,
+) -> DataFrame:
+    """The third manual skew remedy: SPLIT the fact on a hot-key
+    census instead of salting — hot-key rows join a BROADCAST of just
+    their dim rows (map-side, no shuffle for the skewed mass), cold
+    rows take the normal shuffle join, union the halves.
+
+    vs salted_join: salting replicates the ENTIRE right side salt×
+    (unavoidable when the hot set is unknown); the split replicates
+    NOTHING and ships only |hot| dim rows to every executor — cheaper
+    whenever the hot set is small, which is what "skew" means. The
+    price is one census pass over the left side's keys (map-side
+    combined; at ingest time a real site pins this as a statistics
+    table instead of recomputing).
+
+    The census collect is driver-bounded BY CONSTRUCTION: at most
+    count(left)/hot_count_threshold keys can exceed the threshold.
+    NULL keys ride the cold path (inner join drops them there, same
+    as the plain join). Row-for-row equivalent to
+    ``left.join(right, key)`` — pinned in tests/test_scale_utils.py.
+    """
+    hot = [
+        r[0]
+        for r in left.groupBy(key)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > hot_count_threshold)
+        .collect()
+    ]
+    if not hot:
+        return left.join(right, key)
+    is_hot = F.col(key).isin(hot)
+    hot_joined = left.filter(is_hot).join(
+        F.broadcast(right.filter(is_hot)), key
+    )
+    cold_joined = left.filter(~is_hot | F.col(key).isNull()).join(right, key)
+    return hot_joined.unionByName(cold_joined)

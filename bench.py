@@ -629,6 +629,27 @@ def _skew_join_salted_noaqe(spark, sf_dir: str):
     return _skew_join_probe(spark, salted=True)
 
 
+def _skew_join_hotsplit_noaqe(spark, sf_dir: str):
+    """hot_key_split_join with AQE skew-split OFF: the census-driven
+    manual remedy — hot keys ride a broadcast of just their dim rows
+    (nothing replicated), cold keys take the normal sort-merge. The
+    contrast arm to salted_noaqe: same fact/dim, same conf."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.skew import hot_key_split_join
+
+    _skew_conf(
+        spark,
+        skew_join=False,
+        threshold=_AQE_SKEW_THRESHOLD_DEFAULT,
+        advisory=_AQE_ADVISORY_DEFAULT,
+    )
+    joined = hot_key_split_join(
+        _SKEW_FACT, _SKEW_DIM.hint("merge"), "k", hot_count_threshold=1_000_000
+    )
+    return joined.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+
+
 def _skew_agg_naive(spark, sf_dir: str):
     """Naive groupBy-sum on the hot key (also restores stock AQE confs
     for everything after the skew block). Expected finding: map-side
@@ -756,6 +777,7 @@ def main() -> None:
     plans["skew_join_naive_aqe"] = _skew_join_naive_aqe
     plans["skew_join_naive_noaqe"] = _skew_join_naive_noaqe
     plans["skew_join_salted_noaqe"] = _skew_join_salted_noaqe
+    plans["skew_join_hotsplit_noaqe"] = _skew_join_hotsplit_noaqe
     plans["skew_agg_naive"] = _skew_agg_naive
     plans["skew_agg_salted"] = _skew_agg_salted
 

@@ -274,3 +274,38 @@ def test_triangle_count_rejects_out_of_range_ids(spark):
     neg = spark.createDataFrame([(-5, 2), (2, 3), (-5, 3)], "src long, dst long")
     with pytest.raises(Exception, match="node id out of"):
         triangle_count(neg).collect()
+
+
+def test_hot_key_split_join_equals_plain_join(spark):
+    """hot_key_split_join is row-for-row the plain inner join (incl.
+    NULL keys dropping and duplicate dim keys multiplying), the hot
+    side rides a broadcast, and an empty census degrades to the plain
+    join."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.skew import hot_key_split_join
+
+    left = spark.createDataFrame(
+        [(1, "a")] * 50 + [(2, "b"), (3, "c"), (None, "n")],
+        "k int, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "d1"), (2, "d2"), (2, "d2x"), (4, "d4")], "k int, label string"
+    )
+    out = hot_key_split_join(left, right, "k", hot_count_threshold=10)
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "BroadcastHashJoin" in buf.getvalue()
+    # census finds nothing hot -> plain single-join plan
+    none_hot = hot_key_split_join(left, right, "k", hot_count_threshold=1000)
+    assert sorted(map(tuple, none_hot.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
