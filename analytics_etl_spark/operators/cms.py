@@ -168,3 +168,26 @@ def check_cms_meta(cms_path: str, depth: int, width: int) -> None:
             f"CMS param mismatch at {cms_path}: stored {stored}, "
             f"caller depth={depth} width={width}"
         )
+
+
+def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimation from two CMS tables (Cormode &
+    Muthukrishnan 2005 §4.3): |A ⋈_k B| = Σ_k cA(k)·cB(k) is
+    estimated by min over hash rows of the cell-wise inner product
+    Σ_b cmsA[r,b]·cmsB[r,b]. One-sided like the point estimate
+    (collisions only add cross terms, so est ≥ truth), and the
+    primitive a planner uses to size a join BEFORE running it from
+    two kilobyte sketches instead of two table scans. Both sketches
+    must share (depth, width) — the caller's sidecar contract.
+
+    Returns a 1-row frame (est_join_size bigint). Grid-bounded work:
+    the join/aggregation touches ≤ depth·width cells per side."""
+    prod = (
+        cms_a.alias("a")
+        .join(cms_b.alias("b"), ["r", "b"])
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip")
+        )
+    )
+    return prod.agg(F.min("ip").cast("bigint").alias("est_join_size"))

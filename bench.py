@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_build_classifier_gated",
     "dedup_ngram_containment",
     "docs_priority_sample",
+    "cms_join_size_estimate",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

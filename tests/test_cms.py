@@ -130,3 +130,25 @@ def test_cms_family_is_jvm_pure(spark):
         "FlatMapGroupsInPandas",
     ):
         assert node not in plan
+
+
+def test_join_size_estimate_one_sided_and_exact_when_wide(spark):
+    """Inner-product estimate ≥ true join size always; with a wide
+    grid (no collisions among these keys) it's exactly Σ cA(k)·cB(k)."""
+    from analytics_etl_spark.operators.cms import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = _keys(spark, [1, 1, 1, 2, 3])
+    b = _keys(spark, [1, 2, 2, 4])
+    true_size = a.join(b, "k").count()  # 3*1 + 1*2 = 5
+    assert true_size == 5
+    wide = cms_join_size_estimate(
+        cms_build(a, "k", width=4096), cms_build(b, "k", width=4096)
+    ).first()["est_join_size"]
+    assert wide == 5
+    narrow = cms_join_size_estimate(
+        cms_build(a, "k", width=2), cms_build(b, "k", width=2)
+    ).first()["est_join_size"]
+    assert narrow >= 5
