@@ -164,3 +164,61 @@ def priority_sample(
             ),
         )
     )
+
+
+def priority_sample_per_stratum(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> DataFrame:
+    """Priority sampling with a PER-STRATUM budget: the k highest
+    priorities within each stratum, each with its stratum's threshold
+    τ_s and estimator ŵ = max(w, τ_s) — "5k docs per source, still
+    unbiased per-source statistics". Same exact-IEEE priority as
+    priority_sample; the heavy step is one shuffle on the stratum key
+    + a per-stratum heap window (rows beyond k+1 never survive the
+    rank filter), never a global sort. A stratum with ≤ k rows keeps
+    everything at τ_s = 0 (ŵ = w — the Duffield-Lund-Thorup
+    convention when nothing is excluded). NULL strata form their own
+    group (kept: a real mix must account unlabeled rows)."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = w.cast("double") * F.lit(PRIORITY_HASH_SCALE) / (hv + 1).cast("double")
+    base = df.filter(w.isNotNull() & (w > 0)).select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col),
+        w.alias("weight"),
+        pri.alias("pri"),
+    )
+    win = Window.partitionBy("stratum").orderBy(F.desc("pri"), F.col(id_col))
+    ranked = base.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= k + 1
+    )
+    tau = ranked.filter(F.col("rn") == k + 1).select(
+        "stratum", F.col("pri").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .join(tau, "stratum", "left")
+        .select(
+            "stratum",
+            id_col,
+            "weight",
+            F.greatest(
+                F.col("weight").cast("double"), F.coalesce(F.col("tau"), F.lit(0.0))
+            ).alias("w_est"),
+        )
+    )

@@ -2697,3 +2697,40 @@ def docs_priority_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.sampling import priority_sample
 
     return priority_sample(t(spark, sf_dir, "documents"), "n_chars", k=50)
+
+
+@query(
+    "docs_priority_sample_stratified",
+    oracle="""
+    WITH pssw AS (
+      SELECT lang AS stratum, doc_id, n_chars AS weight,
+             CAST(n_chars AS DOUBLE) * 281474976710656.0
+               / CAST(('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 12))::BIGINT + 1 AS DOUBLE) AS pri
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ),
+    pssr AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY stratum ORDER BY pri DESC, doc_id) AS rn
+      FROM pssw
+    ),
+    psst AS (SELECT stratum, pri AS tau FROM pssr WHERE rn = 16)
+    SELECT r.stratum, r.doc_id, r.weight,
+           greatest(CAST(r.weight AS DOUBLE), COALESCE(t.tau, 0.0)) AS w_est
+    FROM pssr r LEFT JOIN psst t ON t.stratum IS NOT DISTINCT FROM r.stratum
+    WHERE r.rn <= 15
+    """,
+)
+def docs_priority_sample_stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum priority sampling
+    (operators/sampling.py::priority_sample_per_stratum): the 15
+    highest-priority docs per language with per-stratum thresholds
+    and unbiased estimators — "fixed quota per source, statistics
+    still estimable per source". Same exact-IEEE priority argument as
+    docs_priority_sample; one shuffle on the stratum key, per-stratum
+    heap window, NULL-safe stratum join (hostile data has NULL
+    langs)."""
+    from analytics_etl_spark.operators.sampling import priority_sample_per_stratum
+
+    return priority_sample_per_stratum(
+        t(spark, sf_dir, "documents"), "n_chars", k=15
+    )

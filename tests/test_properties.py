@@ -498,3 +498,34 @@ def test_priority_sample_plan_uses_take_ordered(spark):
         priority_sample(df, "w", k=50).explain("formatted")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_per_stratum_budgets_and_small_strata(spark):
+    """Each stratum yields at most k rows; a stratum with <= k rows
+    keeps everything at tau=0 (w_est == w); per-stratum selection
+    equals running plain priority_sample on that stratum alone."""
+    from analytics_etl_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_per_stratum,
+    )
+
+    rows = [(i, 10 + i % 7, "big") for i in range(30)]
+    rows += [(100 + i, 5 + i, "small") for i in range(3)]
+    rows += [(200, 9, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, lang string")
+    out = priority_sample_per_stratum(df, "w", k=5, stratum_col="lang").collect()
+    by_stratum = {}
+    for r in out:
+        by_stratum.setdefault(r["stratum"], []).append(r)
+    assert len(by_stratum["big"]) == 5
+    # small strata keep everything, estimator = raw weight
+    assert len(by_stratum["small"]) == 3
+    assert all(r["w_est"] == float(r["weight"]) for r in by_stratum["small"])
+    assert len(by_stratum[None]) == 1
+    # stratum-restricted plain sample agrees on the selected set
+    big_only = priority_sample(
+        df.filter(F.col("lang") == "big"), "w", k=5
+    ).collect()
+    assert {r["doc_id"] for r in big_only} == {
+        r["doc_id"] for r in by_stratum["big"]
+    }
