@@ -101,6 +101,27 @@ def dataset_split(
 PRIORITY_HASH_SCALE = float(2**48)  # u ~ (h+1)/2^48 with a 48-bit hash
 
 
+def priority_expr(weight_col: str, id_col: str, salt: str) -> Column:
+    '''The DLT priority q = w/u as ONE deterministic IEEE expression
+    over md5-derived integers — shared by the batch samplers and the
+    streaming maintenance (a stored row's priority must be
+    recomputable bit-for-bit from (salt, id, w) forever).'''
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        F.col(weight_col).cast("double")
+        * F.lit(PRIORITY_HASH_SCALE)
+        / (hv + 1).cast("double")
+    )
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,
@@ -136,20 +157,10 @@ def priority_sample(
     special-cased).
     """
     w = F.col(weight_col)
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    pri = (
-        w.cast("double") * F.lit(PRIORITY_HASH_SCALE) / (hv + 1).cast("double")
-    ).alias("pri")
     base = df.filter(w.isNotNull() & (w > 0)).select(
-        F.col(id_col), w.alias("weight"), pri
+        F.col(id_col),
+        w.alias("weight"),
+        priority_expr(weight_col, id_col, salt).alias("pri"),
     )
     topk1 = base.orderBy(F.desc("pri"), id_col).limit(k + 1)
     tau = topk1.agg(F.min("pri").alias("tau"))
@@ -187,21 +198,11 @@ def priority_sample_per_stratum(
     from pyspark.sql import Window
 
     w = F.col(weight_col)
-    hv = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    pri = w.cast("double") * F.lit(PRIORITY_HASH_SCALE) / (hv + 1).cast("double")
     base = df.filter(w.isNotNull() & (w > 0)).select(
         F.col(stratum_col).alias("stratum"),
         F.col(id_col),
         w.alias("weight"),
-        pri.alias("pri"),
+        priority_expr(weight_col, id_col, salt).alias("pri"),
     )
     win = Window.partitionBy("stratum").orderBy(F.desc("pri"), F.col(id_col))
     ranked = base.withColumn("rn", F.row_number().over(win)).filter(

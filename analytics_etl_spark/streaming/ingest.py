@@ -574,3 +574,76 @@ def streaming_vector_ingest(
         .foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def merge_priority_sample_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    sample_path: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ps",
+) -> None:
+    """foreachBatch maintenance of a RUNNING weighted sample
+    (operators/sampling.py priority sampling) — the streaming sibling
+    of the HLL/bloom/CMS maintained tables: after any number of
+    micro-batches the stored table IS the batch top-(k+1) priority
+    sample of everything ever seen, exactly.
+
+    Why this merges losslessly: a row's priority is a pure function
+    of (salt, id, weight) — recomputed bit-for-bit, never random
+    state — so "top-(k+1) of (stored ∪ batch top-(k+1))" equals
+    "top-(k+1) of the full history" (a discarded row can never
+    re-enter: anything outside a batch's top-(k+1) is dominated by
+    k+1 rows that ARE retained). And it is replay-IDEMPOTENT without
+    an epoch ledger: a re-delivered row is id-identical with an
+    identical priority, and the merge dedupes on id before ranking —
+    so at-least-once delivery needs no exactly-once machinery (the
+    CMS table, by contrast, genuinely needs the checkpoint ledger).
+
+    The stored table keeps k+1 rows so the threshold τ (and the
+    ŵ = max(w, τ) estimators) stay computable at read time
+    (``read_priority_sample``)."""
+    from analytics_etl_spark.operators.sampling import priority_expr
+
+    w = F.col(weight_col)
+    fresh = (
+        batch_df.filter(w.isNotNull() & (w > 0))
+        .select(
+            F.col(id_col).alias("sample_id"),
+            w.cast("bigint").alias("weight"),
+            priority_expr(weight_col, id_col, salt).alias("pri"),
+        )
+        .orderBy(F.desc("pri"), "sample_id")
+        .limit(k + 1)
+    )
+
+    def merge(stored: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(fresh)
+            .dropDuplicates(["sample_id"])
+            .orderBy(F.desc("pri"), "sample_id")
+            .limit(k + 1)
+        )
+
+    _merge_swap_table(batch_df.sparkSession, sample_path, fresh, merge)
+
+
+def read_priority_sample(spark, sample_path: str) -> DataFrame:
+    """The maintained sample with its estimators: drop the τ row,
+    ŵ = max(w, τ) — identical to what operators/sampling.py
+    priority_sample returns over the full history (pytest-pinned)."""
+    stored = spark.read.parquet(sample_path)
+    tau = stored.agg(F.min("pri").alias("tau"))
+    return (
+        stored.crossJoin(F.broadcast(tau))
+        .filter(F.col("pri") > F.col("tau"))
+        .select(
+            "sample_id",
+            "weight",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "w_est"
+            ),
+        )
+    )

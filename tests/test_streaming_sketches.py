@@ -178,3 +178,41 @@ def test_real_stream_maintains_sketch_table(spark, tmp_path):
         for r in distinct_estimate(ev, ["event_type", "day"], "user_id").collect()
     }
     assert streamed == direct and len(direct) > 0
+
+
+def test_priority_sample_maintenance_equals_batch_and_replays(spark, tmp_path):
+    """Streaming-maintained weighted sample == the batch priority
+    sample over everything seen (priorities are pure functions of the
+    row, so top-k merges losslessly), and a replayed batch is a no-op
+    (id-dedup before ranking)."""
+    from analytics_etl_spark.operators.sampling import priority_sample
+    from analytics_etl_spark.streaming.ingest import (
+        merge_priority_sample_batch,
+        read_priority_sample,
+    )
+
+    path = str(tmp_path / "sample")
+    b1 = spark.createDataFrame(
+        [(i, 10 + 37 * (i % 13)) for i in range(25)], "doc_id long, w long"
+    )
+    b2 = spark.createDataFrame(
+        [(100 + i, 5 + 11 * (i % 17)) for i in range(25)], "doc_id long, w long"
+    )
+    merge_priority_sample_batch(b1, 0, path, "w", k=8)
+    merge_priority_sample_batch(b2, 1, path, "w", k=8)
+
+    got = {
+        (r["sample_id"], r["weight"], r["w_est"])
+        for r in read_priority_sample(spark, path).collect()
+    }
+    want = {
+        (r["doc_id"], r["weight"], r["w_est"])
+        for r in priority_sample(b1.unionByName(b2), "w", k=8).collect()
+    }
+    assert got == want and len(got) == 8
+
+    # failure replay: re-deliver batch 1 — byte-identical state
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_priority_sample_batch(b2, 1, path, "w", k=8)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after

@@ -300,3 +300,60 @@ def test_gopher_stopword_calibration(spark):
     assert (
         gopher_quality_flags(docs, stopwords=("the", "a")).first()["f_stop"] is True
     )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_gopher_text = st.text(
+    alphabet="abcdefgh the.#*-\n", min_size=0, max_size=400
+)
+
+
+def _ref_gopher(text, stopwords=("the", "be", "to", "of", "and", "that", "have", "with")):
+    """Independent Python replay of the integer rule cascade."""
+    if text is None:
+        return None
+    words = text.split(" ")
+    lines = text.split("\n")
+    n_words, n_lines = len(words), len(lines)
+    sum_wlen = sum(len(w) for w in words)
+    n_alpha = sum(1 for w in words if any(c.isascii() and c.isalpha() for c in w))
+    n_hash = text.count("#")
+    n_ell3 = len(text) - len(text.replace("...", ""))
+    n_bullet = sum(1 for l in lines if l[:1] in ("-", "*"))
+    n_ell_lines = sum(1 for l in lines if l.endswith("..."))
+    n_stop = len({w for w in words if w in stopwords})
+    return (
+        50 <= n_words <= 100000,
+        3 * n_words <= sum_wlen <= 10 * n_words,
+        10 * (3 * n_hash + n_ell3) <= 3 * n_words,
+        10 * n_bullet < 9 * n_lines,
+        10 * n_ell_lines < 3 * n_lines,
+        5 * n_alpha >= 4 * n_words,
+        n_stop >= 2,
+    )
+
+
+@given(texts=st.lists(_gopher_text, min_size=1, max_size=8))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_gopher_flags_match_reference_on_random_text(spark, texts):
+    from analytics_etl_spark.operators.text_analysis import gopher_quality_flags
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in gopher_quality_flags(docs).collect()}
+    flags = (
+        "f_word_count", "f_mean_word_len", "f_symbol_ratio",
+        "f_bullet", "f_ellipsis", "f_alpha", "f_stop",
+    )
+    for i, txt in enumerate(texts):
+        want = _ref_gopher(txt)
+        got = tuple(out[i][f] for f in flags)
+        assert got == want, (txt, got, want)
+        assert out[i]["keep"] is all(want)

@@ -128,3 +128,31 @@ def test_unigram_is_jvm_pure(spark):
         "FlatMapGroupsInPandas",
     ):
         assert node not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(
+    alphabet="abcdehinorstw.#", min_size=1, max_size=40
+).filter(lambda s: " " not in s)
+
+
+@given(words=st.lists(_word, min_size=1, max_size=12, unique=True))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dp_matches_reference_on_random_words(spark, words):
+    """Property: the HOF-expression DP equals the independent Python
+    Viterbi on arbitrary words from the piece alphabet (incl. symbols,
+    cap-exceeding lengths, and pieces overlapping at every offset)."""
+    out = {
+        r["word"]: (r["cost_q"], r["n_pieces"])
+        for r in unigram_word_table(
+            _docs(spark, [(1, " ".join(words))])
+        ).collect()
+    }
+    for w in set(words):
+        assert out[w] == ref_viterbi(w), w
