@@ -121,3 +121,81 @@ def test_cache_handles_lifetime_hook(spark):
     assert len(handles) == 1 and handles[0].is_cached
     handles[0].unpersist()
     assert not handles[0].is_cached
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_token = st.sampled_from(["aa", "bb", "cc", "xx", "yy", "the", "", "zz1"])
+
+
+def _ref_nb_scores(rows):
+    """Pure-Python replay of the fixed-point NB formula (md5 buckets,
+    per-term floor-quantized log2, observed-V smoothing)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 65536
+
+    def q(x):
+        return math.floor(256.0 * math.log2(x))
+
+    cb = Counter()
+    docs = []
+    for doc_id, text, is_ref in rows:
+        if text is None:
+            continue
+        toks = [bucket(w) for w in text.split(" ")]
+        docs.append((doc_id, is_ref, toks))
+        for b in toks:
+            cb[(is_ref, b)] += 1
+    vocab = {b for _, b in cb}
+    n_pos = sum(n for (ref, _), n in cb.items() if ref)
+    n_neg = sum(n for (ref, _), n in cb.items() if not ref)
+    d_pos = sum(1 for _, is_ref, _ in docs if is_ref)
+    d_neg = len(docs) - d_pos
+    w_q = {
+        b: q(cb.get((True, b), 0) + 1) - q(cb.get((False, b), 0) + 1)
+        for b in vocab
+    }
+    out = {}
+    for doc_id, is_ref, toks in docs:
+        score = (
+            sum(w_q[b] for b in toks)
+            + len(toks) * (q(n_neg + len(vocab)) - q(n_pos + len(vocab)))
+            + (q(d_pos + 1) - q(d_neg + 1))
+        )
+        out[doc_id] = score
+    return out
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(_token, min_size=1, max_size=10),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=10,
+    ).filter(lambda rs: any(r[1] for r in rs) and any(not r[1] for r in rs))
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_nb_scores_match_reference_on_random_corpora(spark, rows):
+    data = [
+        (i, " ".join(toks), "en" if is_ref else "xx")
+        for i, (toks, is_ref) in enumerate(rows)
+    ]
+    want = _ref_nb_scores([(i, t, lang == "en") for i, t, lang in data])
+    got = {
+        r["doc_id"]: r["score_q"]
+        for r in nb_classifier_scores(
+            _docs(spark, data), F.col("lang") == "en"
+        ).collect()
+    }
+    assert got == want

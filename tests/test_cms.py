@@ -152,3 +152,50 @@ def test_join_size_estimate_one_sided_and_exact_when_wide(spark):
         cms_build(a, "k", width=2), cms_build(b, "k", width=2)
     ).first()["est_join_size"]
     assert narrow >= 5
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _ref_cms_estimates(vals, probe_keys, depth, width):
+    """Pure-Python replay of the digest-slice CMS formula."""
+    import hashlib
+    from collections import Counter
+
+    def buckets(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return [int(h[8 * r : 8 * r + 8], 16) % width for r in range(depth)]
+
+    cells = Counter()
+    for k, n in Counter(vals).items():
+        for r, b in enumerate(buckets(k)):
+            cells[(r, b)] += n
+    return {
+        k: min(cells.get((r, b), 0) for r, b in enumerate(buckets(k)))
+        for k in probe_keys
+    }
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    depth=st.integers(min_value=1, max_value=4),
+    width=st.sampled_from([4, 16, 64]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cms_estimates_match_reference_on_random_multisets(
+    spark, vals, depth, width
+):
+    df = _keys(spark, vals)
+    keys = sorted(set(vals))
+    got = {
+        r["k"]: r["est_n"]
+        for r in cms_estimate(
+            cms_build(df, "k", depth, width), _keys(spark, keys), "k", depth, width
+        ).collect()
+    }
+    assert got == _ref_cms_estimates(vals, keys, depth, width)

@@ -78,3 +78,43 @@ def test_incremental_refresh_empty_months_is_noop(spark, tmp_path):
     from analytics_etl_spark.plans.incremental import refresh_monthly_rollup
 
     assert refresh_monthly_rollup(spark, "/root/testdata/sf0.001", str(tmp_path / "r"), []) == 0
+
+
+def test_round10_operators_on_empty(spark):
+    """Gopher flags, NB classifier, unigram metrics, CMS, priority
+    samplers, containment pairs, hot-key split join: empty in → empty
+    (correctly-schemed) out, no throw."""
+    from analytics_etl_spark.operators.classifier import nb_classifier_scores
+    from analytics_etl_spark.operators.cms import cms_build, cms_estimate
+    from analytics_etl_spark.operators.dedup import containment_pairs, word_shingles
+    from analytics_etl_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_per_stratum,
+    )
+    from analytics_etl_spark.operators.skew import hot_key_split_join
+    from analytics_etl_spark.operators.text_analysis import gopher_quality_flags
+    from analytics_etl_spark.operators.unigram import (
+        unigram_doc_metrics,
+        unigram_word_table,
+    )
+
+    docs = _empty_docs(spark)
+    assert gopher_quality_flags(docs).count() == 0
+    assert nb_classifier_scores(docs, F.col("lang") == "en").count() == 0
+    assert unigram_word_table(docs).count() == 0
+    assert unigram_doc_metrics(docs).count() == 0
+    assert containment_pairs(word_shingles(docs, n=3), 0.2).count() == 0
+
+    empty_keys = spark.createDataFrame([], "k long")
+    cms = cms_build(empty_keys, "k")
+    assert cms.count() == 0
+    assert cms_estimate(cms, empty_keys, "k").count() == 0
+
+    wdocs = spark.createDataFrame([], "doc_id long, w long, lang string")
+    assert priority_sample(wdocs, "w", k=5).count() == 0
+    assert priority_sample_per_stratum(wdocs, "w", k=5).count() == 0
+
+    right = spark.createDataFrame([], "k long, label string")
+    assert hot_key_split_join(
+        spark.createDataFrame([], "k long, v string"), right, "k", 10
+    ).count() == 0
