@@ -180,6 +180,7 @@ _LSH_INDEX: tuple[object, list] | None = None  # (index df, planes)
 _IVF_INDEX: tuple[object, list] | None = None  # (index df, centroids)
 _QVEC: list[float] | None = None
 _INT8_CODES: object | None = None  # persisted (vec_id, codes, scale, embedding) reader
+_IVFPQ_INDEX: tuple[object, list, list] | None = None  # (index df, centroids, codebooks)
 
 
 def _setup_ann_indexes(spark, sf_dir: str) -> None:
@@ -219,6 +220,13 @@ def _setup_ann_indexes(spark, sf_dir: str) -> None:
     with_int8_codes(emb).write.mode("overwrite").parquet(os.path.join(base, "codes"))
     _INT8_CODES = spark.read.parquet(os.path.join(base, "codes"))
 
+    global _IVFPQ_INDEX
+    from analytics_etl_spark.operators.pq import pq_train_codebooks, write_ivfpq_index
+
+    cbs = pq_train_codebooks(emb, m=8, ksub=16, iters=3, sample_fraction=0.5)
+    write_ivfpq_index(emb, os.path.join(base, "ivfpq"), cents, cbs)
+    _IVFPQ_INDEX = (spark.read.parquet(os.path.join(base, "ivfpq")), cents, cbs)
+
 
 def _int8_persisted(spark, sf_dir: str):
     """similarity_topk_int8 over the ingest-persisted codes column:
@@ -238,6 +246,21 @@ def _ann_lsh_indexed(spark, sf_dir: str):
 
     index, planes = _LSH_INDEX
     return lsh_index_topk(index, _QVEC, planes, k=10, exclude_ids=(0,))
+
+
+def _ann_ivfpq_persisted(spark, sf_dir: str):
+    """The full FAISS IVF-PQ query shape over a write_ivfpq_index
+    layout (untimed ingest): literal-probe partition pruning into the
+    n_probe cells, driver-side ADC LUT, codes-only coarse scan, exact
+    rerank of the shortlist — 100% JVM at query time. The deployment
+    counterpart of similarity_ann_pq/_pq_rerank, whose inline
+    codebook training dominates their bench cost."""
+    from analytics_etl_spark.operators.pq import ivfpq_topk
+
+    index, cents, cbs = _IVFPQ_INDEX
+    return ivfpq_topk(
+        index, _QVEC, cents, cbs, k=10, n_probe=4, rerank=50, exclude_ids=(0,)
+    )
 
 
 def _dedup_semantic_incr_persisted(spark, sf_dir: str):
@@ -775,6 +798,7 @@ def main() -> None:
     plans["rollup_refresh_month"] = _rollup_refresh_month
     plans["rollup_refresh_unpart"] = _rollup_refresh_unpart
     plans["rollup_full_rebuild"] = _rollup_full_rebuild
+    plans["similarity_ann_ivfpq_persisted"] = _ann_ivfpq_persisted
     plans["skew_join_naive_aqe"] = _skew_join_naive_aqe
     plans["skew_join_naive_noaqe"] = _skew_join_naive_noaqe
     plans["skew_join_salted_noaqe"] = _skew_join_salted_noaqe
