@@ -190,4 +190,22 @@ def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
             F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip")
         )
     )
-    return prod.agg(F.min("ip").cast("bigint").alias("est_join_size"))
+    # A hash row whose cells overlap in NO bucket contributes a ZERO
+    # inner product — the tightest bound — but the inner join drops it
+    # entirely; min over the surviving rows then overshoots, and two
+    # fully-disjoint sketches would return NULL instead of 0. Coalesce
+    # the final min to 0 whenever fewer than `depth` rows survive
+    # (row count of `prod` vs the depth recorded on the sketch itself).
+    depth_rows = cms_a.select(F.countDistinct("r").alias("d"))
+    return (
+        prod.agg(
+            F.min("ip").alias("min_ip"), F.count(F.lit(1)).alias("rows_present")
+        )
+        .crossJoin(F.broadcast(depth_rows))
+        .select(
+            F.when(F.col("rows_present") < F.col("d"), F.lit(0))
+            .otherwise(F.coalesce(F.col("min_ip"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_join_size")
+        )
+    )

@@ -68,9 +68,15 @@ from analytics_etl_spark.operators.similarity import (
 
 def unit_vector(col: Column | str) -> Column:
     """vec / ||vec|| as a pure JVM expression (callers gate zero norms
-    out first via ``valid_embeddings``)."""
+    out first via ``valid_embeddings``). The norm is materialized ONCE
+    per row — threaded through a 1-element struct array so the lambda
+    sees an already-evaluated field — instead of re-running the
+    dot(v,v) aggregate inside the per-element lambda, which costs
+    O(d²) expression work per row (ADVICE r10). Bit-identical output:
+    same operands, same IEEE division."""
     v = as_double_array(col)
-    return F.transform(v, lambda x: x / F.sqrt(dot(v, v)))
+    packed = F.array(F.struct(v.alias("v"), F.sqrt(dot(v, v)).alias("n")))
+    return F.transform(packed, lambda t: F.transform(t["v"], lambda x: x / t["n"]))[0]
 
 
 def _encode_udf(codebooks: list[list[list[float]]]):

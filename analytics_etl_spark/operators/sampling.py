@@ -209,11 +209,15 @@ def priority_sample_per_stratum(
         F.col("rn") <= k + 1
     )
     tau = ranked.filter(F.col("rn") == k + 1).select(
-        "stratum", F.col("pri").alias("tau")
+        F.col("stratum").alias("tau_stratum"), F.col("pri").alias("tau")
     )
+    # eqNullSafe: a NULL stratum is a real group here, and a null-unsafe
+    # equi-join would drop its tau row, silently coalescing tau to 0 and
+    # biasing w_est for every sampled row of that group (ADVICE r10).
+    # tau is one row per stratum — broadcastable by construction.
     return (
         ranked.filter(F.col("rn") <= k)
-        .join(tau, "stratum", "left")
+        .join(F.broadcast(tau), F.col("stratum").eqNullSafe(F.col("tau_stratum")), "left")
         .select(
             "stratum",
             id_col,

@@ -64,54 +64,58 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-10 rotation (output of tools/rotate_window.py): leads with the
-# five r9 additions that have NEVER held a driver row (they landed
-# after the r9 window was pinned — VERDICT r9 item 1:
-# perplexity gate/buckets, bpe_apply_tokens, the two gated corpus
-# builds), then the stalest r5-row holders, then the
-# alphabetically-first r6 cohort. Every r9 window member rotates out
-# with a fresh green row standing (CORRECTNESS_r09.json: 50/50).
+# Round-11 rotation (output of tools/rotate_window.py, re-run AFTER
+# the round's last registry-touching commit — the policy revision
+# VERDICT r10 item 1 asked for, so in-round additions can't lag a
+# round behind the evidence channel): leads with the eleven
+# r10-session-2 additions that have NEVER held a driver row (gopher
+# rules, NB classifier + gated build, CMS pair, containment, priority
+# -sample pair, exact packing, unigram Viterbi, k-anonymity), then
+# this round's own additions (also never-checked, sorted in by the
+# same rule), then the stalest r6 cohort. Every r10 window member
+# rotates out with a fresh green row standing (CORRECTNESS_r10.json:
+# 50/50).
 ROTATION: tuple[str, ...] = (
-    "bpe_apply_tokens",
-    "corpus_build_bucket_gated",
-    "corpus_build_ppl_gated",
-    "text_perplexity_buckets",
-    "text_perplexity_gate",
-    "embedding_random_projection",
-    "explode_words",
-    "hypertable_rollup",
-    "json_extract_props",
-    "latest_order_per_customer",
-    "multimodal_binary_meta",
-    "pivot_event_counts",
-    "range_join_price_bands",
-    "regional_revenue",
-    "revenue_denylist_filter",
-    "sales_count_by_location",
-    "sales_date_range",
-    "semi_join_active_customers",
-    "similarity_ann_bucketed",
-    "similarity_ann_hyperplane",
-    "similarity_ann_multiprobe",
-    "similarity_topk_int8",
-    "text_quality_score",
-    "text_token_count",
-    "topk_per_group",
-    "tz_convert",
-    "union_all_accumulate",
-    "vocab_coverage_topk",
-    "window_function_family",
-    "binational_volume",
-    "cheapest_supplier_per_part",
-    "contrastive_triplets",
-    "corpus_checksum",
-    "dedup_exact_canonical",
-    "dedup_substring_spans",
-    "deterministic_shuffle",
-    "disjunctive_filter_revenue",
-    "equi_depth_histogram",
-    "events_dau",
-    "events_props_variant_stats",
+    "cms_frequency_estimate",
+    "cms_join_size_estimate",
+    "corpus_build_classifier_gated",
+    "dedup_ngram_containment",
+    "docs_priority_sample",
+    "docs_priority_sample_stratified",
+    "k_anonymity_audit",
+    "packed_examples_exact",
+    "text_gopher_rules",
+    "text_nb_classifier",
+    "unigram_tokenize_viterbi",
+    "excess_quantity_suppliers",
+    "fk_integrity_audit",
+    "forecast_revenue_change",
+    "fuzzy_name_match",
+    "large_order_customers",
+    "longest_error_streak",
+    "market_share",
+    "mode_order_priority",
+    "monthly_revenue_mom",
+    "multimodal_frame_index",
+    "order_count_distribution",
+    "orders_above_customer_avg",
+    "orders_with_late_lines",
+    "parts_supplier_count",
+    "product_type_profit",
+    "promo_revenue_share",
+    "purchase_graph_bfs",
+    "range_frame_revenue",
+    "returned_item_reporting",
+    "revenue_anomaly_days",
+    "revenue_pareto",
+    "revenue_ytd",
+    "sales_etl_chain",
+    "sample_budget_allocation",
+    "scd2_customer_status_history",
+    "session_window_agg",
+    "array_functions_pack",
+    "avg_stats_per_nation",
+    "cohort_retention",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -2810,7 +2810,8 @@ def cms_frequency_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey) AS true_join_size,
-      (SELECT CAST(MIN(ip) AS BIGINT) FROM ip) AS est_join_size
+      (SELECT CAST(CASE WHEN COUNT(*) < 4 THEN 0 ELSE MIN(ip) END AS BIGINT)
+         FROM ip) AS est_join_size
     """,
 )
 def cms_join_size_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:

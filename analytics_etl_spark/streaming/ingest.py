@@ -608,13 +608,20 @@ def merge_priority_sample_batch(
     from analytics_etl_spark.operators.sampling import priority_expr
 
     w = F.col(weight_col)
+    # Dedup on id BEFORE taking the batch top-(k+1): a re-delivered or
+    # intra-batch duplicate id would otherwise occupy two of the k+1
+    # slots and evict a distinct row the full-history top-(k+1) keeps
+    # (ADVICE r10). Weight stays its native type cast to double — a
+    # bigint cast truncated fractional weights and broke the pinned
+    # equality with batch priority_sample on double weight columns.
     fresh = (
         batch_df.filter(w.isNotNull() & (w > 0))
         .select(
             F.col(id_col).alias("sample_id"),
-            w.cast("bigint").alias("weight"),
+            w.cast("double").alias("weight"),
             priority_expr(weight_col, id_col, salt).alias("pri"),
         )
+        .dropDuplicates(["sample_id"])
         .orderBy(F.desc("pri"), "sample_id")
         .limit(k + 1)
     )

@@ -154,6 +154,25 @@ def test_join_size_estimate_one_sided_and_exact_when_wide(spark):
     assert narrow >= 5
 
 
+def test_join_size_estimate_disjoint_sketches_returns_zero(spark):
+    """ADVICE r10: a hash row whose cells share NO bucket contributes a
+    ZERO inner product — the tightest bound. The old inner-join min
+    skipped such rows, so two sketches sharing no cells returned NULL
+    and partially-disjoint rows overshot. Disjoint key sets on a wide
+    grid → est 0, not NULL (true join size is 0)."""
+    from analytics_etl_spark.operators.cms import (
+        cms_build,
+        cms_join_size_estimate,
+    )
+
+    a = _keys(spark, [1, 2, 3])
+    b = _keys(spark, [101, 102, 103])
+    est = cms_join_size_estimate(
+        cms_build(a, "k", width=1 << 20), cms_build(b, "k", width=1 << 20)
+    ).first()["est_join_size"]
+    assert est == 0
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

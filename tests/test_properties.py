@@ -529,3 +529,30 @@ def test_priority_sample_per_stratum_budgets_and_small_strata(spark):
     assert {r["doc_id"] for r in big_only} == {
         r["doc_id"] for r in by_stratum["big"]
     }
+
+
+def test_priority_sample_per_stratum_null_stratum_over_budget(spark):
+    """A NULL stratum with MORE than k rows must get its real tau, not
+    a coalesced 0 (the tau join is eqNullSafe — ADVICE r10: a
+    null-unsafe equi-join dropped the NULL group's tau row, biasing
+    every w_est in that group). Pinned against plain priority_sample
+    on the NULL slice, which computes tau without any stratum join."""
+    from analytics_etl_spark.operators.sampling import (
+        priority_sample,
+        priority_sample_per_stratum,
+    )
+
+    rows = [(i, 10 + 37 * (i % 13), None) for i in range(30)]
+    rows += [(100 + i, 7 + i, "en") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, lang string")
+    out = priority_sample_per_stratum(df, "w", k=5, stratum_col="lang").collect()
+    null_rows = [r for r in out if r["stratum"] is None]
+    assert len(null_rows) == 5
+    want = {
+        (r["doc_id"], r["w_est"])
+        for r in priority_sample(df.filter(F.col("lang").isNull()), "w", k=5).collect()
+    }
+    assert {(r["doc_id"], r["w_est"]) for r in null_rows} == want
+    # tau genuinely bites for at least one row (w_est > w) — the case
+    # the null-unsafe join silently zeroed
+    assert any(r["w_est"] > float(r["weight"]) for r in null_rows)

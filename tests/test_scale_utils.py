@@ -303,8 +303,12 @@ def test_hot_key_split_join_equals_plain_join(spark):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         out.explain("formatted")
-    assert "BroadcastHashJoin" in buf.getvalue()
-    # census finds nothing hot -> plain single-join plan
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # the split is semi/anti joins against the broadcast census frame —
+    # no hot-key literal list compiled into the plan (VERDICT r10 item 5)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # census finds nothing hot -> hot branch is empty, result unchanged
     none_hot = hot_key_split_join(left, right, "k", hot_count_threshold=1000)
     assert sorted(map(tuple, none_hot.collect())) == sorted(
         map(tuple, plain.collect())

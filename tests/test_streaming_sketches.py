@@ -216,3 +216,40 @@ def test_priority_sample_maintenance_equals_batch_and_replays(spark, tmp_path):
     merge_priority_sample_batch(b2, 1, path, "w", k=8)
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert before == after
+
+
+def test_priority_sample_maintenance_intrabatch_dups_and_double_weights(
+    spark, tmp_path
+):
+    """ADVICE r10 regressions: (a) duplicate ids INSIDE one micro-batch
+    must not occupy multiple top-(k+1) slots and evict a distinct row
+    (dedup now precedes the batch ranking); (b) fractional double
+    weights survive storage un-truncated (the stored weight kept its
+    bigint cast, breaking w_est = max(w, tau) for double weights)."""
+    from analytics_etl_spark.operators.sampling import priority_sample
+    from analytics_etl_spark.streaming.ingest import (
+        merge_priority_sample_batch,
+        read_priority_sample,
+    )
+
+    path = str(tmp_path / "sample_dup")
+    # 12 distinct ids, each delivered 3x in the same batch, double weights
+    rows = [(i, 0.5 + 1.37 * (i % 9)) for i in range(12)] * 3
+    b1 = spark.createDataFrame(rows, "doc_id long, w double")
+    merge_priority_sample_batch(b1, 0, path, "w", k=8)
+
+    stored = spark.read.parquet(path)
+    assert stored.count() == 9  # k+1 DISTINCT rows, no duplicate ids
+    assert stored.select("sample_id").distinct().count() == 9
+
+    got = {
+        (r["sample_id"], r["weight"], r["w_est"])
+        for r in read_priority_sample(spark, path).collect()
+    }
+    want = {
+        (r["doc_id"], r["weight"], r["w_est"])
+        for r in priority_sample(b1.dropDuplicates(["doc_id"]), "w", k=8).collect()
+    }
+    assert got == want and len(got) == 8
+    # fractional weights un-truncated
+    assert any(r[1] != int(r[1]) for r in got)
