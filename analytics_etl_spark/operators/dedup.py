@@ -688,6 +688,107 @@ def incremental_minhash_dedup(
     return out.filter(F.col("jaccard") >= min_jaccard)
 
 
+def word_chunk_paragraphs(text_col: str = "text", width: int = 10) -> F.Column:
+    """Aligned non-overlapping ``width``-word windows as an
+    array<string> "paragraph" column — the paragraph notion for
+    corpora with no newline structure (the synthetic tables have
+    none; real crawl text uses the default newline split). Pure JVM:
+    sequence over chunk starts + slice + array_join; the last chunk
+    keeps its natural shorter length so reassembly is lossless."""
+    words = F.split(F.col(text_col), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1)), F.lit(width))
+    return F.transform(
+        starts, lambda i: F.array_join(F.slice(words, i, width), " ")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    paragraphs: F.Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """CCNet's deployed FIRST dedup stage (Wenzek et al. 2020 §4.1):
+    drop individual PARAGRAPHS duplicated across the corpus, keeping
+    only the first occurrence (min (doc_id, position)), and reassemble
+    each document from its surviving paragraphs. This is the
+    granularity that removes boilerplate headers/footers/cookie
+    banners — repeated verbatim across thousands of pages — which
+    document-level near-dedup structurally misses (each PAGE is
+    unique; its FURNITURE is not).
+
+    Semantics:
+    - paragraphs default to ``split(text, delimiter)``; pass
+      ``paragraphs=`` (e.g. ``word_chunk_paragraphs()``) to override
+      the notion for newline-free corpora;
+    - each paragraph is canonical-hashed (case/punct/whitespace
+      folded — functions/text.canonicalize_text, the same form the
+      exact-dedup stage uses); paragraphs whose canonical form is
+      EMPTY are dropped outright (whitespace furniture);
+    - a hash seen in >= 2 DISTINCT documents is corpus boilerplate:
+      every occurrence except the corpus-first (min doc_id, then min
+      position) is removed. A paragraph repeated only WITHIN one
+      document is kept whole (intra-doc repetition is a repetition
+      signal, not corpus boilerplate);
+    - output: one row per doc with >= 1 hashable paragraph —
+      (doc_id, n_pars, n_kept, text_dedup), text_dedup = surviving
+      paragraphs in original order joined by ``joiner`` (defaults to
+      ``delimiter``). n_kept = 0 ⇒ text_dedup = '' (the doc was pure
+      boilerplate; downstream length gates remove it).
+
+    Scale shape (the CCNet production layout): one explode, one
+    map-side-combined groupBy on 32-byte hashes, one hash-keyed join
+    back, one per-doc reassembly groupBy — all linear in total
+    paragraph count, nothing pairwise; the hash table the stats pass
+    materializes is |distinct paragraphs|-sized, never |corpus|².
+    Reference: extends the reference's row-level dedup/validation
+    gates (etl_service.py) to sub-document granularity.
+    """
+    c = F.col(text_col)
+    pars = paragraphs if paragraphs is not None else F.split(c, delimiter)
+    sep = delimiter if joiner is None else joiner
+    from analytics_etl_spark.functions.text import canonicalize_text
+
+    exploded = (
+        docs.filter(c.isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(pars).alias("pos", "par"))
+        .withColumn("h", F.md5(canonicalize_text(F.col("par"))))
+        .filter(canonicalize_text(F.col("par")) != "")
+    )
+    stats = exploded.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    kept = exploded.join(stats, "h").filter(
+        (F.col("n_docs") < 2)
+        | (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    base = exploded.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pars")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_pars",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def containment_pairs(shingled: DataFrame, min_containment: float = 0.0) -> DataFrame:
     """Exact pairwise shingle CONTAINMENT over docs sharing ≥1
     shingle: |A ∩ B| / min(|A|, |B|) — the asymmetric near-dup

@@ -70,6 +70,7 @@ def corpus_build(
     chunk_words: int = 50,
     overlap: int = 10,
     shingles_col: str | None = None,
+    paragraph_dedup_width: int | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """The composed corpus-build plan over ``docs`` (the training
     pool) against ``bench`` (the eval suite to decontaminate from).
@@ -98,7 +99,52 @@ def corpus_build(
       dataset_split).
     - chunk/pack: overlapping word chunks; output aggregates doc,
       chunk and word counts per split.
+
+    ``paragraph_dedup_width``: when set, CCNet's per-paragraph
+    cross-corpus dedup (operators/dedup.paragraph_dedup over aligned
+    word chunks of this width) runs as STAGE 0 — the order CCNet
+    itself deploys (Wenzek et al. 2020 §4.1: boilerplate paragraphs
+    are removed before any quality/LM gating, so the gates score the
+    prose, not the furniture). The pool's texts are REWRITTEN
+    (surviving paragraphs rejoined); docs left with zero paragraphs
+    drop out here. Incompatible with ``shingles_col``: an
+    ingest-persisted shingle column describes the PRE-rewrite text
+    and would silently poison every downstream 3-gram decision.
     """
+    if paragraph_dedup_width is not None:
+        if shingles_col is not None:
+            raise ValueError(
+                "paragraph_dedup_width rewrites pool text, so an "
+                "ingest-persisted shingle column (computed over the "
+                "pre-rewrite text) would be silently stale — persist "
+                "shingles AFTER paragraph dedup, or pass shingles_col=None"
+            )
+        from analytics_etl_spark.operators.dedup import (
+            paragraph_dedup,
+            word_chunk_paragraphs,
+        )
+
+        docs = (
+            paragraph_dedup(
+                docs,
+                paragraphs=word_chunk_paragraphs(width=paragraph_dedup_width),
+                joiner=" ",
+            )
+            .filter(F.col("n_kept") > 0)
+            .select("doc_id", F.col("text_dedup").alias("text"))
+            # The ONE corpus-sized cache this module sanctions, and only
+            # on this opt-in path: the rewrite is a multi-shuffle subtree
+            # (explode → hash stats → join → reassembly) that every
+            # downstream decision branch would otherwise REPLAY (~8
+            # corpus-scans' worth — measured 32.6 s vs 5.4 s at sf0.001
+            # before this pin; column pruning gives each branch a
+            # different exchange schema, so ReuseExchange can't help).
+            # At deployment this frame is the stage TABLE the nightly
+            # build writes between paragraph dedup and gating — the
+            # cache is the single-action analogue, same as the id-sized
+            # decision frames below.
+            .cache()
+        )
     obs = {
         name: Observation(f"corpus_build_{name}")
         for name in ("pool", "quality_pass", "decontaminated", "deduped")

@@ -117,6 +117,12 @@ HEADLINE = [
     "dedup_ngram_containment",
     "docs_priority_sample",
     "cms_join_size_estimate",
+    # round-11 additions (the registered persisted arms — now queries,
+    # VERDICT r10 item 4 — keep their existing bench entries below,
+    # which time the PROBE against the pre-built ingest layout rather
+    # than re-paying the ingest write per rep)
+    "dedup_paragraph_corpus",
+    "corpus_build_paradedup",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
@@ -810,7 +816,9 @@ def main() -> None:
     for fn in plans.values():
         fn(spark, sf_dir).count()
 
+    load_start = os.getloadavg()
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, fn in plans.items():
         runs = []
         for _ in range(max(reps, REPS_OVERRIDE.get(name, 0))):
@@ -819,16 +827,38 @@ def main() -> None:
             n = df.count()
             runs.append(time.time() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         spread = f"[{min(runs):.3f}..{max(runs):.3f}]"
         print(f"# {name}: median {timings[name]:.3f}s {spread} ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Self-adjudicating noise floor (VERDICT r10 item 2): three
+    # code-stable control entries whose plans haven't changed since r8
+    # — a cross-round reader divides this run's controls by the prior
+    # round's (stamped below) and normalizes every other ratio by that
+    # factor MECHANICALLY, instead of re-reading adjudication prose.
+    # Host load averages bound how quiet the run actually was; the
+    # per-entry [min, max] spreads expose which medians sit on jitter.
+    _CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
+    noise_floor = {
+        "controls": {c: timings[c] for c in _CONTROLS if c in timings},
+        "controls_prev_round": {
+            "round": 10,
+            "dedup_exact": 0.286,
+            "dataset_split": 0.147,
+            "corpus_checksum": 0.166,
+        },
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        "spreads": spreads,
+    }
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "noise_floor": noise_floor,
     }
     print(json.dumps(full))
     # Truncation-proof per-query record (VERDICT r8 item 3): the

@@ -527,3 +527,72 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert cont[(1, 2)] == 1.0
     assert jac[(1, 2)] < 0.1  # the symmetric measure under-ranks it
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_paragraph_dedup_drops_cross_corpus_boilerplate(spark):
+    """CCNet §4.1 semantics on planted newline paragraphs: a footer
+    shared by 3 docs survives only at its corpus-first (min doc_id,
+    min pos) occurrence; a paragraph repeated only WITHIN one doc is
+    kept whole; a doc that is pure boilerplate comes back with
+    n_kept=0 and empty text; NULL text and whitespace-only paragraphs
+    are excluded."""
+    from analytics_etl_spark.operators.dedup import paragraph_dedup
+
+    footer = "copyright acme corp all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha text\n{footer}\nmore alpha prose"),
+            (2, f"{footer}\nunique beta text"),
+            (3, footer),
+            (4, "self repeat\nself repeat\nother line"),
+            (5, None),
+            (6, "   \n\t"),  # canonical-empty paragraphs only
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    # doc 1 holds the corpus-first footer occurrence: keeps all 3
+    assert out[1]["n_pars"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text_dedup"] == f"unique alpha text\n{footer}\nmore alpha prose"
+    # docs 2 and 3 lose their footer copy
+    assert out[2]["n_pars"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "unique beta text"
+    assert out[3]["n_pars"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_dedup"] == ""
+    # intra-doc repetition is NOT corpus boilerplate: kept whole
+    assert out[4]["n_kept"] == 3
+    assert out[4]["text_dedup"] == "self repeat\nself repeat\nother line"
+    # NULL text and all-whitespace docs never reach the output
+    assert 5 not in out and 6 not in out
+
+
+def test_word_chunk_paragraphs_lossless_reassembly(spark):
+    """Aligned word chunks cover every word exactly once (incl. the
+    shorter trailing chunk), so join(chunks, ' ') == original text;
+    paragraph_dedup over them with no cross-doc dups keeps every doc
+    intact."""
+    from analytics_etl_spark.operators.dedup import (
+        paragraph_dedup,
+        word_chunk_paragraphs,
+    )
+
+    texts = [
+        " ".join(f"w{i}{j}" for j in range(n))  # unique words per doc
+        for i, n in enumerate((1, 9, 10, 11, 25, 30))
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    joined = docs.select(
+        "doc_id",
+        F.array_join(word_chunk_paragraphs(width=10), " ").alias("re"),
+        "text",
+    ).collect()
+    assert all(r["re"] == r["text"] for r in joined)
+    out = paragraph_dedup(
+        docs, paragraphs=word_chunk_paragraphs(width=10), joiner=" "
+    ).collect()
+    assert len(out) == len(texts)
+    assert all(r["n_kept"] == r["n_pars"] for r in out)
+    by_id = {r["doc_id"]: r["text_dedup"] for r in out}
+    assert by_id == {i: t for i, t in enumerate(texts)}

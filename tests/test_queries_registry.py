@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 181, f"registry count changed: {len(qs)}"
+    assert len(qs) == 186, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set is the approximate/hermetic ops (approx
     # distinct, approx quantiles, the synthetic REST source, IVF float
@@ -32,7 +32,7 @@ def test_registry_shape():
     # engine-portable; BPE gained a hash-checked member in r9
     # (bpe_apply_tokens); exact greedy packing left in r10 via a
     # recursive-CTE-over-boundaries oracle.
-    assert len(qs) - len(os_) == 14, (
+    assert len(qs) - len(os_) == 15, (
         f"rows-only count changed: {len(qs) - len(os_)}"
     )
 
@@ -146,6 +146,7 @@ PYTHON_KERNEL_OK = {
     "corpus_build_bucket_gated",  # composes corpus_build's declared kernels
     "corpus_build_ppl_gated",  # composes corpus_build's declared kernels
     "corpus_build_classifier_gated",  # composes corpus_build's declared kernels
+    "corpus_build_paradedup",  # composes corpus_build's declared kernels
     "corpus_filter_pipeline",
     "dedup_incremental_batch",
     "dedup_minhash_lsh",

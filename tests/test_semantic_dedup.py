@@ -293,3 +293,51 @@ def test_incremental_agrees_with_full_on_shared_quantizer(spark):
     assert inc == full
     # batch-internal determinism: dup_of < id always
     assert all(d < i for i, k, d in inc if not k)
+
+
+def test_duplicate_recall_on_clustered_planted_corpus(spark):
+    """VERDICT r10 item 7 — the other end of the recall spectrum.
+
+    The 0.69 recall pinned above is the near-uniform WORST case (true
+    neighbors at cosine ≈0.3, no cluster structure for the coarse
+    quantizer to find). This fixture is the regime SemDeDup (Abbas et
+    al. 2023) actually targets: 8 well-separated clusters (orthogonal
+    bases, dim 16), 12 members each perturbed to within-cluster cosine
+    ≥ 0.9, cross-cluster cosine ≈ 0. True drops = everything but the
+    min id of each cluster (88 of 96). k-means recovers the planted
+    cells, within-cluster witnesses are same-cell, and recall is
+    measured against brute-force ground truth exactly like the
+    worst-case test — pinned ≥ 0.95 so the "real embeddings lose far
+    less" claim is a tested fact, not prose."""
+    from analytics_etl_spark.operators.similarity import cosine
+
+    dim, n_clusters, members = 16, 8, 12
+    rows = []
+    for c in range(n_clusters):
+        base = [1.0 if d == 2 * c else 0.0 for d in range(dim)]
+        for i in range(members):
+            noise = [((c * 37 + i * 17 + d * 7) % 11 - 5) / 50.0 for d in range(dim)]
+            rows.append((c * 100 + i, [b + x for b, x in zip(base, noise)]))
+    df = spark.createDataFrame(rows, SCHEMA)
+
+    e = df.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    a = e.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = e.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    true_drops = {
+        r["ib"]
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.9)
+        .select("ib")
+        .distinct()
+        .collect()
+    }
+    assert len(true_drops) >= 80  # the fixture really is dense-duplicate
+
+    out = semantic_dedup(
+        df, threshold=0.9, dim=dim, target_cluster_size=members, iters=5
+    ).collect()
+    sem_drops = {r["vec_id"] for r in out if not r["kept"]}
+    assert not (sem_drops - true_drops), "cluster-local witness not a true witness"
+    recall = len(sem_drops & true_drops) / len(true_drops)
+    assert recall >= 0.95, f"clustered-corpus recall degraded: {recall:.3f}"
