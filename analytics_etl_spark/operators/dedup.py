@@ -702,6 +702,56 @@ def word_chunk_paragraphs(text_col: str = "text", width: int = 10) -> F.Column:
     )
 
 
+def explode_paragraph_hashes(
+    docs: DataFrame,
+    paragraphs: F.Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """(doc_id, pos, par, h): one row per hashable paragraph — the
+    shared first stage of the paragraph-dedup family (inline,
+    intra-doc, and the streaming corpus-table maintenance all explode
+    through here so their hash definitions can never drift).
+    Paragraphs default to ``split(text, delimiter)``; NULL texts and
+    paragraphs whose canonical form is empty are excluded."""
+    from analytics_etl_spark.functions.text import canonicalize_text
+
+    c = F.col(text_col)
+    pars = paragraphs if paragraphs is not None else F.split(c, delimiter)
+    return (
+        docs.filter(c.isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(pars).alias("pos", "par"))
+        .withColumn("h", F.md5(canonicalize_text(F.col("par"))))
+        .filter(canonicalize_text(F.col("par")) != "")
+    )
+
+
+def _reassemble_paragraphs(exploded: DataFrame, kept: DataFrame, sep: str) -> DataFrame:
+    """(doc_id, n_pars, n_kept, text_dedup) from the exploded frame and
+    its surviving subset — survivors rejoined in original order; docs
+    whose every paragraph was dropped come back with n_kept=0/''."""
+    base = exploded.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_pars")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "par"))),
+                lambda s: s["par"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_pars",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
 def paragraph_dedup(
     docs: DataFrame,
     paragraphs: F.Column | None = None,
@@ -746,17 +796,8 @@ def paragraph_dedup(
     Reference: extends the reference's row-level dedup/validation
     gates (etl_service.py) to sub-document granularity.
     """
-    c = F.col(text_col)
-    pars = paragraphs if paragraphs is not None else F.split(c, delimiter)
     sep = delimiter if joiner is None else joiner
-    from analytics_etl_spark.functions.text import canonicalize_text
-
-    exploded = (
-        docs.filter(c.isNotNull())
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(pars).alias("pos", "par"))
-        .withColumn("h", F.md5(canonicalize_text(F.col("par"))))
-        .filter(canonicalize_text(F.col("par")) != "")
-    )
+    exploded = explode_paragraph_hashes(docs, paragraphs, text_col, id_col, delimiter)
     stats = exploded.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
@@ -768,25 +809,45 @@ def paragraph_dedup(
             & (F.col("pos") == F.col("first.pos"))
         )
     )
-    base = exploded.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_pars")
+    return _reassemble_paragraphs(exploded, kept, sep)
+
+
+def paragraph_dedup_intradoc(
+    docs: DataFrame,
+    paragraphs: F.Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """INTRA-document paragraph collapse: within each document, keep
+    only the FIRST occurrence of every canonical paragraph — the
+    repeated-nav-block/footer collapse CCNet and Gopher apply inside
+    a page before any corpus-level statistics are computed (a page
+    whose menu renders 40 times should count its menu once in length,
+    repetition, and LM features). The complement of
+    ``paragraph_dedup``: that operator deliberately KEEPS intra-doc
+    repeats (they are a repetition signal, not corpus boilerplate);
+    this one collapses them without consulting the rest of the corpus
+    at all, so it needs NO corpus-wide state — one groupBy on
+    (doc_id, hash) with map-side combine, then per-doc reassembly.
+    Shuffle volume is paragraph-count-bounded and partitioned by
+    doc — embarrassingly parallel at any corpus size. Same hashable-
+    paragraph contract as the rest of the family
+    (explode_paragraph_hashes). Output schema matches paragraph_dedup:
+    (doc_id, n_pars, n_kept, text_dedup)."""
+    sep = delimiter if joiner is None else joiner
+    exploded = explode_paragraph_hashes(docs, paragraphs, text_col, id_col, delimiter)
+    kept = (
+        exploded.groupBy("doc_id", "h")
+        .agg(F.min(F.struct("pos", "par")).alias("first"))
+        .select(
+            "doc_id",
+            F.col("first.pos").alias("pos"),
+            F.col("first.par").alias("par"),
+        )
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "par"))),
-                lambda s: s["par"],
-            ),
-            sep,
-        ).alias("text_dedup"),
-    )
-    return base.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_pars",
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-    )
+    return _reassemble_paragraphs(exploded, kept, sep)
 
 
 def containment_pairs(shingled: DataFrame, min_containment: float = 0.0) -> DataFrame:

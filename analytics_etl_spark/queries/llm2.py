@@ -1342,3 +1342,61 @@ def corpus_build_paradedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         paragraph_dedup_width=10,
     )
     return result
+
+
+@query(
+    "dedup_paragraph_intradoc",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i : t.i + 1], ' ') AS par
+      FROM w CROSS JOIN LATERAL (
+        SELECT unnest(range(1, greatest(len(ws), 1) + 1, 2)) AS i) t
+    ),
+    h AS (
+      SELECT doc_id, pos, par,
+             md5(trim(regexp_replace(lower(par), '[^a-z0-9]+', ' ', 'g'))) AS hh
+      FROM p
+      WHERE trim(regexp_replace(lower(par), '[^a-z0-9]+', ' ', 'g')) <> ''
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, hh ORDER BY pos) AS rn
+      FROM h
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(par, ' ' ORDER BY pos) AS text_dedup
+      FROM r WHERE rn = 1 GROUP BY 1
+    ),
+    base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pars FROM h GROUP BY 1)
+    SELECT b.doc_id, b.n_pars, a.n_kept, a.text_dedup
+    FROM base b JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_paragraph_intradoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document paragraph collapse
+    (operators/dedup.paragraph_dedup_intradoc): keep the first
+    occurrence of each canonical paragraph WITHIN a doc — the
+    repeated-nav-block collapse a crawl pipeline applies inside a
+    page before corpus statistics, complementing
+    dedup_paragraph_corpus (which keeps intra-doc repeats and targets
+    cross-corpus boilerplate). Paragraph notion calibrated to the
+    synthetic corpus: aligned 2-word chunks (widths 5/10 produce zero
+    intra-doc repeats at any SF — 31-word vocabulary; width 2 splits
+    two-sidedly everywhere: 174/500 docs lose a chunk at sf0.001,
+    181/500 at sf0.01, 1655/5000 at sf0.1). One (doc_id, hash)
+    groupBy with map-side combine + per-doc reassembly — no corpus-
+    wide state, embarrassingly parallel."""
+    from analytics_etl_spark.operators.dedup import (
+        paragraph_dedup_intradoc,
+        word_chunk_paragraphs,
+    )
+
+    return paragraph_dedup_intradoc(
+        t(spark, sf_dir, "documents"),
+        paragraphs=word_chunk_paragraphs(width=2),
+        joiner=" ",
+    )

@@ -654,3 +654,108 @@ def read_priority_sample(spark, sample_path: str) -> DataFrame:
             ),
         )
     )
+
+
+def merge_paragraph_hashes_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    paragraphs=None,
+    delimiter: str = "\n",
+) -> None:
+    """foreachBatch maintenance of the CORPUS PARAGRAPH-HASH table
+    behind operators/dedup.paragraph_dedup — the streaming sibling of
+    the span/bloom/minhash corpus tables, so per-paragraph boilerplate
+    dedup (CCNet §4.1) can run against corpus history in O(batch)
+    instead of re-exploding 100 TB nightly.
+
+    Stored schema: (par_hash, first_doc, first_pos, max_doc) — one row
+    per DISTINCT canonical paragraph ever seen. The trick that makes
+    the merge both LOSSLESS and replay-IDEMPOTENT without an epoch
+    ledger: the dedup decision needs only (a) "does this hash appear
+    in >= 2 distinct docs" and (b) "which occurrence is corpus-first".
+    (b) is min(struct(doc, pos)); (a) is equivalent to
+    first_doc != max_doc over DISTINCT docs — and min/max are
+    idempotent merges (re-delivering a batch recomputes identical
+    extrema), where a stored n_docs COUNT would double on replay (the
+    CMS table's problem, which genuinely needs its checkpoint ledger).
+    State is |distinct paragraphs|-sized, never corpus-sized."""
+    from analytics_etl_spark.operators.dedup import explode_paragraph_hashes
+
+    fresh = (
+        explode_paragraph_hashes(batch_df, paragraphs, text_col, id_col, delimiter)
+        .groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .select(
+            F.col("h").alias("par_hash"),
+            F.col("first.doc_id").alias("first_doc"),
+            F.col("first.pos").alias("first_pos"),
+            "max_doc",
+        )
+    )
+
+    def merge(stored: DataFrame) -> DataFrame:
+        return (
+            stored.unionByName(fresh)
+            .groupBy("par_hash")
+            .agg(
+                F.min(F.struct("first_doc", "first_pos")).alias("first"),
+                F.max("max_doc").alias("max_doc"),
+            )
+            .select(
+                "par_hash",
+                F.col("first.first_doc").alias("first_doc"),
+                F.col("first.first_pos").alias("first_pos"),
+                "max_doc",
+            )
+        )
+
+    _merge_swap_table(batch_df.sparkSession, table_path, fresh, merge)
+
+
+def paragraph_dedup_vs_corpus(
+    spark,
+    table_path: str,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    paragraphs=None,
+    delimiter: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """Apply the CCNet paragraph-dedup decision to a batch against the
+    MAINTAINED corpus table (which must already include this batch —
+    ingest-then-decide, the same contract as read_corpus_asof): a
+    batch paragraph is dropped iff its hash is corpus boilerplate
+    (first_doc != max_doc: seen in >= 2 distinct docs across ALL
+    history) and this occurrence is not the corpus-first. Produces
+    exactly what operators/dedup.paragraph_dedup(full_history) would
+    for the batch's docs (pytest-pinned), touching only O(batch)
+    paragraphs plus a hash-keyed join into the |distinct paragraphs|
+    table."""
+    from analytics_etl_spark.operators.dedup import (
+        _reassemble_paragraphs,
+        explode_paragraph_hashes,
+    )
+
+    sep = delimiter if joiner is None else joiner
+    exploded = explode_paragraph_hashes(
+        batch_docs, paragraphs, text_col, id_col, delimiter
+    )
+    stored = spark.read.parquet(table_path)
+    kept = exploded.join(
+        stored, exploded["h"] == stored["par_hash"], "left"
+    ).filter(
+        F.col("par_hash").isNull()  # unseen by the table: trivially unique
+        | (F.col("first_doc") == F.col("max_doc"))  # single-doc hash
+        | (
+            (F.col("doc_id") == F.col("first_doc"))
+            & (F.col("pos") == F.col("first_pos"))
+        )
+    )
+    return _reassemble_paragraphs(exploded, kept.select("doc_id", "pos", "par"), sep)

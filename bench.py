@@ -122,6 +122,7 @@ HEADLINE = [
     # which time the PROBE against the pre-built ingest layout rather
     # than re-paying the ingest write per rep)
     "dedup_paragraph_corpus",
+    "dedup_paragraph_intradoc",
     "corpus_build_paradedup",
 ]
 

@@ -596,3 +596,28 @@ def test_word_chunk_paragraphs_lossless_reassembly(spark):
     assert all(r["n_kept"] == r["n_pars"] for r in out)
     by_id = {r["doc_id"]: r["text_dedup"] for r in out}
     assert by_id == {i: t for i, t in enumerate(texts)}
+
+
+def test_paragraph_dedup_intradoc_collapses_within_doc_only(spark):
+    """The complement contract: intra-doc repeats collapse to their
+    first occurrence, but paragraphs shared ACROSS docs are untouched
+    (no corpus-wide state consulted)."""
+    from analytics_etl_spark.operators.dedup import paragraph_dedup_intradoc
+
+    menu = "home products about contact"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{menu}\nreal alpha prose\n{menu}\nmore alpha\n{menu}"),
+            (2, f"{menu}\nreal beta prose"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup_intradoc(docs).collect()}
+    assert out[1]["n_pars"] == 5 and out[1]["n_kept"] == 3
+    assert out[1]["text_dedup"] == f"{menu}\nreal alpha prose\nmore alpha"
+    # doc 2's copy of the menu survives — cross-doc sharing is the
+    # OTHER operator's job
+    assert out[2]["n_kept"] == 2
+    assert out[2]["text_dedup"] == f"{menu}\nreal beta prose"
+    assert 3 not in out

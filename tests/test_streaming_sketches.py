@@ -253,3 +253,59 @@ def test_priority_sample_maintenance_intrabatch_dups_and_double_weights(
     assert got == want and len(got) == 8
     # fractional weights un-truncated
     assert any(r[1] != int(r[1]) for r in got)
+
+
+def test_paragraph_hash_maintenance_equals_batch_and_replays(spark, tmp_path):
+    """The maintained paragraph-hash table + batch decision reproduce
+    operators/dedup.paragraph_dedup over the FULL history exactly
+    (ingest-then-decide), and a replayed micro-batch is a no-op —
+    min/max extrema merge idempotently where an n_docs count would
+    double (the design point documented at the merge)."""
+    from analytics_etl_spark.operators.dedup import paragraph_dedup
+    from analytics_etl_spark.streaming.ingest import (
+        merge_paragraph_hashes_batch,
+        paragraph_dedup_vs_corpus,
+    )
+
+    path = str(tmp_path / "par_hashes")
+    footer = "copyright acme corp"
+    b1 = spark.createDataFrame(
+        [
+            (1, f"alpha prose one\n{footer}"),
+            (2, f"{footer}\nbeta prose two"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, f"gamma prose three\n{footer}\ngamma tail"),
+            (4, "delta prose four\ndelta prose four"),  # intra-doc only
+        ],
+        "doc_id long, text string",
+    )
+    merge_paragraph_hashes_batch(b1, 0, path)
+    merge_paragraph_hashes_batch(b2, 1, path)
+
+    # decide batch 2 against the maintained table == batch operator on
+    # the full history, restricted to batch-2 docs
+    got = {
+        (r["doc_id"], r["n_pars"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup_vs_corpus(spark, path, b2).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_pars"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup(b1.unionByName(b2)).collect()
+        if r["doc_id"] >= 3
+    }
+    assert got == want
+    # doc 3 lost the footer (corpus-first lives in doc 1); doc 4's
+    # intra-doc repeat survived (single-doc hash is not boilerplate)
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][3] == "gamma prose three\ngamma tail"
+    assert by_id[4][2] == 2
+
+    # failure replay: re-deliver batch 2 — byte-identical state
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    merge_paragraph_hashes_batch(b2, 1, path)
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
