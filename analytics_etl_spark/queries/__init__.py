@@ -79,7 +79,12 @@ ROTATION: tuple[str, ...] = (
     "cms_frequency_estimate",
     "cms_join_size_estimate",
     "corpus_build_classifier_gated",
+    "corpus_build_paradedup",
+    "dedup_minhash_persisted",
     "dedup_ngram_containment",
+    "dedup_paragraph_corpus",
+    "dedup_paragraph_intradoc",
+    "dedup_substring_persisted",
     "docs_priority_sample",
     "docs_priority_sample_stratified",
     "k_anonymity_audit",
@@ -111,11 +116,6 @@ ROTATION: tuple[str, ...] = (
     "revenue_ytd",
     "sales_etl_chain",
     "sample_budget_allocation",
-    "scd2_customer_status_history",
-    "session_window_agg",
-    "array_functions_pack",
-    "avg_stats_per_nation",
-    "cohort_retention",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
