@@ -850,6 +850,45 @@ def paragraph_dedup_intradoc(
     return _reassemble_paragraphs(exploded, kept, sep)
 
 
+def scrub_paragraphs(
+    docs: DataFrame,
+    bench: DataFrame,
+    paragraphs: F.Column | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+    joiner: str | None = None,
+) -> DataFrame:
+    """PARAGRAPH-level benchmark decontamination: remove from every
+    pool document any paragraph whose canonical hash appears ANYWHERE
+    in the eval suite, and reassemble the survivors — the sub-document
+    sibling of ``ngram_contamination``'s doc-level gate. The doc-level
+    gate DROPS a document once its eval overlap crosses a threshold;
+    this operator instead SCRUBS the leaked span and keeps the rest of
+    the document — what a pipeline wants when one quoted benchmark
+    question shouldn't cost an otherwise-clean 10k-word page (the
+    scrub-vs-drop trade Dolma/FineWeb document for decontamination).
+
+    Same hashable-paragraph contract as the rest of the family
+    (explode_paragraph_hashes: canonical-empty paragraphs excluded,
+    NULL texts excluded); output schema matches paragraph_dedup —
+    (doc_id, n_pars, n_kept, text_dedup), n_kept = 0 ⇒ '' for a doc
+    that was entirely eval text. Scale shape: the bench hash set is
+    |distinct eval paragraphs|-sized (eval suites are MBs, not TBs —
+    Spark broadcasts it under the threshold automatically); the pool
+    side is one explode + one left_anti hash join + per-doc
+    reassembly, linear, nothing pairwise."""
+    sep = delimiter if joiner is None else joiner
+    exploded = explode_paragraph_hashes(docs, paragraphs, text_col, id_col, delimiter)
+    bench_hashes = (
+        explode_paragraph_hashes(bench, paragraphs, text_col, id_col, delimiter)
+        .select("h")
+        .distinct()
+    )
+    kept = exploded.join(bench_hashes, "h", "left_anti")
+    return _reassemble_paragraphs(exploded, kept, sep)
+
+
 def containment_pairs(shingled: DataFrame, min_containment: float = 0.0) -> DataFrame:
     """Exact pairwise shingle CONTAINMENT over docs sharing ≥1
     shingle: |A ∩ B| / min(|A|, |B|) — the asymmetric near-dup

@@ -67,19 +67,20 @@ FIXED_CORE: tuple[str, ...] = (
 # Round-11 rotation (output of tools/rotate_window.py, re-run AFTER
 # the round's last registry-touching commit — the policy revision
 # VERDICT r10 item 1 asked for, so in-round additions can't lag a
-# round behind the evidence channel): leads with the eleven
-# r10-session-2 additions that have NEVER held a driver row (gopher
-# rules, NB classifier + gated build, CMS pair, containment, priority
-# -sample pair, exact packing, unigram Viterbi, k-anonymity), then
-# this round's own additions (also never-checked, sorted in by the
-# same rule), then the stalest r6 cohort. Every r10 window member
-# rotates out with a fresh green row standing (CORRECTNESS_r10.json:
-# 50/50).
+# round behind the evidence channel): leads with the EIGHTEEN
+# never-driver-checked queries — the eleven r10-session-2 additions
+# (gopher rules, NB classifier + gated build, CMS pair, containment,
+# priority-sample pair, exact packing, unigram Viterbi, k-anonymity)
+# plus this round's seven (paragraph family ×4, persisted arms ×2,
+# source reputation) — then the stalest r6 cohort. Every r10 window
+# member rotates out with a fresh green row standing
+# (CORRECTNESS_r10.json: 50/50).
 ROTATION: tuple[str, ...] = (
     "cms_frequency_estimate",
     "cms_join_size_estimate",
     "corpus_build_classifier_gated",
     "corpus_build_paradedup",
+    "decontaminate_paragraphs",
     "dedup_minhash_persisted",
     "dedup_ngram_containment",
     "dedup_paragraph_corpus",
@@ -89,6 +90,7 @@ ROTATION: tuple[str, ...] = (
     "docs_priority_sample_stratified",
     "k_anonymity_audit",
     "packed_examples_exact",
+    "source_reputation_rank",
     "text_gopher_rules",
     "text_nb_classifier",
     "unigram_tokenize_viterbi",
@@ -114,8 +116,6 @@ ROTATION: tuple[str, ...] = (
     "revenue_anomaly_days",
     "revenue_pareto",
     "revenue_ytd",
-    "sales_etl_chain",
-    "sample_budget_allocation",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -1400,3 +1400,130 @@ def dedup_paragraph_intradoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         paragraphs=word_chunk_paragraphs(width=2),
         joiner=" ",
     )
+
+
+@query(
+    "decontaminate_paragraphs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws
+      FROM documents WHERE text IS NOT NULL
+    ),
+    p AS (
+      SELECT doc_id, t.i AS pos, array_to_string(ws[t.i : t.i + 9], ' ') AS par
+      FROM w CROSS JOIN LATERAL (
+        SELECT unnest(range(1, greatest(len(ws), 1) + 1, 10)) AS i) t
+    ),
+    h AS (
+      SELECT doc_id, pos, par,
+             md5(trim(regexp_replace(lower(par), '[^a-z0-9]+', ' ', 'g'))) AS hh
+      FROM p
+      WHERE trim(regexp_replace(lower(par), '[^a-z0-9]+', ' ', 'g')) <> ''
+    ),
+    bench AS (SELECT DISTINCT hh FROM h WHERE doc_id < 25),
+    pool AS (SELECT * FROM h WHERE doc_id >= 25),
+    kept AS (
+      SELECT * FROM pool WHERE hh NOT IN (SELECT hh FROM bench)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(par, ' ' ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY 1
+    ),
+    base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pars FROM pool GROUP BY 1)
+    SELECT b.doc_id, b.n_pars,
+           COALESCE(a.n_kept, 0) AS n_kept,
+           COALESCE(a.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def decontaminate_paragraphs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level benchmark decontamination
+    (operators/dedup.scrub_paragraphs): scrub from every pool doc
+    (doc_id >= 25) any paragraph whose canonical hash appears in the
+    eval suite (docs 0-24 — the same bank the doc-level
+    benchmark_contamination gate uses), keep the rest of the doc.
+    The scrub-vs-drop decontamination trade: doc-level gating costs a
+    whole page per leaked quote; this removes the quote. Width-10
+    chunk paragraphs (the dedup_paragraph_corpus notion); two-sided at
+    every SF (7/5/19 pool docs lose a paragraph at sf0.001/0.01/0.1).
+    Bench hash set is eval-suite-sized (broadcastable); pool side one
+    explode + one left_anti hash join, linear."""
+    from analytics_etl_spark.operators.dedup import (
+        scrub_paragraphs,
+        word_chunk_paragraphs,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return scrub_paragraphs(
+        docs.filter(F.col("doc_id") >= 25),
+        docs.filter(F.col("doc_id") < 25),
+        paragraphs=word_chunk_paragraphs(width=10),
+        joiner=" ",
+    )
+
+
+@query(
+    "source_reputation_rank",
+    oracle=f"""
+    WITH {_gopher_cte_chain()},
+    src AS (
+      SELECT d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents d JOIN gq_flags g ON g.doc_id = d.doc_id
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS td, CAST(SUM(n_kept) AS BIGINT) AS tk
+      FROM src
+    )
+    SELECT source, n_docs, n_kept,
+           (n_kept * (SELECT td FROM tot) < (SELECT tk FROM tot) * n_docs)
+             AS below_corpus
+    FROM src
+    """,
+)
+def source_reputation_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/domain-level reputation gating (the RefinedWeb/C4 move:
+    judge the DOMAIN, not just the document — a source whose pages
+    systematically fail quality rules is dropped wholesale, catching
+    the low-quality mass an independent per-doc gate leaks): per
+    source, doc count, Gopher-rule keep count (the calibrated
+    text_gopher_rules cascade), and a distribution-relative flag —
+    below_corpus ⟺ the source's keep-rate is strictly below the
+    corpus-pooled rate, evaluated as the INTEGER cross-multiplied
+    comparison n_kept·Σdocs < Σkept·n_docs (no float rate ever
+    materializes — bit-exact in any engine, the memory-noted
+    preference for distribution-relative cuts over absolute ones).
+    One codegen pass for the flags + a source-cardinality-sized
+    hash-agg + a 1-row broadcast total; NULL sources form their own
+    audited group. Scale: shuffle is |sources| rows, nothing
+    text-sized crosses the wire after the scan."""
+    from analytics_etl_spark.operators.text_analysis import gopher_quality_flags
+
+    docs = t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, stopwords=("the", "a")).select(
+        "doc_id", "keep"
+    )
+    src = (
+        docs.select("doc_id", "source")
+        .join(flags, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        )
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("n_kept").cast("bigint").alias("tk"),
+    )
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_kept") * F.col("td") < F.col("tk") * F.col("n_docs")).alias(
+            "below_corpus"
+        ),
+    )

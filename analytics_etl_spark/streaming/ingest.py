@@ -759,3 +759,33 @@ def paragraph_dedup_vs_corpus(
         )
     )
     return _reassemble_paragraphs(exploded, kept.select("doc_id", "pos", "par"), sep)
+
+
+def streaming_paragraph_maintenance(
+    docs_stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delimiter: str = "\n",
+):
+    """Wire merge_paragraph_hashes_batch into a streaming writer
+    (caller .start()s it) — same shape as the sketch/bloom/CMS
+    maintenance wrappers, so the paragraph-boilerplate corpus table
+    stays current as documents arrive."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_paragraph_hashes_batch(
+            batch_df,
+            epoch_id,
+            table_path,
+            text_col=text_col,
+            id_col=id_col,
+            delimiter=delimiter,
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )

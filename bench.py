@@ -124,6 +124,8 @@ HEADLINE = [
     "dedup_paragraph_corpus",
     "dedup_paragraph_intradoc",
     "corpus_build_paradedup",
+    "decontaminate_paragraphs",
+    "source_reputation_rank",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -621,3 +621,30 @@ def test_paragraph_dedup_intradoc_collapses_within_doc_only(spark):
     assert out[2]["n_kept"] == 2
     assert out[2]["text_dedup"] == f"{menu}\nreal beta prose"
     assert 3 not in out
+
+
+def test_scrub_paragraphs_removes_eval_text_only(spark):
+    """Paragraph-level decontamination: the leaked quote goes, the
+    rest of the document stays; a pool doc that IS eval text scrubs
+    to empty; bench-internal structure is irrelevant (only pool docs
+    are returned)."""
+    from analytics_etl_spark.operators.dedup import scrub_paragraphs
+
+    quote = "what is the capital of france"
+    bench = spark.createDataFrame(
+        [(900, f"{quote}\nparis of course")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"long clean prose\n{quote}\nmore clean prose"),
+            (2, "totally unrelated text"),
+            (3, quote),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in scrub_paragraphs(docs, bench).collect()}
+    assert out[1]["n_pars"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["text_dedup"] == "long clean prose\nmore clean prose"
+    assert out[2]["n_kept"] == 1
+    assert out[3]["n_kept"] == 0 and out[3]["text_dedup"] == ""
+    assert set(out) == {1, 2, 3}  # bench docs never in the output

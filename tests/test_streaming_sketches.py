@@ -309,3 +309,68 @@ def test_paragraph_hash_maintenance_equals_batch_and_replays(spark, tmp_path):
     merge_paragraph_hashes_batch(b2, 1, path)
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert before == after
+
+
+def test_real_stream_maintains_paragraph_table(spark, tmp_path):
+    """End-to-end under Structured Streaming (file source →
+    foreachBatch merge): after two micro-batches the paragraph-hash
+    table drives decisions identical to the batch operator over all
+    docs seen — the same lossless+idempotent story as the sketch
+    table, via min/max extrema instead of register maxima."""
+    import shutil
+
+    import pyspark.sql.types as T
+
+    from analytics_etl_spark.operators.dedup import paragraph_dedup
+    from analytics_etl_spark.streaming.ingest import (
+        paragraph_dedup_vs_corpus,
+        streaming_paragraph_maintenance,
+    )
+
+    footer = "copyright acme corp"
+    all_docs = spark.createDataFrame(
+        [
+            (1, f"alpha prose\n{footer}"),
+            (2, f"{footer}\nbeta prose"),
+            (3, f"gamma prose\n{footer}"),
+            (4, "delta prose\ndelta prose"),
+        ],
+        "doc_id long, text string",
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    table_path = str(tmp_path / "par_hashes")
+
+    def stage(df, name):
+        d = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(part, landing / name)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stage(all_docs.filter(F.col("doc_id") <= 2), "f1.parquet")
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    q = streaming_paragraph_maintenance(
+        stream, table_path, str(tmp_path / "ck")
+    ).start()
+    try:
+        q.processAllAvailable()
+        stage(all_docs.filter(F.col("doc_id") >= 3), "f2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["doc_id"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup_vs_corpus(spark, table_path, all_docs).collect()
+    }
+    want = {
+        (r["doc_id"], r["n_kept"], r["text_dedup"])
+        for r in paragraph_dedup(all_docs).collect()
+    }
+    assert got == want and len(got) == 4
