@@ -735,3 +735,68 @@ def int8_rerank_topk(
         F.col(id_col), cosine(e, q).alias("score")
     )
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    bucket_bits: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-nearest-neighbor JOIN: top-k cosine neighbors for EVERY row
+    of ``queries`` at once — the set-valued sibling of
+    cosine_topk_join (one query) and the primitive behind kNN-graph
+    construction (SemDeDup's pair discovery, kNN-LM datastore lookups,
+    retrieval-augmented dedup audits).
+
+    Two shapes, one contract:
+    - ``bucket_bits=None`` (EXACT): the query frame is broadcast
+      (BroadcastNestedLoopJoin — the query side must be the bounded
+      side; a full self-kNN over 10^11 vectors has no exact answer
+      cheaper than n², which is precisely what the bucketed form is
+      for) and every (query, corpus) cosine is scored.
+    - ``bucket_bits=b`` (SCALE): both sides get the deterministic
+      sign-pattern LSH bucket (sign_bucket) and candidates come from
+      a bucket EQUI-join — shuffle-partitioned by bucket, candidate
+      volume Σ|bucket_q|·|bucket_c|, never all-pairs; recall is the
+      single-probe LSH trade measured for the ANN family in
+      tests/test_ann_recall.py. With the corpus written partitioned
+      by bucket this is the persisted-index layout.
+
+    Ranking is a per-query window (row_number over score DESC, id ASC
+    — total order, tie-stable in any engine); a query whose bucket
+    holds fewer than k candidates returns what exists, and a query
+    with an empty candidate set returns no rows (both documented
+    DuckDB-replayable outcomes). Output:
+    (query_id, vec_id, rank int, score double)."""
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    if bucket_bits is None:
+        cand = corpus.crossJoin(F.broadcast(queries))
+    else:
+        cand = corpus.withColumn("__cb", sign_bucket(vec_col, bucket_bits)).join(
+            queries.withColumn("__qb", sign_bucket(qvec_col, bucket_bits)),
+            F.col("__cb") == F.col("__qb"),
+        )
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(e, q).alias("score"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(query_id_col) != F.col(id_col))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.col("rank").cast("int"), "score")
+    )

@@ -67,14 +67,14 @@ FIXED_CORE: tuple[str, ...] = (
 # Round-11 rotation (output of tools/rotate_window.py, re-run AFTER
 # the round's last registry-touching commit — the policy revision
 # VERDICT r10 item 1 asked for, so in-round additions can't lag a
-# round behind the evidence channel): leads with the EIGHTEEN
+# round behind the evidence channel): leads with the TWENTY-ONE
 # never-driver-checked queries — the eleven r10-session-2 additions
 # (gopher rules, NB classifier + gated build, CMS pair, containment,
 # priority-sample pair, exact packing, unigram Viterbi, k-anonymity)
-# plus this round's seven (paragraph family ×4, persisted arms ×2,
-# source reputation) — then the stalest r6 cohort. Every r10 window
-# member rotates out with a fresh green row standing
-# (CORRECTNESS_r10.json: 50/50).
+# plus this round's ten (paragraph family ×4, persisted arms ×2,
+# source reputation, kNN-join pair, histogram quantiles) — then the
+# stalest r6 cohort. Every r10 window member rotates out with a
+# fresh green row standing (CORRECTNESS_r10.json: 50/50).
 ROTATION: tuple[str, ...] = (
     "cms_frequency_estimate",
     "cms_join_size_estimate",
@@ -88,7 +88,10 @@ ROTATION: tuple[str, ...] = (
     "dedup_substring_persisted",
     "docs_priority_sample",
     "docs_priority_sample_stratified",
+    "histogram_quantile_sketch",
     "k_anonymity_audit",
+    "knn_join_bucketed",
+    "knn_join_exact",
     "packed_examples_exact",
     "source_reputation_rank",
     "text_gopher_rules",
@@ -113,9 +116,6 @@ ROTATION: tuple[str, ...] = (
     "purchase_graph_bfs",
     "range_frame_revenue",
     "returned_item_reporting",
-    "revenue_anomaly_days",
-    "revenue_pareto",
-    "revenue_ytd",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

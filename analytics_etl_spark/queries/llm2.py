@@ -1527,3 +1527,156 @@ def source_reputation_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "below_corpus"
         ),
     )
+
+
+# --- round-11 wave 3: kNN join + histogram quantile sketch ----------------
+
+from analytics_etl_spark.queries.llm import (  # noqa: E402
+    _bucket_sql,
+    _COS_SQL,
+    _scorable_sql,
+)
+
+_KNN_Q_CTE = (
+    "q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+    "FROM embeddings WHERE vec_id < 50 AND " + _scorable_sql("embedding") + ")"
+)
+_KNN_E_CTE = (
+    "e AS (SELECT vec_id, embedding FROM embeddings WHERE "
+    + _scorable_sql("embedding")
+    + ")"
+)
+
+
+@query(
+    "knn_join_exact",
+    oracle=f"""
+    WITH {_KNN_E_CTE},
+    {_KNN_Q_CTE},
+    s AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS score
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, CAST(rn AS INT) AS knn_rank, score
+    FROM r WHERE rn <= 5
+    """,
+)
+def knn_join_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN (operators/similarity.knn_join):
+    top-5 cosine neighbors for each of the 50 lowest-id valid vectors
+    against the whole corpus — the set-valued primitive behind
+    kNN-graph construction (SemDeDup pair discovery, kNN-LM
+    datastores), fully hash-checked because cosine over doubles is
+    one deterministic expression in both engines (the
+    similarity_topk_cosine argument, per-query). The bounded side
+    (queries) is broadcast; ranking is a per-query row_number window
+    with id tie-break. The exact form is the BOUNDED-QUERY-SET tool;
+    full self-kNN at corpus scale goes through knn_join_bucketed."""
+    from analytics_etl_spark.operators.similarity import knn_join
+    from analytics_etl_spark.queries.llm import _EMB_DIM
+
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
+    )
+
+
+@query(
+    "knn_join_bucketed",
+    oracle=f"""
+    WITH {_KNN_E_CTE},
+    {_KNN_Q_CTE},
+    s AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS score
+      FROM e, q
+      WHERE e.vec_id <> q.query_id
+        AND {_bucket_sql("e.embedding")} = {_bucket_sql("q.qv")}
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, CAST(rn AS INT) AS knn_rank, score
+    FROM r WHERE rn <= 5
+    """,
+)
+def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE shape of the kNN join: candidates from a sign-bucket
+    LSH EQUI-join (shuffle-partitioned by bucket — candidate volume
+    Σ|bucket_q|·|bucket_c|, never all-pairs; with the corpus written
+    partitioned by bucket, the persisted-index layout), exact cosine
+    + per-query window on the candidates only. Deterministic bucket
+    (sign pattern of the first 8 dims — the similarity_ann_bucketed
+    machinery), so the recall trade is oracle-REPLAYABLE, not just
+    measured: a query whose bucket lacks k candidates returns what
+    exists, hash-checked. Single-probe recall for this corpus is the
+    measured ANN-family number (tests/test_ann_recall.py)."""
+    from analytics_etl_spark.operators.similarity import knn_join
+    from analytics_etl_spark.queries.llm import _EMB_DIM
+
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join(emb, queries, k=5, bucket_bits=8)
+    return out.select(
+        "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
+    )
+
+
+@query(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(o_totalprice / 100.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+      GROUP BY 1
+    ),
+    c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_n FROM h),
+    qs(q_num, q_den) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+    hit AS (
+      SELECT q_num, q_den, total_n, MIN(bucket) AS bucket
+      FROM c, t, qs
+      WHERE cum * q_den >= q_num * total_n
+      GROUP BY 1, 2, 3
+    )
+    SELECT q_num, q_den, bucket,
+           CAST(bucket * 100.0 AS DOUBLE) AS lo, total_n
+    FROM hit
+    """,
+)
+def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value quantiles (p25/p50/p75/p90/p99) from the mergeable
+    fixed-width histogram (operators/histogram.py) — the sketch
+    family's QUANTILE member: $100 bins of o_totalprice, cumulative
+    walk, each quantile the lower edge of the first bin reaching
+    q·total under the exact integer cross-multiplied test
+    cum·den >= num·total (no float threshold). The bin id is ONE
+    IEEE divide + floor — bit-identical across engines — so unlike
+    approxQuantile (driver-side, non-mergeable, seed-dependent) this
+    is fully hash-checked AND SUM-mergeable across days/batches
+    (streaming maintenance under the CMS exactly-once stance). Read
+    cost is bin-table-sized: the window runs over ~350 bins, never
+    the orders table."""
+    from analytics_etl_spark.operators.histogram import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    hist = histogram_build(t(spark, sf_dir, "orders"), "o_totalprice", 100)
+    return histogram_quantiles(
+        hist, ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)), 100
+    )

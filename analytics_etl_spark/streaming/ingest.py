@@ -789,3 +789,52 @@ def streaming_paragraph_maintenance(
         .foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def merge_histogram_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    hist_path: str,
+    value_col: str,
+    width: int | float,
+) -> None:
+    """foreachBatch maintenance of the fixed-width value histogram
+    (operators/histogram.py) — the quantile sibling of the CMS table,
+    and the same contract stated rather than accidental: bin-keyed
+    SUM merge is LOSSLESS (incremental == one-shot, int64 addition)
+    but NOT idempotent, so this runs under exactly-once foreachBatch
+    semantics with the streaming checkpoint as the epoch ledger.
+    The stored table is value-range/width-sized."""
+    from analytics_etl_spark.operators.histogram import (
+        histogram_build,
+        histogram_merge,
+    )
+
+    fresh = histogram_build(batch_df, value_col, width)
+    _merge_swap_table(
+        batch_df.sparkSession,
+        hist_path,
+        fresh,
+        lambda stored: histogram_merge(stored, fresh),
+    )
+
+
+def streaming_histogram_maintenance(
+    events_stream: DataFrame,
+    hist_path: str,
+    checkpoint: str,
+    value_col: str,
+    width: int | float,
+):
+    """Wire merge_histogram_batch into a streaming writer (caller
+    .start()s it) — always-current value-distribution bins, any
+    quantile readable from the bin table at any time."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_histogram_batch(batch_df, epoch_id, hist_path, value_col, width)
+
+    return (
+        events_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -126,6 +126,9 @@ HEADLINE = [
     "corpus_build_paradedup",
     "decontaminate_paragraphs",
     "source_reputation_rank",
+    "knn_join_exact",
+    "knn_join_bucketed",
+    "histogram_quantile_sketch",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

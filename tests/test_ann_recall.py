@@ -384,3 +384,59 @@ def test_pq_rerank_recall_and_scan_budget(emb):
     assert adc >= 0.2, f"PQ ADC recall@10 regressed: {adc}"
     assert rerank >= 0.6, f"PQ rerank recall@10 regressed: {rerank}"
     assert rerank >= adc  # the rerank pass can only fix ADC mistakes
+
+
+def test_knn_join_exact_matches_numpy(spark):
+    """knn_join (exact form) against a NumPy brute-force kNN graph:
+    same neighbor sets, same ranks, same tie behavior (score desc, id
+    asc)."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.similarity import knn_join
+
+    rng = [(i, [float(((i * 13 + d * 7) % 19) - 9) / 9.0 for d in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    queries = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in knn_join(df, queries, k=3).collect()
+    }
+    X = np.array([v for _, v in rng])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    for qi in range(30):
+        order = sorted(
+            (j for j in range(30) if j != qi),
+            key=lambda j: (-S[qi, j], j),
+        )[:3]
+        for rank, j in enumerate(order, 1):
+            assert got[(qi, rank)] == j, (qi, rank)
+
+
+def test_knn_join_bucketed_is_subset_with_full_rank_contract(spark):
+    """Bucketed kNN: every returned neighbor shares the query's sign
+    bucket, ranks are dense from 1, and any query whose bucket holds
+    >= k candidates gets exactly k rows."""
+    from analytics_etl_spark.operators.similarity import knn_join, sign_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from analytics_etl_spark.operators.similarity import valid_embeddings
+
+    emb = valid_embeddings(emb, dim=64)
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join(emb, queries, k=5, bucket_bits=8).collect()
+    assert out, "bucketed kNN returned nothing"
+    buckets = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", sign_bucket("embedding", 8).alias("b")).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert buckets[r["vec_id"]] == buckets[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid

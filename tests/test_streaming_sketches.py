@@ -374,3 +374,21 @@ def test_real_stream_maintains_paragraph_table(spark, tmp_path):
         for r in paragraph_dedup(all_docs).collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_histogram_maintenance_equals_batch(spark, tmp_path):
+    """Incrementally merged histogram bins equal the one-shot build
+    over all rows (lossless int64 SUM; the exactly-once/ledger stance
+    is the CMS contract, declared at the merge)."""
+    from analytics_etl_spark.operators.histogram import histogram_build
+    from analytics_etl_spark.streaming.ingest import merge_histogram_batch
+
+    ev = _events(spark)
+    path = str(tmp_path / "hist")
+    for epoch, m in enumerate(range(3)):
+        merge_histogram_batch(
+            ev.filter(F.col("event_id") % 3 == m), epoch, path, "value", 5
+        )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(map(tuple, histogram_build(ev, "value", 5).collect()))
+    assert got == want and len(got) > 0
