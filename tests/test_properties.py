@@ -556,3 +556,110 @@ def test_priority_sample_per_stratum_null_stratum_over_budget(spark):
     # tau genuinely bites for at least one row (w_est > w) — the case
     # the null-unsafe join silently zeroed
     assert any(r["w_est"] > float(r["weight"]) for r in null_rows)
+
+
+# --- round-11 family invariants -------------------------------------------
+
+_par_docs = st.lists(
+    st.lists(
+        st.sampled_from(["alpha beta", "copy right", "menu home", "x y z", "q"]),
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(docs=_par_docs)
+@settings(**SETTINGS)
+def test_paragraph_dedup_is_idempotent_and_conserves_paragraphs(spark, docs):
+    """After one paragraph_dedup pass, every surviving canonical hash
+    lives in exactly one doc OR only as intra-doc repeats of its
+    first-doc copy — so a SECOND pass removes nothing (idempotence),
+    and total kept paragraphs never exceed the input count."""
+    from analytics_etl_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, "\n".join(ps)) for i, ps in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") if rows else None
+    if df is None:
+        return
+    once = paragraph_dedup(df).collect()
+    assert all(r["n_kept"] <= r["n_pars"] for r in once)
+    again_in = spark.createDataFrame(
+        [(r["doc_id"], r["text_dedup"]) for r in once if r["n_kept"] > 0],
+        "doc_id long, text string",
+    ) if any(r["n_kept"] > 0 for r in once) else None
+    if again_in is None:
+        return
+    twice = {r["doc_id"]: r for r in paragraph_dedup(again_in).collect()}
+    for r in once:
+        if r["n_kept"] > 0:
+            assert twice[r["doc_id"]]["n_kept"] == r["n_kept"]
+            assert twice[r["doc_id"]]["text_dedup"] == r["text_dedup"]
+
+
+_hist_vals = st.lists(
+    st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40
+)
+
+
+@given(vals=_hist_vals)
+@settings(**SETTINGS)
+def test_histogram_quantile_brackets_exact_percentile(spark, vals):
+    """For every q, the histogram quantile's bin [lo, lo+width)
+    contains the exact sorted-order percentile, and splitting the
+    input anywhere then merging reproduces the one-shot bins."""
+    import math
+
+    from analytics_etl_spark.operators.histogram import (
+        histogram_build,
+        histogram_merge,
+        histogram_quantiles,
+    )
+
+    width = 50
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    hist = histogram_build(df, "v", width)
+    qs = ((1, 2), (9, 10))
+    out = {
+        (r["q_num"], r["q_den"]): r["lo"]
+        for r in histogram_quantiles(hist, qs, width).collect()
+    }
+    svals = sorted(vals)
+    n = len(svals)
+    for (num, den), lo in out.items():
+        exact = svals[math.ceil(num * n / den) - 1]
+        assert lo <= exact < lo + width, ((num, den), lo, exact, svals)
+
+    cut = len(vals) // 2
+    a = spark.createDataFrame([(float(v),) for v in vals[:cut]] or [(None,)], "v double")
+    b = spark.createDataFrame([(float(v),) for v in vals[cut:]] or [(None,)], "v double")
+    merged = histogram_merge(
+        histogram_build(a, "v", width), histogram_build(b, "v", width)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, hist.collect())
+    )
+
+
+def test_knn_join_is_partition_invariant(spark):
+    """The kNN graph is a pure function of the data: repartitioning
+    the corpus (both forms) changes nothing — no row-order or
+    partition-count dependence anywhere in score or tie-break."""
+    from analytics_etl_spark.operators.similarity import knn_join
+
+    rows = [(i, [float(((i * 7 + d * 3) % 13) - 6) for d in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    for bits in (None, 4):
+        base = sorted(map(tuple, knn_join(df, queries, k=3, bucket_bits=bits).collect()))
+        shuffled = sorted(
+            map(
+                tuple,
+                knn_join(df.repartition(13), queries.repartition(7), k=3, bucket_bits=bits).collect(),
+            )
+        )
+        assert base == shuffled and len(base) > 0
