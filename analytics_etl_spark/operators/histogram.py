@@ -82,34 +82,64 @@ def histogram_quantiles(
     hist: DataFrame,
     qs: tuple[tuple[int, int], ...],
     width: int | float,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quantiles from the bin table alone: for each q = num/den (exact
     integers — no float threshold ever materializes), the smallest
-    bucket whose cumulative count satisfies cum·den >= num·total.
+    bucket whose cumulative count satisfies cum·den >= num·total —
+    per GROUP when ``group_cols`` is set ("p99 of order value per
+    day", the module's headline use case).
 
-    Output (q_num, q_den, bucket, lo, total_n): ``lo`` = bucket·width,
-    the bucket's lower edge — the deterministic one-bucket-width
-    answer. The window runs UNPARTITIONED over the bin table, which is
-    the point: quantile read cost is bin-table-sized, never
-    data-sized (same single-partition-window stance as the perplexity
-    tertile cut)."""
-    w_cum = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    Output (group_cols..., q_num, q_den, bucket, lo, total_n): ``lo``
+    = bucket·width, the bucket's lower edge — the deterministic
+    one-bucket-width answer. ``total_n`` is the GROUP's total, so a
+    grouped read is self-describing. Grouped or not, read cost is
+    bin-table-sized, never data-sized: the cumulative window
+    partitions by the group columns (ungrouped = the one declared
+    single-partition window, same stance as the perplexity tertile
+    cut), and the per-group totals frame is |groups|-sized and
+    broadcast.
+
+    The bin table's columns must be EXACTLY group_cols + (bucket,
+    cnt) — a grouped histogram handed to an ungrouped read (or a
+    group column misspelled) raises instead of silently mixing
+    groups into one global quantile."""
+    expected = set(group_cols) | {"bucket", "cnt"}
+    got = set(hist.columns)
+    if got != expected or len(hist.columns) != len(expected):
+        raise ValueError(
+            f"histogram_quantiles: bin table columns {sorted(got)} != "
+            f"expected {sorted(expected)} — pass group_cols matching "
+            "histogram_build's, so grouped bins are never silently "
+            "collapsed into a global quantile"
+        )
+    gcols = [F.col(g) for g in group_cols]
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hist.select(
-        "bucket", F.sum("cnt").over(w_cum).alias("cum")
+        *gcols, "bucket", F.sum("cnt").over(w_cum).alias("cum")
     )
-    tot = hist.agg(F.sum("cnt").cast("bigint").alias("total_n"))
     spark = hist.sparkSession
     qdf = spark.createDataFrame(list(qs), "q_num int, q_den int")
+    if group_cols:
+        tot = hist.groupBy(*gcols).agg(
+            F.sum("cnt").cast("bigint").alias("total_n")
+        )
+        joined = cum.join(F.broadcast(tot), list(group_cols))
+    else:
+        tot = hist.agg(F.sum("cnt").cast("bigint").alias("total_n"))
+        joined = cum.crossJoin(F.broadcast(tot))
     hit = (
-        cum.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(qdf))
+        joined.crossJoin(F.broadcast(qdf))
         .filter(F.col("cum") * F.col("q_den") >= F.col("q_num") * F.col("total_n"))
-        .groupBy("q_num", "q_den", "total_n")
+        .groupBy(*gcols, "q_num", "q_den", "total_n")
         .agg(F.min("bucket").alias("bucket"))
     )
     return hit.select(
+        *gcols,
         "q_num",
         "q_den",
         "bucket",

@@ -1680,3 +1680,71 @@ def histogram_quantile_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         hist, ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)), 100
     )
+
+
+@query(
+    "histogram_quantile_grouped",
+    oracle="""
+    WITH h AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             CAST(floor(o_totalprice / 100.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+        AND o_orderdate IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT order_month, bucket,
+             SUM(cnt) OVER (PARTITION BY order_month ORDER BY bucket) AS cum
+      FROM h
+    ),
+    t AS (
+      SELECT order_month, CAST(SUM(cnt) AS BIGINT) AS total_n
+      FROM h GROUP BY 1
+    ),
+    qs(q_num, q_den) AS (VALUES (1, 2), (99, 100)),
+    hit AS (
+      SELECT c.order_month, q_num, q_den, total_n, MIN(bucket) AS bucket
+      FROM c JOIN t ON c.order_month = t.order_month, qs
+      WHERE cum * q_den >= q_num * total_n
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT order_month, q_num, q_den, bucket,
+           CAST(bucket * 100.0 AS DOUBLE) AS lo, total_n
+    FROM hit
+    """,
+)
+def histogram_quantile_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP quantiles from the mergeable histogram — the
+    module's own headline use case ("p99 of order value per day",
+    operators/histogram.py): p50/p99 of o_totalprice per ORDER MONTH
+    from one grouped bin table. The cumulative window partitions by
+    the group column and each group carries its own total_n, so the
+    read stays bin-table-sized per group and no group ever leaks
+    into another's quantile (the pre-r12 silent-global-mix misuse now
+    raises — see histogram_quantiles' column check). Same exactness
+    contract as the global sketch: integer cross-multiplied
+    cum·den >= num·total, lo = the bin's lower edge, bit-identical
+    across engines; the grouped bin table SUM-merges across
+    days/batches exactly like the ungrouped one (histogram_merge
+    keys on all non-cnt columns)."""
+    from analytics_etl_spark.operators.histogram import (
+        histogram_build,
+        histogram_quantiles,
+    )
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_totalprice",
+        )
+    )
+    hist = histogram_build(
+        o, "o_totalprice", 100, group_cols=("order_month",)
+    )
+    return histogram_quantiles(
+        hist, ((1, 2), (99, 100)), 100, group_cols=("order_month",)
+    )

@@ -797,6 +797,7 @@ def merge_histogram_batch(
     hist_path: str,
     value_col: str,
     width: int | float,
+    group_cols: tuple[str, ...] = (),
 ) -> None:
     """foreachBatch maintenance of the fixed-width value histogram
     (operators/histogram.py) — the quantile sibling of the CMS table,
@@ -804,13 +805,15 @@ def merge_histogram_batch(
     SUM merge is LOSSLESS (incremental == one-shot, int64 addition)
     but NOT idempotent, so this runs under exactly-once foreachBatch
     semantics with the streaming checkpoint as the epoch ledger.
-    The stored table is value-range/width-sized."""
+    The stored table is value-range/width-sized — per group when
+    ``group_cols`` is set (histogram_merge keys on every non-cnt
+    column, so the grouped table merges with zero extra plumbing)."""
     from analytics_etl_spark.operators.histogram import (
         histogram_build,
         histogram_merge,
     )
 
-    fresh = histogram_build(batch_df, value_col, width)
+    fresh = histogram_build(batch_df, value_col, width, group_cols=group_cols)
     _merge_swap_table(
         batch_df.sparkSession,
         hist_path,
@@ -825,13 +828,16 @@ def streaming_histogram_maintenance(
     checkpoint: str,
     value_col: str,
     width: int | float,
+    group_cols: tuple[str, ...] = (),
 ):
     """Wire merge_histogram_batch into a streaming writer (caller
     .start()s it) — always-current value-distribution bins, any
     quantile readable from the bin table at any time."""
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        merge_histogram_batch(batch_df, epoch_id, hist_path, value_col, width)
+        merge_histogram_batch(
+            batch_df, epoch_id, hist_path, value_col, width, group_cols
+        )
 
     return (
         events_stream.writeStream.outputMode("append")

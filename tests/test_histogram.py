@@ -55,6 +55,61 @@ def test_merge_is_lossless_and_handles_negatives_and_junk(spark):
     assert not any(math.isnan(k) for k in bins)
 
 
+def test_grouped_quantiles_match_per_group_global_read(spark):
+    """Per-group quantiles over a grouped bin table equal the global
+    quantiles computed group by group — no cross-group leakage. The
+    two groups have deliberately disjoint value ranges so any mixing
+    would shift every quantile."""
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(1000 + 10 * i)) for i in range(1, 51)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = histogram_build(df, "v", 10, group_cols=("g",))
+    grouped = {
+        (r["g"], r["q_num"], r["q_den"]): (r["lo"], r["total_n"])
+        for r in histogram_quantiles(hist, QS, 10, group_cols=("g",)).collect()
+    }
+    for g in ("a", "b"):
+        solo = histogram_build(df.filter(F.col("g") == g), "v", 10)
+        for r in histogram_quantiles(solo, QS, 10).collect():
+            assert grouped[(g, r["q_num"], r["q_den"])] == (
+                r["lo"],
+                r["total_n"],
+            ), (g, r)
+
+
+def test_quantiles_raise_on_column_mismatch(spark):
+    """A grouped bin table handed to an ungrouped read (the pre-r12
+    silent-global-mix misuse) raises; so does a misspelled group col."""
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, v double")
+    grouped_hist = histogram_build(df, "v", 10, group_cols=("g",))
+    with pytest.raises(ValueError, match="group_cols"):
+        histogram_quantiles(grouped_hist, QS, 10)
+    with pytest.raises(ValueError, match="group_cols"):
+        histogram_quantiles(grouped_hist, QS, 10, group_cols=("gg",))
+
+
+def test_grouped_merge_is_lossless(spark):
+    """Incremental grouped merges equal the one-shot grouped histogram
+    exactly — histogram_merge keys on every non-cnt column."""
+    a = spark.createDataFrame(
+        [("x", 3.0), ("x", 15.0), ("y", 3.0)], "g string, v double"
+    )
+    b = spark.createDataFrame(
+        [("x", 3.5), ("y", 99.0), ("y", None)], "g string, v double"
+    )
+    merged = histogram_merge(
+        histogram_build(a, "v", 10, group_cols=("g",)),
+        histogram_build(b, "v", 10, group_cols=("g",)),
+    )
+    direct = histogram_build(a.unionByName(b), "v", 10, group_cols=("g",))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
 def test_quantiles_match_exact_percentile_within_one_bin(spark):
     """Against the orders table: each histogram quantile's bin
     contains the exact (sorted-order) percentile value."""

@@ -392,3 +392,46 @@ def test_histogram_maintenance_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(path).collect()))
     want = sorted(map(tuple, histogram_build(ev, "value", 5).collect()))
     assert got == want and len(got) > 0
+
+
+def test_grouped_histogram_maintenance_equals_batch(spark, tmp_path):
+    """The GROUPED bin table maintains identically: per-event-type
+    bins merged over micro-batches equal the one-shot grouped build
+    (histogram_merge keys on all non-cnt columns, so group_cols ride
+    along with zero extra merge logic), and the per-group quantile
+    read works off the maintained table."""
+    from analytics_etl_spark.operators.histogram import (
+        histogram_build,
+        histogram_quantiles,
+    )
+    from analytics_etl_spark.streaming.ingest import merge_histogram_batch
+
+    ev = _events(spark)
+    path = str(tmp_path / "ghist")
+    for epoch, m in enumerate(range(3)):
+        merge_histogram_batch(
+            ev.filter(F.col("event_id") % 3 == m),
+            epoch,
+            path,
+            "value",
+            5,
+            group_cols=("event_type",),
+        )
+    stored = spark.read.parquet(path)
+    got = sorted(map(tuple, stored.collect()))
+    want = sorted(
+        map(
+            tuple,
+            histogram_build(ev, "value", 5, group_cols=("event_type",)).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    q_stored = sorted(
+        map(
+            tuple,
+            histogram_quantiles(
+                stored, ((1, 2),), 5, group_cols=("event_type",)
+            ).collect(),
+        )
+    )
+    assert len(q_stored) > 0
