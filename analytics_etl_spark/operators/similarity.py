@@ -747,6 +747,7 @@ def knn_join(
     qvec_col: str = "qv",
     bucket_bits: int | None = None,
     exclude_self: bool = True,
+    n_probes: int = 1,
 ) -> DataFrame:
     """k-nearest-neighbor JOIN: top-k cosine neighbors for EVERY row
     of ``queries`` at once — the set-valued sibling of
@@ -767,6 +768,23 @@ def knn_join(
       single-probe LSH trade measured for the ANN family in
       tests/test_ann_recall.py. With the corpus written partitioned
       by bucket this is the persisted-index layout.
+    - ``n_probes>1`` (RECALL, with bucket_bits): each query probes
+      its own bucket AND its (n_probes-1) lowest-margin neighbor
+      buckets (multiprobe_bucket_set — the flip-the-closest-
+      hyperplane machinery the single-query ANN family uses). The
+      probe set explodes query-side into the SAME bucket equi-join,
+      so candidate volume scales ~n_probes× and stays equi-join-
+      shuffled, never all-pairs; probes are distinct by construction
+      (base XOR distinct single bits), so no candidate dedup is
+      needed. Recall is monotone in n_probes (a probe set only ever
+      grows) — measured in tests/test_ann_recall.py.
+
+    ``exclude_self`` filters candidates where query_id == vec_id —
+    ONLY meaningful for self-kNN, where queries are drawn from the
+    corpus and carry ITS ids (the kNN-graph build). When the query
+    frame comes from an unrelated id namespace, pass
+    exclude_self=False: a coincidental id collision would silently
+    drop a legitimate corpus neighbor (ADVICE r11).
 
     Ranking is a per-query window (row_number over score DESC, id ASC
     — total order, tie-stable in any engine); a query whose bucket
@@ -779,9 +797,19 @@ def knn_join(
     if bucket_bits is None:
         cand = corpus.crossJoin(F.broadcast(queries))
     else:
+        if n_probes > 1:
+            probed = queries.withColumn(
+                "__qb",
+                F.explode(
+                    multiprobe_bucket_set(qvec_col, bucket_bits, n_probes)
+                ),
+            )
+        else:
+            probed = queries.withColumn(
+                "__qb", sign_bucket(qvec_col, bucket_bits)
+            )
         cand = corpus.withColumn("__cb", sign_bucket(vec_col, bucket_bits)).join(
-            queries.withColumn("__qb", sign_bucket(qvec_col, bucket_bits)),
-            F.col("__cb") == F.col("__qb"),
+            probed, F.col("__cb") == F.col("__qb")
         )
     scored = cand.select(
         F.col(query_id_col),
@@ -799,4 +827,32 @@ def knn_join(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.col("rank").cast("int"), "score")
+    )
+
+
+def mutual_knn_edges(
+    knn: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """A self-kNN join result → MUTUAL kNN edges (u, v) with u < v:
+    the edge exists iff v ∈ kNN(u) AND u ∈ kNN(v).
+
+    The mutuality filter is the standard kNN-graph symmetrization for
+    clustering (SemDeDup-style cluster dedup, kNN-graph community
+    detection): a one-directional edge often just means u sits in a
+    sparse region and v is its least-bad neighbor — requiring both
+    directions keeps only genuinely close pairs and bounds each
+    node's degree by k, so the downstream component/cluster pass
+    works on an edge set of at most n·k/2 rows.
+
+    Shape: one self-equi-join of the kNN result on both id columns
+    (LeftSemi — no payload duplication), never touching vectors; the
+    kNN result is n·k-sized, so this is cheap at any corpus size."""
+    a = knn.select(F.col(query_id_col).alias("u"), F.col(id_col).alias("v"))
+    swapped = knn.select(
+        F.col(id_col).alias("u"), F.col(query_id_col).alias("v")
+    )
+    return a.join(swapped, ["u", "v"], "left_semi").filter(
+        F.col("u") < F.col("v")
     )

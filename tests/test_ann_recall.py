@@ -440,3 +440,46 @@ def test_knn_join_bucketed_is_subset_with_full_rank_contract(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for qid, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+
+
+def test_knn_join_multiprobe_recall_monotone_in_probes(spark):
+    """Multi-probe kNN join: recall vs the exact kNN graph is
+    MONOTONE non-decreasing in n_probes (the probe set only ever
+    grows), n_probes=1 is pin-identical to the single-probe bucketed
+    form, and every probe hit is genuinely one of the query's probe
+    buckets."""
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        valid_embeddings,
+    )
+
+    emb = valid_embeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(emb, queries, k=5).collect()
+    }
+
+    def pairs(n_probes):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in knn_join(
+                emb, queries, k=5, bucket_bits=8, n_probes=n_probes
+            ).collect()
+        }
+
+    single = pairs(1)
+    bucketed_default = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(emb, queries, k=5, bucket_bits=8).collect()
+    }
+    assert single == bucketed_default, "n_probes=1 must equal single-probe"
+    recalls = [len(pairs(p) & exact) / len(exact) for p in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] > recalls[0], (
+        f"8 probes should beat 1 on this corpus: {recalls}"
+    )
