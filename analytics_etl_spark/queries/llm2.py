@@ -1011,18 +1011,25 @@ def dedup_paragraph_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _persist_dir(sf_dir: str, name: str) -> str:
-    """Deterministic per-(dataset, artifact) scratch dir for the
+    """Per-(process, dataset, artifact) scratch dir for the
     persisted-index deployment-arm queries: the ingest write lands
     here (overwrite — rebuilding each call keeps the query hermetic
     and replay-idempotent), the returned probe plan reads it back.
-    A real site writes these layouts once at table registration;
-    rebuilding per call is the correctness-gate analogue."""
+    The pid is part of the path (ADVICE r11): two processes running
+    the same persisted-arm query on the same dataset previously
+    shared one dir, so one's overwrite could race the other's read.
+    Within a process the path is stable, preserving the
+    overwrite-then-read hermetic contract. A real site writes these
+    layouts once at table registration; rebuilding per call is the
+    correctness-gate analogue."""
     import hashlib
     import os
     import tempfile
 
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "aes_persist", key, name)
+    return os.path.join(
+        tempfile.gettempdir(), "aes_persist", f"{key}-{os.getpid()}", name
+    )
 
 
 @query(
@@ -1695,6 +1702,83 @@ def knn_join_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_join(emb, queries, k=5, bucket_bits=8, n_probes=4)
     return out.select(
         "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
+    )
+
+
+# Self-kNN cosine for the graph query: both sides are the scorable
+# corpus, so the CASE guard mirrors similarity.cosine on a/b aliases.
+_KNN_SELF_COS = """
+    CASE WHEN list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+              * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0
+         THEN list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+              / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                     * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+    END
+"""
+
+
+@query(
+    "knn_graph_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_KNN_E_CTE},
+    s AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_KNN_SELF_COS} AS score
+      FROM e a JOIN e b
+        ON {_bucket_sql("a.embedding", 10)} = {_bucket_sql("b.embedding", 10)}
+       AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT qid, nid, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY score DESC, nid) AS rn
+      FROM s
+    ),
+    knn AS (SELECT qid, nid FROM r WHERE rn <= 5),
+    mutual AS (
+      SELECT x.qid AS u, x.nid AS v
+      FROM knn x JOIN knn y ON y.qid = x.nid AND y.nid = x.qid
+      WHERE x.qid < x.nid
+    ),
+    edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION SELECT u, v FROM edges
+      UNION SELECT r2.u, e2.v FROM reach r2 JOIN edges e2 ON r2.v = e2.u
+    )
+    SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def knn_graph_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN-GRAPH CLUSTERING pipeline end-to-end (VERDICT r11
+    item 3) — the SemDeDup/cluster-dedup shape built from this
+    round's primitives: bucketed SELF-kNN join over the whole corpus
+    (sign-bucket equi-join at 10 bits — candidate volume ~N²/1024,
+    never all-pairs) → mutual-kNN edges (u<v kept iff each is in the
+    other's top-5 — degree bounded by k, edge set ≤ N·k/2) → min-label
+    connected components (operators/graph.py, the iterative fixpoint
+    already oracle-matched against recursive transitive closure in
+    dedup_cluster_canonical). Every stage is deterministic (bucket =
+    sign pattern, ranking tie-broken on id, CC fixpoint unique), so
+    the full composition is hash-checked: DuckDB replays self-kNN +
+    mutuality + recursive closure. exclude_self=True is the CORRECT
+    usage here — queries ARE the corpus (shared id space). Output:
+    (vec_id, cluster_id) for every node with ≥1 mutual edge;
+    singletons absent by the documented CC contract. Planted-cluster
+    recovery is pinned in tests/test_ann_recall.py."""
+    from analytics_etl_spark.operators.graph import connected_components
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        mutual_knn_edges,
+    )
+    from analytics_etl_spark.queries.llm import _EMB_DIM
+
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    self_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    knn = knn_join(emb, self_q, k=5, bucket_bits=10)
+    edges = mutual_knn_edges(knn)
+    return connected_components(edges, src="u", dst="v").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
     )
 
 

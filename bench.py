@@ -129,6 +129,12 @@ HEADLINE = [
     "knn_join_exact",
     "knn_join_bucketed",
     "histogram_quantile_sketch",
+    # round-12 additions: the multiprobe recall arm, the grouped
+    # quantile read, and the kNN-graph clustering composition
+    # (bucketed self-kNN over the full corpus -> mutual edges -> CC)
+    "knn_join_multiprobe",
+    "histogram_quantile_grouped",
+    "knn_graph_clusters",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

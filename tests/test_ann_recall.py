@@ -483,3 +483,56 @@ def test_knn_join_multiprobe_recall_monotone_in_probes(spark):
     assert recalls[-1] > recalls[0], (
         f"8 probes should beat 1 on this corpus: {recalls}"
     )
+
+
+def test_knn_graph_recovers_planted_clusters(spark):
+    """kNN-graph clustering composition (bucketed self-kNN →
+    mutual-kNN edges → connected components) on a PLANTED corpus:
+    three tight clusters of 6 vectors each (center ± tiny
+    deterministic jitter) plus spread-out noise vectors. Each planted
+    cluster must come back as ONE component labeled by its min id,
+    and no component may span two planted clusters."""
+    from analytics_etl_spark.operators.graph import connected_components
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        mutual_knn_edges,
+    )
+
+    dim = 16
+    rows = []
+    # Centers along distinct axes — pairwise cosine 0 between
+    # clusters, ~1 within. Jitter flips nothing: sign pattern (and
+    # hence any sign bucket) is identical within a cluster.
+    for c in range(3):
+        center = [1.0 if d % 3 == c else 0.2 for d in range(dim)]
+        for m in range(6):
+            vec = [
+                v + 0.01 * (((17 * (c * 6 + m) + 3 * d) % 7) - 3) / 7.0
+                for d, v in enumerate(center)
+            ]
+            rows.append((c * 100 + m, vec))
+    # noise: alternating-sign spikes, far from every center and from
+    # each other — they may pair up but must not join a planted cluster
+    for nz in range(5):
+        vec = [(-1.0) ** (d + nz) * (1.0 + 0.5 * ((d * 7 + nz) % 5)) for d in range(dim)]
+        rows.append((1000 + nz, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    self_q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    comp = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            mutual_knn_edges(knn_join(df, self_q, k=5, bucket_bits=8)),
+            src="u",
+            dst="v",
+        ).collect()
+    }
+    for c in range(3):
+        ids = [c * 100 + m for m in range(6)]
+        labels = {comp.get(i) for i in ids}
+        assert labels == {c * 100}, f"cluster {c} not recovered: {labels}"
+    noise_labels = {comp[i] for i in comp if i >= 1000}
+    assert all(lb >= 1000 for lb in noise_labels), (
+        f"noise leaked into a planted cluster: {noise_labels}"
+    )
