@@ -56,6 +56,22 @@ from analytics_etl_spark.operators.text_analysis import (
 
 DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 
+# Cached stage frames of the MOST RECENT corpus_build invocation.
+# A build's caches must outlive its (lazy) returned plan, so they
+# can't be unpersisted inside the builder — but leaving them pinned
+# forever accumulates one corpus-sized rewrite pool PER INVOCATION
+# when a harness calls the build repeatedly (bench reps measured
+# this as steady storage-memory growth, ADVICE r11). Rotation keeps
+# exactly one invocation's caches live: entering corpus_build
+# unpersists the previous invocation's frames (by then consumed —
+# and unpersist is always SAFE, worst case a recompute).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _rotate_caches() -> None:
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def corpus_build(
     docs: DataFrame,
@@ -111,6 +127,7 @@ def corpus_build(
     ingest-persisted shingle column describes the PRE-rewrite text
     and would silently poison every downstream 3-gram decision.
     """
+    _rotate_caches()
     if paragraph_dedup_width is not None:
         if shingles_col is not None:
             raise ValueError(
@@ -142,9 +159,12 @@ def corpus_build(
             # At deployment this frame is the stage TABLE the nightly
             # build writes between paragraph dedup and gating — the
             # cache is the single-action analogue, same as the id-sized
-            # decision frames below.
+            # decision frames below. Registered for rotation: the NEXT
+            # corpus_build call unpersists it (ADVICE r11 — repeated
+            # invocations otherwise pin one corpus-sized pool each).
             .cache()
         )
+        _LIVE_CACHES.append(docs)
     obs = {
         name: Observation(f"corpus_build_{name}")
         for name in ("pool", "quality_pass", "decontaminated", "deduped")
@@ -170,6 +190,7 @@ def corpus_build(
         .observe(obs["quality_pass"], count_n)
         .cache()
     )
+    _LIVE_CACHES.append(quality_ids)
     # contamination is per-doc vs the bench bank — independent of the
     # other gates, so it runs on the pool (identical fractions, one
     # computation instead of a replay of the quality chain under it).
@@ -196,6 +217,7 @@ def corpus_build(
         .select("doc_id")
         .cache()
     )
+    _LIVE_CACHES.append(contaminated_ids)
     # near-dup pairs on the pool; banding is per-doc, so restricting
     # PAIRS to gate survivors afterwards equals re-running LSH on the
     # survivor set (candidates(S) = candidates(pool) ∩ S×S)
@@ -206,6 +228,7 @@ def corpus_build(
         .select("doc_a", "doc_b")
         .cache()
     )
+    _LIVE_CACHES.append(pairs)
 
     # --- gate combine: id-sized joins over the cached decisions ------
     surv2_ids = (
@@ -213,6 +236,7 @@ def corpus_build(
         .observe(obs["decontaminated"], count_n)
         .cache()
     )
+    _LIVE_CACHES.append(surv2_ids)
     drop_ids = (
         pairs.join(surv2_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(surv2_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")

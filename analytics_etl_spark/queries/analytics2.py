@@ -1859,17 +1859,42 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partition-less range window is safe at any scale.
 @query(
     "events_dau",
+    # No RANGE+INTERVAL window on the oracle side: DuckDB 1.x's
+    # parallel window operator was observed (r12, hostile sweep)
+    # returning RUN-TO-RUN DIFFERENT frames for this exact shape —
+    # ~1-in-3 executions of the identical SQL on identical data gave
+    # five January days ±1 in the 7-day sum and the NULL-day row the
+    # wrong frame entirely (values 78 vs 90 for one day across
+    # trials, with per-day dau identical). The trailing sum is
+    # instead a self-join over the DAILY aggregate (calendar-bounded,
+    # ~31 rows — size-irrelevant in any engine), which has no window
+    # operator to misbehave; the NULL-day group (hostile unparseable
+    # ts) rides a separate branch with frame = itself, matching both
+    # engines' defined NULL-peer semantics. The Spark side keeps the
+    # real range window — that's the operator under test.
+    # The NULL/non-NULL split keys on ts, not on the derived day:
+    # day IS NULL ⇔ ts IS NULL (date_trunc never nulls a real ts),
+    # and DuckDB 1.0 misevaluates `WHERE CAST(date_trunc(...) AS
+    # DATE) IS NULL` to zero rows even when the GROUP BY produces a
+    # NULL-day group (isolated r12 — second independent DuckDB
+    # defect in this query's shape). HAVING emits the NULL row only
+    # when a NULL-ts event exists, matching Spark's grouping.
     oracle="""
     WITH d AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              COUNT(DISTINCT user_id) AS dau
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     )
-    SELECT day, CAST(dau AS BIGINT) AS dau,
-           CAST(SUM(dau) OVER (
-             ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
-           ) AS BIGINT) AS dau_7d_sum
-    FROM d
+    SELECT a.day, CAST(ANY_VALUE(a.dau) AS BIGINT) AS dau,
+           CAST(SUM(b.dau) AS BIGINT) AS dau_7d_sum
+    FROM d a JOIN d b ON b.day BETWEEN a.day - 6 AND a.day
+    GROUP BY a.day
+    UNION ALL
+    SELECT CAST(NULL AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau_7d_sum
+    FROM events WHERE ts IS NULL
+    HAVING COUNT(*) > 0
     """,
 )
 def events_dau(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -608,6 +608,31 @@ def merge_priority_sample_batch(
     from analytics_etl_spark.operators.sampling import priority_expr
 
     w = F.col(weight_col)
+
+    def _best_per_id(df: DataFrame) -> DataFrame:
+        """Deterministic survivor per sample_id: the (pri, weight)-max
+        row. dropDuplicates kept an ARBITRARY row, so the same id
+        arriving with two different weights (intra-batch, or an
+        update across batches) made the stored sample and its w_est
+        nondeterministic (ADVICE r11). With max_by over
+        struct(pri, weight) the survivor is a pure function of the
+        input set — replay-idempotence holds for updated rows too:
+        the higher-priority version wins no matter the arrival or
+        partition order."""
+        return (
+            df.groupBy("sample_id")
+            .agg(
+                F.max_by(
+                    F.struct("weight", "pri"), F.struct("pri", "weight")
+                ).alias("s")
+            )
+            .select(
+                "sample_id",
+                F.col("s.weight").alias("weight"),
+                F.col("s.pri").alias("pri"),
+            )
+        )
+
     # Dedup on id BEFORE taking the batch top-(k+1): a re-delivered or
     # intra-batch duplicate id would otherwise occupy two of the k+1
     # slots and evict a distinct row the full-history top-(k+1) keeps
@@ -615,21 +640,20 @@ def merge_priority_sample_batch(
     # bigint cast truncated fractional weights and broke the pinned
     # equality with batch priority_sample on double weight columns.
     fresh = (
-        batch_df.filter(w.isNotNull() & (w > 0))
-        .select(
-            F.col(id_col).alias("sample_id"),
-            w.cast("double").alias("weight"),
-            priority_expr(weight_col, id_col, salt).alias("pri"),
+        _best_per_id(
+            batch_df.filter(w.isNotNull() & (w > 0)).select(
+                F.col(id_col).alias("sample_id"),
+                w.cast("double").alias("weight"),
+                priority_expr(weight_col, id_col, salt).alias("pri"),
+            )
         )
-        .dropDuplicates(["sample_id"])
         .orderBy(F.desc("pri"), "sample_id")
         .limit(k + 1)
     )
 
     def merge(stored: DataFrame) -> DataFrame:
         return (
-            stored.unionByName(fresh)
-            .dropDuplicates(["sample_id"])
+            _best_per_id(stored.unionByName(fresh))
             .orderBy(F.desc("pri"), "sample_id")
             .limit(k + 1)
         )

@@ -105,3 +105,35 @@ def test_funnel_counts_from_one_action(spark):
     for r in rows.values():
         assert r["n_chunks"] >= r["n_docs"]
         assert r["total_words"] >= r["n_chunks"]
+
+
+def test_cache_rotation_bounds_live_caches(spark):
+    """ADVICE r11: repeated corpus_build invocations (bench reps call
+    the query function once per rep) must not accumulate cached
+    corpus-sized pools — entering a new build unpersists the previous
+    invocation's cached frames, so exactly one invocation's caches
+    are ever live."""
+    from analytics_etl_spark.plans import corpus_build as cb_mod
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def run(cut):
+        # distinct `cut` per invocation => distinct logical plans, so
+        # Spark's cache manager can't serve run 2 from run 1's entry
+        # (bench reps DO share plans — there the rotation simply
+        # re-registers the same entry instead of stacking copies)
+        result, _ = corpus_build(
+            docs.filter(F.col("doc_id") >= cut).select("doc_id", "text"),
+            docs.filter(F.col("doc_id") < cut).select("doc_id", "text"),
+            paragraph_dedup_width=10,
+        )
+        result.collect()
+        return list(cb_mod._LIVE_CACHES)
+
+    first = run(25)
+    assert first and all(f.storageLevel.useMemory for f in first)
+    second = run(30)
+    # the first invocation's frames were unpersisted by the second
+    assert all(not f.storageLevel.useMemory for f in first)
+    assert all(f.storageLevel.useMemory for f in second)
+    assert len(cb_mod._LIVE_CACHES) == len(second)

@@ -255,6 +255,37 @@ def test_priority_sample_maintenance_intrabatch_dups_and_double_weights(
     assert any(r[1] != int(r[1]) for r in got)
 
 
+def test_priority_sample_updated_weight_survivor_is_deterministic(
+    spark, tmp_path
+):
+    """ADVICE r11: the same id arriving with DIFFERENT weights
+    (intra-batch or across batches) must yield a deterministic
+    survivor — the (pri, weight)-max version — regardless of arrival
+    order. dropDuplicates kept an arbitrary row."""
+    from analytics_etl_spark.streaming.ingest import merge_priority_sample_batch
+
+    lo = spark.createDataFrame(
+        [(i, 1.0 + (i % 5)) for i in range(10)], "doc_id long, w double"
+    )
+    hi = spark.createDataFrame(
+        [(i, 100.0 + (i % 5)) for i in range(10)], "doc_id long, w double"
+    )
+
+    def run(order, sub):
+        path = str(tmp_path / sub)
+        for epoch, b in enumerate(order):
+            merge_priority_sample_batch(b, epoch, path, "w", k=6)
+        return sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    a = run([lo, hi], "a")  # low weights first, then the update
+    b = run([hi, lo], "b")  # update first, stale version second
+    c = run([lo.unionByName(hi)], "c")  # both versions in ONE batch
+    assert a == b == c, "survivor depends on arrival order"
+    # the higher-priority (here: higher-weight) version won
+    weights = {r[0]: r[1] for r in a}
+    assert all(w >= 100.0 for w in weights.values()), weights
+
+
 def test_paragraph_hash_maintenance_equals_batch_and_replays(spark, tmp_path):
     """The maintained paragraph-hash table + batch decision reproduce
     operators/dedup.paragraph_dedup over the FULL history exactly
