@@ -1783,6 +1783,71 @@ def knn_graph_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_semantic_knn_graph",
+    oracle=f"""
+    WITH RECURSIVE {_KNN_E_CTE},
+    s AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid, {_KNN_SELF_COS} AS score
+      FROM e a JOIN e b
+        ON {_bucket_sql("a.embedding", 10)} = {_bucket_sql("b.embedding", 10)}
+       AND a.vec_id <> b.vec_id
+    ),
+    r AS (
+      SELECT qid, nid, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY score DESC, nid) AS rn
+      FROM s
+    ),
+    knn AS (SELECT qid, nid FROM r WHERE rn <= 5),
+    mutual AS (
+      SELECT x.qid AS u, x.nid AS v
+      FROM knn x JOIN knn y ON y.qid = x.nid AND y.nid = x.qid
+      WHERE x.qid < x.nid
+    ),
+    edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+    reach(u, v) AS (
+      SELECT u, u FROM edges
+      UNION SELECT u, v FROM edges
+      UNION SELECT r2.u, e2.v FROM reach r2 JOIN edges e2 ON r2.v = e2.u
+    ),
+    comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
+    SELECT vec_id, cluster_id FROM comp WHERE vec_id <> cluster_id
+    """,
+)
+def dedup_semantic_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup DECISION built on the kNN graph: within each
+    mutual-kNN component, the min-id vector is canonical and every
+    other member is a DROP — output (vec_id, cluster_id) for the
+    dropped rows, cluster_id naming the kept canonical. This is the
+    hash-checked sibling of the k-means-witness semantic dedups
+    (operators/ivf.py — rows-only, float centroid means): the kNN
+    graph's stages are all integer/tie-broken-deterministic, so the
+    SAME 'drop all but one per tight cluster' decision becomes fully
+    oracle-replayable. Shares knn_graph_clusters' plan (the filter
+    is the only addition), so its scale story is that row in
+    SCALING.md; a corpus build would anti-join these ids exactly
+    like the near-dup drop stage."""
+    from analytics_etl_spark.operators.graph import connected_components
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        mutual_knn_edges,
+    )
+    from analytics_etl_spark.queries.llm import _EMB_DIM
+
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    self_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    comp = connected_components(
+        mutual_knn_edges(knn_join(emb, self_q, k=5, bucket_bits=10)),
+        src="u",
+        dst="v",
+    )
+    return comp.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
+@query(
     "histogram_quantile_sketch",
     oracle="""
     WITH h AS (

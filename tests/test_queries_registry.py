@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 195, f"registry count changed: {len(qs)}"
+    assert len(qs) == 196, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set is the approximate/hermetic ops (approx
     # distinct, approx quantiles, the synthetic REST source, IVF float
