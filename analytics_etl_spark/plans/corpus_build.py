@@ -59,18 +59,29 @@ DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 # Cached stage frames of the MOST RECENT corpus_build invocation.
 # A build's caches must outlive its (lazy) returned plan, so they
 # can't be unpersisted inside the builder — but leaving them pinned
-# forever accumulates one corpus-sized rewrite pool PER INVOCATION
-# when a harness calls the build repeatedly (bench reps measured
-# this as steady storage-memory growth, ADVICE r11). Rotation keeps
-# exactly one invocation's caches live: entering corpus_build
-# unpersists the previous invocation's frames (by then consumed —
-# and unpersist is always SAFE, worst case a recompute).
+# forever holds one corpus-sized rewrite pool PER DISTINCT BUILD in
+# a long-lived session (ADVICE r11). Rotation keeps exactly one
+# invocation's caches live: entering corpus_build stashes the
+# previous invocation's frames, and finishing it unpersists every
+# stashed frame whose plan the new build did NOT re-register
+# (semanticHash match = Spark's cache manager serves both from the
+# same entry, so unpersisting would evict the NEW build's cache too
+# — and identical repeated builds, e.g. bench reps, legitimately
+# keep their warm entry). Unpersist is always SAFE; worst case a
+# consumer of a stale plan recomputes.
 _LIVE_CACHES: list[DataFrame] = []
 
 
-def _rotate_caches() -> None:
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+def _stash_caches() -> list[DataFrame]:
+    stale, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
+    return stale
+
+
+def _drop_stale(stale: list[DataFrame]) -> None:
+    fresh = {df.semanticHash() for df in _LIVE_CACHES}
+    for df in stale:
+        if df.semanticHash() not in fresh:
+            df.unpersist()
 
 
 def corpus_build(
@@ -127,7 +138,7 @@ def corpus_build(
     ingest-persisted shingle column describes the PRE-rewrite text
     and would silently poison every downstream 3-gram decision.
     """
-    _rotate_caches()
+    _stale_caches = _stash_caches()
     if paragraph_dedup_width is not None:
         if shingles_col is not None:
             raise ValueError(
@@ -260,4 +271,5 @@ def corpus_build(
             F.sum("n_words").cast("bigint").alias("total_words"),
         )
     )
+    _drop_stale(_stale_caches)
     return result, obs

@@ -137,3 +137,8 @@ def test_cache_rotation_bounds_live_caches(spark):
     assert all(not f.storageLevel.useMemory for f in first)
     assert all(f.storageLevel.useMemory for f in second)
     assert len(cb_mod._LIVE_CACHES) == len(second)
+    # an IDENTICAL repeated build (bench reps) keeps its warm cache:
+    # same semanticHash => rotation must NOT evict the shared entry
+    third = run(30)
+    assert all(f.storageLevel.useMemory for f in second)
+    assert all(f.storageLevel.useMemory for f in third)
