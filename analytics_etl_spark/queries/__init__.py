@@ -64,58 +64,56 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-11 rotation (output of tools/rotate_window.py, re-run AFTER
-# the round's last registry-touching commit — the policy revision
-# VERDICT r10 item 1 asked for, so in-round additions can't lag a
-# round behind the evidence channel): leads with the TWENTY-ONE
-# never-driver-checked queries — the eleven r10-session-2 additions
-# (gopher rules, NB classifier + gated build, CMS pair, containment,
-# priority-sample pair, exact packing, unigram Viterbi, k-anonymity)
-# plus this round's ten (paragraph family ×4, persisted arms ×2,
-# source reputation, kNN-join pair, histogram quantiles) — then the
-# stalest r6 cohort. Every r10 window member rotates out with a
-# fresh green row standing (CORRECTNESS_r10.json: 50/50).
+# Round-12 rotation (output of tools/rotate_window.py, re-run AFTER
+# the round's last registry-touching commit): the driver-evidence
+# backlog cleared in r11, so the selection is now pure LRU — this
+# round's FOUR never-checked additions (multiprobe kNN join, grouped
+# histogram quantiles, kNN-graph clustering, the SemDeDup decision
+# arm) lead, then the stalest cohort: the seven r6 queries whose
+# last driver row is CORRECTNESS_r6 and twenty-nine from the r8
+# cohort. Every r11 window member rotates out with a fresh green
+# row standing (CORRECTNESS_r11.json: 50/50).
 ROTATION: tuple[str, ...] = (
-    "cms_frequency_estimate",
-    "cms_join_size_estimate",
-    "corpus_build_classifier_gated",
-    "corpus_build_paradedup",
-    "decontaminate_paragraphs",
-    "dedup_minhash_persisted",
-    "dedup_ngram_containment",
-    "dedup_paragraph_corpus",
-    "dedup_paragraph_intradoc",
-    "dedup_substring_persisted",
-    "docs_priority_sample",
-    "docs_priority_sample_stratified",
-    "histogram_quantile_sketch",
-    "k_anonymity_audit",
-    "knn_join_bucketed",
-    "knn_join_exact",
-    "packed_examples_exact",
-    "source_reputation_rank",
-    "text_gopher_rules",
-    "text_nb_classifier",
-    "unigram_tokenize_viterbi",
-    "excess_quantity_suppliers",
-    "fk_integrity_audit",
-    "forecast_revenue_change",
-    "fuzzy_name_match",
-    "large_order_customers",
-    "longest_error_streak",
-    "market_share",
-    "mode_order_priority",
-    "monthly_revenue_mom",
-    "multimodal_frame_index",
-    "order_count_distribution",
-    "orders_above_customer_avg",
-    "orders_with_late_lines",
-    "parts_supplier_count",
-    "product_type_profit",
-    "promo_revenue_share",
-    "purchase_graph_bfs",
-    "range_frame_revenue",
-    "returned_item_reporting",
+    "dedup_semantic_knn_graph",
+    "histogram_quantile_grouped",
+    "knn_graph_clusters",
+    "knn_join_multiprobe",
+    "revenue_anomaly_days",
+    "revenue_pareto",
+    "revenue_ytd",
+    "sales_etl_chain",
+    "sample_budget_allocation",
+    "scd2_customer_status_history",
+    "session_window_agg",
+    "array_functions_pack",
+    "avg_stats_per_nation",
+    "cohort_retention",
+    "conditional_pack",
+    "copurchase_triangles",
+    "date_arithmetic_pack",
+    "dedup_bloom_prescreen",
+    "dedup_simhash",
+    "dedup_substring_stride",
+    "distinct_customers",
+    "dsir_importance_topk",
+    "gap_fill_locf",
+    "hourly_histogram",
+    "ingest_novelty_score",
+    "interval_overlap_events",
+    "map_event_type_counts",
+    "math_functions_pack",
+    "multimodal_byte_histogram",
+    "packed_examples",
+    "priority_share_per_nation",
+    "quality_percentile_gate",
+    "set_except_customers",
+    "set_intersect_customers",
+    "shipmode_priority_counts",
+    "similarity_topk_rerank",
+    "skew_key_census",
+    "sliding_window_agg",
+    "small_quantity_revenue",
+    "sole_late_supplier",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
