@@ -654,12 +654,25 @@ def test_knn_join_is_partition_invariant(spark):
     queries = df.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    for bits in (None, 4):
-        base = sorted(map(tuple, knn_join(df, queries, k=3, bucket_bits=bits).collect()))
+    for bits, probes in ((None, 1), (4, 1), (4, 3)):
+        base = sorted(
+            map(
+                tuple,
+                knn_join(
+                    df, queries, k=3, bucket_bits=bits, n_probes=probes
+                ).collect(),
+            )
+        )
         shuffled = sorted(
             map(
                 tuple,
-                knn_join(df.repartition(13), queries.repartition(7), k=3, bucket_bits=bits).collect(),
+                knn_join(
+                    df.repartition(13),
+                    queries.repartition(7),
+                    k=3,
+                    bucket_bits=bits,
+                    n_probes=probes,
+                ).collect(),
             )
         )
         assert base == shuffled and len(base) > 0
