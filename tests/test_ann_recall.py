@@ -485,6 +485,46 @@ def test_knn_join_multiprobe_recall_monotone_in_probes(spark):
     )
 
 
+def test_knn_graph_multiprobe_unites_boundary_straddling_cluster(spark):
+    """A tight cluster whose members differ only in the SIGN of one
+    low-margin dimension straddles two sign buckets: single-probe
+    mutual-kNN splits it into two components, while n_probes=2 (the
+    probe flips exactly that lowest-margin bit) restores the single
+    component — the concrete recall value multiprobe adds to the
+    kNN-graph build."""
+    from analytics_etl_spark.operators.graph import connected_components
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        mutual_knn_edges,
+    )
+
+    dim = 16
+    rows = []
+    for m in range(8):
+        vec = [0.5] * dim
+        vec[2] = 0.01 if m % 2 == 0 else -0.01  # the straddled bit
+        rows.append((m, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    self_q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def comps(n_probes):
+        out = connected_components(
+            mutual_knn_edges(
+                knn_join(df, self_q, k=5, bucket_bits=8, n_probes=n_probes)
+            ),
+            src="u",
+            dst="v",
+        ).collect()
+        return {r["doc_id"]: r["cluster_id"] for r in out}
+
+    single = comps(1)
+    assert set(single.values()) == {0, 1}, single  # split at the boundary
+    multi = comps(2)
+    assert set(multi.values()) == {0}, multi  # one component, canonical 0
+
+
 def test_knn_graph_recovers_planted_clusters(spark):
     """kNN-graph clustering composition (bucketed self-kNN →
     mutual-kNN edges → connected components) on a PLANTED corpus:
