@@ -856,3 +856,73 @@ def mutual_knn_edges(
     return a.join(swapped, ["u", "v"], "left_semi").filter(
         F.col("u") < F.col("v")
     )
+
+
+def knn_join_hyperplane(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 6,
+    tables: int = 24,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    exclude_self: bool = True,
+    planes: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The RECALL arm of the kNN join family: multi-table random-
+    hyperplane LSH (OR-amplification) as a (table, signature)
+    EQUI-join.
+
+    Sign-bucket forms (knn_join bucket_bits / n_probes) trade recall
+    for pruning with ONE hash table; this is the knob they lack —
+    `tables` independent b-bit tables lift candidate recall to
+    ≈ 1-(1-p^b)^L without coarsening any bucket, the same
+    amplification the single-query family deploys
+    (hyperplane_lsh_topk). Where the single-query form can afford a
+    broadcast + per-row ANY-table match, the JOIN form must stay
+    equi-join-shaped: both sides' signature arrays (the Arrow matmul
+    kernel — at deployment a write-time `sig` column, see
+    write_lsh_index) posexplode to (table_id, bucket) rows, candidates
+    come from the (table_id, bucket) equi-join, and pairs colliding in
+    several tables are DISTINCT-ed BEFORE the two vector-fetch joins
+    so each pair is scored once. Candidate volume Σ_t Σ_b
+    |bucket_qtb|·|bucket_ctb| ≈ L·N_q·N_c/2^b — never all-pairs, all
+    shuffles keyed. Scoring stays on the exact JVM cosine fold, so
+    the whole join is oracle-replayable (md5-derived ±1 planes, both
+    engines regenerate or embed them). Ranking/ties/exclude_self:
+    the knn_join contract (exclude_self is self-kNN-only — pass False
+    for an unrelated query id namespace)."""
+    if planes is None:
+        planes = rademacher_planes(dim, bits, tables, seed)
+    sig = hyperplane_signatures(planes)
+    c_sig = corpus.select(
+        F.col(id_col),
+        F.posexplode(sig(as_double_array(vec_col))).alias("_t", "_b"),
+    )
+    q_sig = queries.select(
+        F.col(query_id_col),
+        F.posexplode(sig(as_double_array(qvec_col))).alias("_t", "_b"),
+    )
+    pairs = c_sig.join(q_sig, ["_t", "_b"]).select(query_id_col, id_col).distinct()
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id_col) != F.col(id_col))
+    cand = pairs.join(corpus, id_col).join(queries, query_id_col)
+    e = as_double_array(vec_col)
+    q = as_double_array(qvec_col)
+    scored = cand.select(
+        F.col(query_id_col), F.col(id_col), cosine(e, q).alias("score")
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.col("rank").cast("int"), "score")
+    )

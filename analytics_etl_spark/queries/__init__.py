@@ -67,16 +67,17 @@ FIXED_CORE: tuple[str, ...] = (
 # Round-12 rotation (output of tools/rotate_window.py, re-run AFTER
 # the round's last registry-touching commit): the driver-evidence
 # backlog cleared in r11, so the selection is now pure LRU — this
-# round's FOUR never-checked additions (multiprobe kNN join, grouped
-# histogram quantiles, kNN-graph clustering, the SemDeDup decision
-# arm) lead, then the stalest cohort: the seven r6 queries whose
-# last driver row is CORRECTNESS_r6 and twenty-nine from the r8
-# cohort. Every r11 window member rotates out with a fresh green
-# row standing (CORRECTNESS_r11.json: 50/50).
+# round's FIVE never-checked additions (multiprobe + hyperplane kNN
+# joins, grouped histogram quantiles, kNN-graph clustering, the
+# SemDeDup decision arm) lead, then the stalest cohort: the seven r6
+# queries whose last driver row is CORRECTNESS_r6 and twenty-eight
+# from the r8 cohort. Every r11 window member rotates out with a
+# fresh green row standing (CORRECTNESS_r11.json: 50/50).
 ROTATION: tuple[str, ...] = (
     "dedup_semantic_knn_graph",
     "histogram_quantile_grouped",
     "knn_graph_clusters",
+    "knn_join_hyperplane",
     "knn_join_multiprobe",
     "revenue_anomaly_days",
     "revenue_pareto",
@@ -113,7 +114,6 @@ ROTATION: tuple[str, ...] = (
     "skew_key_census",
     "sliding_window_agg",
     "small_quantity_revenue",
-    "sole_late_supplier",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -1705,6 +1705,115 @@ def knn_join_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _knn_hyperplane_oracle(bits: int, tables: int, planes) -> str:
+    """DuckDB mirror of knn_join_hyperplane in its JOIN shape: the
+    same md5-derived ±1 planes embedded as one literal, each side's
+    per-table SIGNATURES computed row-wise (sign of list_dot_product,
+    bit-identical to the Arrow matmul's comparisons), candidates from
+    the (table, signature) equi-join with pair DISTINCT before
+    scoring — the exact plan the Spark side runs, so the whole
+    OR-amplified recall trade is hash-checked. (The single-query
+    hyperplane oracle's per-pair ANY-table match would be
+    O(pairs·tables·bits) dots here; the signature join is
+    O(rows·tables·bits) + a hash join, same as the engine.)"""
+    flat = [p for tp in planes for p in tp]
+    pl = (
+        "["
+        + ",".join(
+            "[" + ",".join("1.0" if x > 0 else "-1.0" for x in p) + "]"
+            for p in flat
+        )
+        + "]"
+    )
+
+    def sig_expr(col: str, t: int) -> str:
+        s = " + ".join(
+            f"(CASE WHEN list_dot_product({col}, pl[{t * bits + i + 1}]) > 0 "
+            f"THEN {2 ** i} ELSE 0 END)"
+            for i in range(bits)
+        )
+        return f"CAST({s} AS INT)"
+
+    def structs(col: str) -> str:
+        return ", ".join(
+            "{'t': %d, 'b': %s}" % (t, sig_expr(col, t)) for t in range(tables)
+        )
+
+    return f"""
+    WITH p AS (SELECT {pl} AS pl),
+    {_KNN_E_CTE},
+    {_KNN_Q_CTE},
+    es AS (SELECT vec_id, u.t AS t, u.b AS b FROM (
+      SELECT e.vec_id, unnest([{structs("e.embedding::DOUBLE[]")}]) AS u
+      FROM e, p)),
+    qs AS (SELECT query_id, u.t AS t, u.b AS b FROM (
+      SELECT q.query_id, unnest([{structs("q.qv")}]) AS u FROM q, p)),
+    cand AS (
+      SELECT DISTINCT qs.query_id, es.vec_id
+      FROM es JOIN qs ON es.t = qs.t AND es.b = qs.b
+      WHERE es.vec_id <> qs.query_id
+    ),
+    s AS (
+      SELECT c.query_id, e.vec_id, {_COS_SQL} AS score
+      FROM cand c
+      JOIN e ON e.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, CAST(rn AS INT) AS knn_rank, score
+    FROM r WHERE rn <= 5
+    """
+
+
+def _hp_oracle_lazy():
+    from analytics_etl_spark.queries.llm import _HP_BITS, _HP_PLANES, _HP_TABLES
+
+    return _knn_hyperplane_oracle(_HP_BITS, _HP_TABLES, _HP_PLANES)
+
+
+@query("knn_join_hyperplane", oracle=_hp_oracle_lazy())
+def knn_join_hyperplane_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RECALL arm of the kNN join family: 24-table × 6-bit
+    random-hyperplane LSH (OR-amplification — the knob the
+    sign-bucket forms lack) as a (table, signature) equi-join with
+    pair-DISTINCT before scoring. Same 50-query set as the other
+    join arms, so the three-way recall trade (single-probe →
+    multiprobe → OR-amplified) is directly comparable and ALL THREE
+    are hash-checked; recall ordering pinned in
+    tests/test_ann_recall.py. Signatures ride the declared Arrow
+    matmul kernel (at deployment a write-time sig column —
+    write_lsh_index's layout); scoring stays on the exact JVM
+    cosine fold."""
+    from analytics_etl_spark.operators.similarity import knn_join_hyperplane
+    from analytics_etl_spark.queries.llm import (
+        _EMB_DIM,
+        _HP_BITS,
+        _HP_PLANES,
+        _HP_TABLES,
+    )
+
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    queries = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join_hyperplane(
+        emb,
+        queries,
+        dim=_EMB_DIM,
+        k=5,
+        bits=_HP_BITS,
+        tables=_HP_TABLES,
+        planes=_HP_PLANES,
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
+    )
+
+
 # Self-kNN cosine for the graph query: both sides are the scorable
 # corpus, so the CASE guard mirrors similarity.cosine on a/b aliases.
 _KNN_SELF_COS = """

@@ -130,11 +130,13 @@ HEADLINE = [
     "knn_join_bucketed",
     "histogram_quantile_sketch",
     # round-12 additions: the multiprobe recall arm, the grouped
-    # quantile read, and the kNN-graph clustering composition
-    # (bucketed self-kNN over the full corpus -> mutual edges -> CC)
+    # quantile read, the kNN-graph clustering composition (bucketed
+    # self-kNN over the full corpus -> mutual edges -> CC), and the
+    # OR-amplified hyperplane join arm
     "knn_join_multiprobe",
     "histogram_quantile_grouped",
     "knn_graph_clusters",
+    "knn_join_hyperplane",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

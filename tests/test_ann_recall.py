@@ -485,6 +485,47 @@ def test_knn_join_multiprobe_recall_monotone_in_probes(spark):
     )
 
 
+def test_knn_join_recall_ordering_across_arms(spark):
+    """The kNN join family's recall trade, measured on one query set
+    vs the exact kNN graph: single-probe bucket <= 4-probe, and the
+    24-table OR-amplified hyperplane arm beats single-probe (the
+    recall knob the sign-bucket forms lack). All three arms are
+    oracle-paired, so these are the hash-checked shapes."""
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        knn_join_hyperplane,
+        valid_embeddings,
+    )
+    from analytics_etl_spark.queries.llm import _HP_BITS, _HP_PLANES, _HP_TABLES
+
+    emb = valid_embeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), dim=64
+    )
+    queries = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(emb, queries, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r_single = recall(knn_join(emb, queries, k=5, bucket_bits=8))
+    r_multi = recall(knn_join(emb, queries, k=5, bucket_bits=8, n_probes=4))
+    r_hyper = recall(
+        knn_join_hyperplane(
+            emb, queries, dim=64, k=5,
+            bits=_HP_BITS, tables=_HP_TABLES, planes=_HP_PLANES,
+        )
+    )
+    assert r_single <= r_multi, (r_single, r_multi)
+    assert r_hyper > r_single, (r_hyper, r_single)
+    assert r_hyper > 0.5, f"24-table amplification should clear 0.5: {r_hyper}"
+
+
 def test_knn_graph_multiprobe_unites_boundary_straddling_cluster(spark):
     """A tight cluster whose members differ only in the SIGN of one
     low-margin dimension straddles two sign buckets: single-probe

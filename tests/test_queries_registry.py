@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 196, f"registry count changed: {len(qs)}"
+    assert len(qs) == 197, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set is the approximate/hermetic ops (approx
     # distinct, approx quantiles, the synthetic REST source, IVF float
@@ -162,6 +162,7 @@ PYTHON_KERNEL_OK = {
     "multimodal_byte_histogram",
     "packed_examples",
     "packed_examples_exact",
+    "knn_join_hyperplane",  # same Arrow signature matmul as similarity_ann_hyperplane, join-shaped
     "similarity_ann_hyperplane",
     "similarity_ann_ivf",
     "similarity_ann_pq",  # inline PQ encode kernel (persisted-codes path is plan-asserted Python-free in test_pq.py)
