@@ -97,8 +97,10 @@ def histogram_quantiles(
     bin-table-sized, never data-sized: the cumulative window
     partitions by the group columns (ungrouped = the one declared
     single-partition window, same stance as the perplexity tertile
-    cut), and the per-group totals frame is |groups|-sized and
-    broadcast.
+    cut), and the per-group totals frame joins group-keyed with NO
+    forced broadcast — |groups| can be per-user-sized at 100 TB, so
+    the hint would be a driver OOM; AQE upgrades the join to
+    broadcast at runtime whenever the totals actually are small.
 
     The bin table's columns must be EXACTLY group_cols + (bucket,
     cnt) — a grouped histogram handed to an ungrouped read (or a
@@ -128,7 +130,7 @@ def histogram_quantiles(
         tot = hist.groupBy(*gcols).agg(
             F.sum("cnt").cast("bigint").alias("total_n")
         )
-        joined = cum.join(F.broadcast(tot), list(group_cols))
+        joined = cum.join(tot, list(group_cols))
     else:
         tot = hist.agg(F.sum("cnt").cast("bigint").alias("total_n"))
         joined = cum.crossJoin(F.broadcast(tot))
