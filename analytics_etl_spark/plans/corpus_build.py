@@ -139,6 +139,50 @@ def corpus_build(
     and would silently poison every downstream 3-gram decision.
     """
     _stale_caches = _stash_caches()
+    try:
+        return _corpus_build_body(
+            docs,
+            bench,
+            quality_min_ngrams=quality_min_ngrams,
+            quality_max_dup_frac=quality_max_dup_frac,
+            quality_max_top_frac=quality_max_top_frac,
+            contamination_threshold=contamination_threshold,
+            dedup_min_jaccard=dedup_min_jaccard,
+            splits=splits,
+            chunk_words=chunk_words,
+            overlap=overlap,
+            shingles_col=shingles_col,
+            paragraph_dedup_width=paragraph_dedup_width,
+            _stale_caches=_stale_caches,
+        )
+    except BaseException:
+        # A failed build must not orphan the PREVIOUS invocation's
+        # cached frames (ADVICE r12: stashing at entry meant any
+        # mid-build raise forgot them forever — exactly the leak the
+        # rotation exists to prevent). Restore the stale list so the
+        # next successful build rotates it; the failed build's own
+        # partially-registered frames stay in _LIVE_CACHES and rotate
+        # out then too.
+        _LIVE_CACHES[:] = _stale_caches + _LIVE_CACHES
+        raise
+
+
+def _corpus_build_body(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    quality_min_ngrams: int,
+    quality_max_dup_frac: float,
+    quality_max_top_frac: float,
+    contamination_threshold: float,
+    dedup_min_jaccard: float,
+    splits: tuple[tuple[str, float], ...],
+    chunk_words: int,
+    overlap: int,
+    shingles_col: str | None,
+    paragraph_dedup_width: int | None,
+    _stale_caches: list[DataFrame],
+) -> tuple[DataFrame, dict[str, Observation]]:
     if paragraph_dedup_width is not None:
         if shingles_col is not None:
             raise ValueError(

@@ -1769,13 +1769,16 @@ def _knn_hyperplane_oracle(bits: int, tables: int, planes) -> str:
     """
 
 
-def _hp_oracle_lazy():
+def _build_hp_oracle():
+    # Called EAGERLY at decoration time (module import builds the
+    # 24x6x64 plane literal) — named accordingly (ADVICE r12: the old
+    # name `_hp_oracle_lazy` implied a deferral that never existed).
     from analytics_etl_spark.queries.llm import _HP_BITS, _HP_PLANES, _HP_TABLES
 
     return _knn_hyperplane_oracle(_HP_BITS, _HP_TABLES, _HP_PLANES)
 
 
-@query("knn_join_hyperplane", oracle=_hp_oracle_lazy())
+@query("knn_join_hyperplane", oracle=_build_hp_oracle())
 def knn_join_hyperplane_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RECALL arm of the kNN join family: 24-table × 6-bit
     random-hyperplane LSH (OR-amplification — the knob the

@@ -142,3 +142,42 @@ def test_cache_rotation_bounds_live_caches(spark):
     third = run(30)
     assert all(f.storageLevel.useMemory for f in second)
     assert all(f.storageLevel.useMemory for f in third)
+
+
+def test_failed_build_restores_previous_caches(spark):
+    """ADVICE r12: _stash_caches() ran before argument validation, so
+    a raising corpus_build permanently forgot (and never unpersisted)
+    the previous invocation's cached frames — the exact leak rotation
+    prevents. A failed build must restore the stale list so the NEXT
+    successful build rotates it."""
+    import pytest
+
+    from analytics_etl_spark.plans import corpus_build as cb_mod
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pool = docs.filter(F.col("doc_id") >= 25).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+
+    result, _ = corpus_build(pool, bench, paragraph_dedup_width=10)
+    result.collect()
+    first = list(cb_mod._LIVE_CACHES)
+    assert first and all(f.storageLevel.useMemory for f in first)
+
+    # invalid argument combination raises at validation time
+    with pytest.raises(ValueError, match="paragraph_dedup_width"):
+        corpus_build(
+            pool, bench, paragraph_dedup_width=10, shingles_col="shingles"
+        )
+    # the previous build's frames are back on the live list, still warm
+    assert all(f.storageLevel.useMemory for f in first)
+    for f in first:
+        assert any(
+            g.semanticHash() == f.semanticHash() for g in cb_mod._LIVE_CACHES
+        )
+
+    # and the next SUCCESSFUL build still rotates them out
+    result2, _ = corpus_build(
+        pool.filter(F.col("doc_id") >= 30), bench, paragraph_dedup_width=10
+    )
+    result2.collect()
+    assert all(not f.storageLevel.useMemory for f in first)
