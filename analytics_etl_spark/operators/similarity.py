@@ -795,6 +795,17 @@ def knn_join(
     e = as_double_array(vec_col)
     q = as_double_array(qvec_col)
     if bucket_bits is None:
+        if n_probes > 1:
+            # Raise instead of silently misbehave (module stance, cf.
+            # histogram_quantiles' column check): the exact path scores
+            # every pair, so a recall knob that does nothing would hide
+            # a caller's intent to run the bucketed form (ADVICE r12).
+            raise ValueError(
+                "n_probes > 1 requires bucket_bits: the exact "
+                "(bucket_bits=None) path already scores every "
+                "(query, corpus) pair, so probing is meaningless — "
+                "pass bucket_bits for the multiprobe LSH form"
+            )
         cand = corpus.crossJoin(F.broadcast(queries))
     else:
         if n_probes > 1:
@@ -858,6 +869,70 @@ def mutual_knn_edges(
     )
 
 
+def hyperplane_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    bits: int = 6,
+    tables: int = 24,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qv",
+    exclude_self: bool = True,
+    planes: list[list[list[float]]] | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The candidate-generation stage of knn_join_hyperplane, exposed
+    so its volume is testable and cappable: distinct (query_id,
+    vec_id) pairs colliding in >= 1 of the L (table, signature)
+    cells.
+
+    ``max_bucket_size`` is the self-join blow-up guard (VERDICT r12:
+    at L=24/b=6 a SELF-join "approaches all-pairs" when cells run
+    hot — a template-heavy corpus puts 10^5+ near-identical vectors
+    in the SAME cell of EVERY table, and one such cell is 10^10
+    pairs·L). Same trade as lsh_candidate_pairs(max_bucket_size=...)
+    (operators/dedup.py): (table, signature) cells whose CORPUS
+    membership exceeds the cap contribute no pairs at all — members
+    of a mega-cell are near-identical templates better handled by
+    exact/MinHash dedup upstream, and OR-amplification keeps any
+    pair that also collides in a non-hot cell of another table. The
+    hot-cell census is a map-side-combined groupBy on the same
+    (table, signature) key the join shuffles on, and the hot list is
+    STRUCTURALLY bounded by L·2^bits rows (1536 at defaults) — the
+    broadcast anti-join is always driver-safe. Default None keeps
+    exact semantics for the oracle-checked queries; corpus-scale
+    self-joins set ~10^3-10^4.
+    """
+    if planes is None:
+        planes = rademacher_planes(dim, bits, tables, seed)
+    sig = hyperplane_signatures(planes)
+    c_sig = corpus.select(
+        F.col(id_col),
+        F.posexplode(sig(as_double_array(vec_col))).alias("_t", "_b"),
+    )
+    if max_bucket_size is not None:
+        hot = (
+            c_sig.groupBy("_t", "_b")
+            .count()
+            .filter(F.col("count") > max_bucket_size)
+            .select("_t", "_b")
+        )
+        c_sig = c_sig.join(F.broadcast(hot), ["_t", "_b"], "left_anti")
+    q_sig = queries.select(
+        F.col(query_id_col),
+        F.posexplode(sig(as_double_array(qvec_col))).alias("_t", "_b"),
+    )
+    pairs = (
+        c_sig.join(q_sig, ["_t", "_b"]).select(query_id_col, id_col).distinct()
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col(query_id_col) != F.col(id_col))
+    return pairs
+
+
 def knn_join_hyperplane(
     corpus: DataFrame,
     queries: DataFrame,
@@ -872,6 +947,7 @@ def knn_join_hyperplane(
     qvec_col: str = "qv",
     exclude_self: bool = True,
     planes: list[list[list[float]]] | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The RECALL arm of the kNN join family: multi-table random-
     hyperplane LSH (OR-amplification) as a (table, signature)
@@ -895,21 +971,28 @@ def knn_join_hyperplane(
     the whole join is oracle-replayable (md5-derived ±1 planes, both
     engines regenerate or embed them). Ranking/ties/exclude_self:
     the knn_join contract (exclude_self is self-kNN-only — pass False
-    for an unrelated query id namespace)."""
-    if planes is None:
-        planes = rademacher_planes(dim, bits, tables, seed)
-    sig = hyperplane_signatures(planes)
-    c_sig = corpus.select(
-        F.col(id_col),
-        F.posexplode(sig(as_double_array(vec_col))).alias("_t", "_b"),
+    for an unrelated query id namespace).
+
+    ``max_bucket_size`` caps hot (table, signature) cells on the
+    corpus side before the equi-join — the SELF-join blow-up guard
+    (see hyperplane_candidate_pairs; a no-quadratic-expansion pin
+    lives in tests/test_ann_recall.py). Default None = exact LSH
+    semantics for the oracle-checked query."""
+    pairs = hyperplane_candidate_pairs(
+        corpus,
+        queries,
+        dim,
+        bits=bits,
+        tables=tables,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        qvec_col=qvec_col,
+        exclude_self=exclude_self,
+        planes=planes,
+        max_bucket_size=max_bucket_size,
     )
-    q_sig = queries.select(
-        F.col(query_id_col),
-        F.posexplode(sig(as_double_array(qvec_col))).alias("_t", "_b"),
-    )
-    pairs = c_sig.join(q_sig, ["_t", "_b"]).select(query_id_col, id_col).distinct()
-    if exclude_self:
-        pairs = pairs.filter(F.col(query_id_col) != F.col(id_col))
     cand = pairs.join(corpus, id_col).join(queries, query_id_col)
     e = as_double_array(vec_col)
     q = as_double_array(qvec_col)

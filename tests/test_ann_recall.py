@@ -415,6 +415,24 @@ def test_knn_join_exact_matches_numpy(spark):
             assert got[(qi, rank)] == j, (qi, rank)
 
 
+def test_knn_join_probes_without_buckets_raises(spark):
+    """ADVICE r12: n_probes > 1 with bucket_bits=None used to be
+    silently ignored (the exact path ran and the recall knob did
+    nothing) — it must raise instead."""
+    import pytest
+
+    from analytics_etl_spark.operators.similarity import knn_join
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    queries = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    with pytest.raises(ValueError, match="bucket_bits"):
+        knn_join(df, queries, k=1, n_probes=2)
+
+
 def test_knn_join_bucketed_is_subset_with_full_rank_contract(spark):
     """Bucketed kNN: every returned neighbor shares the query's sign
     bucket, ranks are dense from 1, and any query whose bucket holds
@@ -617,3 +635,63 @@ def test_knn_graph_recovers_planted_clusters(spark):
     assert all(lb >= 1000 for lb in noise_labels), (
         f"noise leaked into a planted cluster: {noise_labels}"
     )
+
+
+def test_hyperplane_self_join_mega_cell_cap(spark):
+    """The self-join blow-up guard (VERDICT r12 item 1): a
+    template-heavy corpus puts many near-identical vectors in the
+    SAME (table, signature) cell of EVERY table, and an uncapped
+    self-join expands those cells quadratically. With
+    max_bucket_size set, a hot (table, bucket) contributes NO pairs
+    — candidate volume collapses from O(templates^2) to the diverse
+    remainder — while close NON-hot pairs keep colliding through
+    OR-amplification's other tables."""
+    from analytics_etl_spark.operators.similarity import (
+        hyperplane_candidate_pairs,
+    )
+
+    DIM, N_TPL, N_DIV = 16, 200, 30
+    template = [1.0] * DIM
+    rows = [(i, template) for i in range(N_TPL)]
+    # 15 close pairs: ids (1000+2j, 1000+2j+1) share a vector, so each
+    # pair collides in EVERY table's cell — a cell of size ~2, far
+    # below any cap, unless it happens to be the template cell.
+    div_ids = []
+    for j in range(N_DIV // 2):
+        v = [float(((j * 7 + d * 13) % 17) - 8) / 8.0 for d in range(DIM)]
+        rows += [(1000 + 2 * j, v), (1001 + 2 * j, v)]
+        div_ids += [1000 + 2 * j, 1001 + 2 * j]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    self_q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+
+    def pairset(cap):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in hyperplane_candidate_pairs(
+                df, self_q, DIM, bits=6, tables=24, max_bucket_size=cap
+            ).collect()
+        }
+
+    uncapped = pairset(None)
+    # the pathology: every ordered template-template pair is a candidate
+    assert (
+        sum(1 for u, v in uncapped if u < N_TPL and v < N_TPL)
+        == N_TPL * (N_TPL - 1)
+    )
+    capped = pairset(100)
+    assert capped <= uncapped
+    # no pair involving a template survives: every cell holding a
+    # template has >= 200 members > cap, in every table
+    assert not any(u < N_TPL or v < N_TPL for u, v in capped), (
+        sorted(capped)[:5]
+    )
+    # candidate volume is now bounded by the diverse remainder —
+    # the quadratic term is gone
+    assert len(capped) <= len(div_ids) * (len(div_ids) - 1)
+    # recall preserved off the hot path: each close diverse pair still
+    # collides (both directions) via its own small cells
+    for j in range(N_DIV // 2):
+        u, v = 1000 + 2 * j, 1001 + 2 * j
+        assert (u, v) in capped and (v, u) in capped, (u, v)
