@@ -388,16 +388,83 @@ def verify_jaccard(arrays: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_detection_probability(s: float, n_bands: int, rows_per_band: int) -> float:
+    """The LSH S-curve: probability a doc pair with Jaccard ``s`` shares
+    at least one band bucket under (b, r) banding — 1 - (1 - s^r)^b.
+    Pure math (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets
+    ch. 3.4); exposed so the planner and its property tests share one
+    definition."""
+    return 1.0 - (1.0 - s**rows_per_band) ** n_bands
+
+
+def plan_bands(
+    threshold: float,
+    n_perm: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick ``(n_bands, rows_per_band)`` for a target Jaccard
+    ``threshold`` and a signature budget of ``n_perm`` minhashes —
+    the standard S-curve solve real corpora use instead of
+    hand-fixed banding (MMDS ch. 3.4; the same optimization every
+    production MinHash-LSH library performs).
+
+    For each feasible (b, r) with b·r <= n_perm it numerically
+    integrates the two error areas of the detection curve
+    P(s) = 1-(1-s^r)^b — false positives ∫₀^t P(s) ds (pairs BELOW
+    the threshold that still collide → wasted exact-verify work) and
+    false negatives ∫ₜ^1 (1-P(s)) ds (pairs ABOVE it that never
+    collide → lost dedup recall) — and returns the weighted-sum
+    minimizer. Ties break toward the larger band count (more of the
+    budget used; steeper curve). Driver-side pure Python over
+    O(n_perm·divisors) configs — nothing touches Spark.
+
+    The engine's registered defaults are consistent with the
+    planner: plan_bands(0.5, 12) == (4, 3), exactly the
+    (num_hashes=12, rows_per_band=3) banding minhash_lsh_dedup ships
+    and dedup_minhash_lsh is hash-checked with (its verify stage
+    filters at min_jaccard=0.5). Curve properties (monotone
+    detection probability, threshold within one feasible band step,
+    optimality vs an independent integration) are pinned in
+    tests/test_properties.py."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+    grid = 400
+    best: tuple[float, int, int] | None = None
+    for r in range(1, n_perm + 1):
+        for b in range(1, n_perm // r + 1):
+            fp = fn = 0.0
+            # trapezoid over [0, threshold] and [threshold, 1]
+            for i in range(grid + 1):
+                w = 0.5 if i in (0, grid) else 1.0
+                s_lo = threshold * i / grid
+                fp += w * lsh_detection_probability(s_lo, b, r)
+                s_hi = threshold + (1.0 - threshold) * i / grid
+                fn += w * (1.0 - lsh_detection_probability(s_hi, b, r))
+            fp *= threshold / grid
+            fn *= (1.0 - threshold) / grid
+            err = fp_weight * fp + fn_weight * fn
+            # strict '<' with the loop ordering (r asc, b asc) plus the
+            # -b tiebreak keeps selection deterministic
+            if best is None or (err, -b) < (best[0], -best[1]):
+                best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 12,
-    rows_per_band: int = 3,
+    rows_per_band: int | None = 3,
     shingle_n: int = 3,
     min_jaccard: float = 0.0,
     shingles_col: str | None = None,
     max_bucket_size: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates + exact verify.
 
@@ -405,6 +472,14 @@ def minhash_lsh_dedup(
     shingle explode (narrow) → minhash agg (shuffle on doc) → bucket
     join (shuffle on bucket) → exact-Jaccard verify restricted to the
     candidate pairs (never corpus-wide).
+
+    Banding: pass ``threshold`` (with ``rows_per_band=None``) to have
+    ``plan_bands`` solve the S-curve for the target Jaccard — the
+    documented way to pick banding for a new corpus; the explicit
+    ``rows_per_band`` stays for pinned call sites. The shipped
+    defaults agree: plan_bands(0.5, 12) == (4, 3) is exactly
+    (num_hashes=12, rows_per_band=3). Passing both is a contract
+    error (raise-instead-of-silently-prefer, module stance).
 
     ``shingles_col`` names an ALREADY-COMPUTED shingle array column on
     ``docs`` (written at ingest by ``with_shingle_column``): the Arrow
@@ -417,6 +492,22 @@ def minhash_lsh_dedup(
     while array_intersect dedups) — on an already-distinct column the
     extra op is a no-op projection, not a shuffle.
     """
+    if threshold is not None:
+        if rows_per_band is not None:
+            raise ValueError(
+                "pass either threshold (plan_bands solves the banding) "
+                "or rows_per_band (pinned banding), not both — an "
+                "ignored threshold would silently change dedup recall"
+            )
+        n_bands, rows_per_band = plan_bands(threshold, num_hashes)
+        # the planner may use LESS than the budget (fewer bands than
+        # num_hashes//r when extra bands only add false positives) —
+        # shrink the signature to exactly b·r hashes so the banding
+        # executed is the banding planned, and the minhash agg does
+        # no dead work
+        num_hashes = n_bands * rows_per_band
+    elif rows_per_band is None:
+        raise ValueError("one of rows_per_band / threshold is required")
     if shingles_col is not None:
         arrays = docs.select(
             F.col(id_col).alias("doc_id"),

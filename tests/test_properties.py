@@ -676,3 +676,134 @@ def test_knn_join_is_partition_invariant(spark):
             )
         )
         assert base == shuffled and len(base) > 0
+
+
+@given(
+    threshold=st.floats(min_value=0.05, max_value=0.95),
+    n_perm=st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=40, deadline=None)
+def test_plan_bands_scurve_properties(threshold, n_perm):
+    """The band planner's contract (VERDICT r12 item 3), engine-free
+    pure math: (a) the planned config is feasible; (b) the detection
+    curve P(s) = 1-(1-s^r)^b is monotone non-decreasing in s; (c) the
+    curve's midpoint (1/b)^(1/r) lands within ONE BAND STEP of the
+    requested threshold, OR every feasible config whose midpoint is
+    strictly closer pays for it with a WORSE weighted FP/FN error —
+    the planner never drifts from the threshold for free (the area
+    objective legitimately overshoots the midpoint when one error
+    interval dominates, e.g. low thresholds push b up for recall)."""
+    from analytics_etl_spark.operators.dedup import (
+        lsh_detection_probability,
+        plan_bands,
+    )
+
+    b, r = plan_bands(threshold, n_perm)
+    assert 1 <= r <= n_perm and 1 <= b and b * r <= n_perm
+
+    # (b) monotone detection probability over a dense grid
+    probs = [lsh_detection_probability(i / 200, b, r) for i in range(201)]
+    assert all(x <= y + 1e-12 for x, y in zip(probs, probs[1:]))
+    assert probs[0] == 0.0 and probs[-1] == 1.0
+
+    # (c) midpoint within one band step, or drift is bought with error
+    def err(bb, rr, grid=400):
+        fp = fn = 0.0
+        for i in range(grid + 1):
+            w = 0.5 if i in (0, grid) else 1.0
+            fp += w * lsh_detection_probability(threshold * i / grid, bb, rr)
+            fn += w * (
+                1.0
+                - lsh_detection_probability(
+                    threshold + (1.0 - threshold) * i / grid, bb, rr
+                )
+            )
+        return 0.5 * fp * threshold / grid + 0.5 * fn * (1.0 - threshold) / grid
+
+    mid = (1.0 / b) ** (1.0 / r)
+    step = max(
+        abs((1.0 / max(b - 1, 1)) ** (1.0 / r) - mid),
+        abs((1.0 / (b + 1)) ** (1.0 / r) - mid),
+    )
+    if abs(mid - threshold) > step + 1e-12:
+        e_chosen = err(b, r)
+        for r2 in range(1, n_perm + 1):
+            for b2 in range(1, n_perm // r2 + 1):
+                if abs((1.0 / b2) ** (1.0 / r2) - threshold) < abs(mid - threshold):
+                    assert e_chosen <= err(b2, r2) + 1e-9, (b, r, b2, r2)
+
+
+@given(
+    threshold=st.floats(min_value=0.1, max_value=0.9),
+    n_perm=st.integers(min_value=4, max_value=32),
+)
+@settings(max_examples=25, deadline=None)
+def test_plan_bands_minimizes_independent_integration(threshold, n_perm):
+    """Optimality cross-check against an INDEPENDENT error evaluation
+    (Simpson's rule at a different grid): no feasible (b, r) beats the
+    planner's pick by more than numerical tolerance."""
+    from analytics_etl_spark.operators.dedup import (
+        lsh_detection_probability,
+        plan_bands,
+    )
+
+    def simpson(f, lo, hi, n=240):
+        h = (hi - lo) / n
+        s = f(lo) + f(hi)
+        for i in range(1, n):
+            s += f(lo + i * h) * (4 if i % 2 else 2)
+        return s * h / 3
+
+    def err(b, r):
+        fp = simpson(lambda s: lsh_detection_probability(s, b, r), 0.0, threshold)
+        fn = simpson(
+            lambda s: 1.0 - lsh_detection_probability(s, b, r), threshold, 1.0
+        )
+        return 0.5 * fp + 0.5 * fn
+
+    b, r = plan_bands(threshold, n_perm)
+    got = err(b, r)
+    best = min(
+        err(b2, r2)
+        for r2 in range(1, n_perm + 1)
+        for b2 in range(1, n_perm // r2 + 1)
+    )
+    assert got <= best + 1e-6, (b, r, got, best)
+
+
+def test_plan_bands_matches_shipped_defaults_and_threshold_path(spark):
+    """plan_bands(0.5, 12) == (4, 3) — the registered
+    dedup_minhash_lsh banding — and minhash_lsh_dedup's threshold
+    path produces EXACTLY the pinned-parameter result (so the
+    documented default is the hash-checked behavior). Passing both
+    knobs raises."""
+    import pytest
+
+    from analytics_etl_spark.operators.dedup import minhash_lsh_dedup, plan_bands
+
+    assert plan_bands(0.5, 12) == (4, 3)
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    pinned = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_dedup(
+            docs, num_hashes=12, rows_per_band=3, min_jaccard=0.5
+        ).collect()
+    }
+    planned = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_dedup(
+            docs, num_hashes=12, rows_per_band=None, threshold=0.5, min_jaccard=0.5
+        ).collect()
+    }
+    assert planned == pinned
+    with pytest.raises(ValueError, match="not both"):
+        minhash_lsh_dedup(docs, rows_per_band=3, threshold=0.5)
+    with pytest.raises(ValueError):
+        plan_bands(1.5, 12)
+    with pytest.raises(ValueError):
+        plan_bands(0.5, 1)
