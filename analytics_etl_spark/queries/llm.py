@@ -2600,6 +2600,36 @@ def heavy_hitters_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(li, "l_partkey", k=50)
 
 
+# The heavy-hitter family's hash-checked DECISION arm (VERDICT r12
+# item 4, following the dedup_semantic_knn_graph precedent): the MG
+# sketch above answers the one-pass/mergeable/streaming case and is
+# rows-only by construction; THIS query is the exact ground truth the
+# sketch approximates — same input column, same k — so the family's
+# end answer ("which parts are hot") has a fully hash-checked member,
+# and the sketch's error envelope (tests/test_sketches.py) is anchored
+# to an oracle-checked frame. Plan: map-side-combined groupBy count +
+# TakeOrderedAndProject — two keyed exchanges of counter-sized data at
+# any corpus size, no sketch state.
+@query(
+    "heavy_hitters_parts_exact",
+    oracle="""
+    SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY cnt DESC, item
+    LIMIT 50
+    """,
+)
+def heavy_hitters_parts_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(50)
+    )
+
+
 # BPE vocabulary induction — the tokenizer-learning step of the
 # training pipeline, run as a Spark-first iterative operator (see
 # operators/bpe.py: ONE corpus pass for word counts, then every round

@@ -19,22 +19,51 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 197, f"registry count changed: {len(qs)}"
+    assert len(qs) == 199, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
-    # the rows-only set is the approximate/hermetic ops (approx
-    # distinct, approx quantiles, the synthetic REST source, IVF float
-    # means, HLL sketch union, view-hidden file identity, the HLL
-    # table profile, the Misra-Gries heavy-hitter sketch, r7's
-    # iterative BPE merge learner, r9's k-means semantic dedup, r10's
-    # CC-resolved and incremental semantic dedups and the PQ pair —
-    # float-codebook means, the IVF reason). simhash left this set in
-    # r6 — its 60-bit non-negative hashes made the bit ops
-    # engine-portable; BPE gained a hash-checked member in r9
-    # (bpe_apply_tokens); exact greedy packing left in r10 via a
-    # recursive-CTE-over-boundaries oracle.
-    assert len(qs) - len(os_) == 15, (
-        f"rows-only count changed: {len(qs) - len(os_)}"
+    # the rows-only set, pinned BY NAME with its declared reason
+    # category (VERDICT r12 item 4) — the set cannot silently grow,
+    # and each member's registered reason must still claim the
+    # category pinned here. History: simhash left in r6 (non-negative
+    # 60-bit hashes made the bit ops portable); BPE gained
+    # bpe_apply_tokens in r9; exact greedy packing left in r10
+    # (recursive-CTE oracle); semantic dedup gained the hash-checked
+    # dedup_semantic_knn_graph arm in r12; heavy hitters gained the
+    # exact oracle-paired sibling heavy_hitters_parts_exact in r13.
+    ROWS_ONLY_REASONS = {
+        # engine-specific sketch estimates (no cross-engine exact value)
+        "approx_distinct_buyers": "sketch",
+        "approx_distinct_sketch_union": "engine-specific",
+        "table_profile_sketch": "engine-specific",
+        "quantiles_approx": "sketch",
+        # partition/stream-order dependent counters (decision arm:
+        # heavy_hitters_parts_exact, oracle-paired)
+        "heavy_hitters_parts": "partition/stream-order",
+        # iterative fixpoints DuckDB SQL cannot express
+        "bpe_learned_merges": "fixpoint",
+        "doremi_domain_weights": "fixpoint",
+        # k-means float means are not bit-stable across engines
+        # (decision arm: dedup_semantic_knn_graph, oracle-paired)
+        "dedup_semantic": "k-means",
+        "dedup_semantic_cc": "k-means",
+        "dedup_semantic_incremental": "k-means",
+        "similarity_ann_ivf": "centroids are float MEANS",
+        "similarity_ann_ivfpq_persisted": "float-codebook",
+        "similarity_ann_pq": "float MEANS",
+        "similarity_ann_pq_rerank": "float-codebook",
+        # environment-hermetic surfaces DuckDB cannot see
+        "rest_source_scan": "synthetic REST",
+        "source_file_census": "file identity",
+    }
+    rows_only = set(qs) - set(os_)
+    assert rows_only == set(ROWS_ONLY_REASONS), (
+        f"rows-only set changed: +{rows_only - set(ROWS_ONLY_REASONS)} "
+        f"-{set(ROWS_ONLY_REASONS) - rows_only}"
     )
+    for name, category in ROWS_ONLY_REASONS.items():
+        assert category.lower() in (REGISTRY[name].rows_only or "").lower(), (
+            f"{name}: declared reason no longer claims '{category}'"
+        )
 
 
 def test_driver_window_is_curated_and_pinned():
