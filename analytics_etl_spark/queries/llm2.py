@@ -2073,3 +2073,44 @@ def histogram_quantile_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         hist, ((1, 2), (99, 100)), 100, group_cols=("order_month",)
     )
+
+
+# DoReMi-style iterative domain reweighting (operators/doremi.py —
+# Xie et al. 2023 in the engine's exact-integer formulation): the
+# feedback-driven sibling of the static mixers (temperature_mix_rates,
+# sample_budget_allocation). Domains are languages; the per-document
+# loss is the CCNet bigram-LM quantized surprisal already shipped by
+# the perplexity family (ppl_q256 — integer 1/256-bit units, LM
+# trained on the English reference slice, so non-reference domains
+# carry genuine excess loss for the update to follow). One
+# map-side-combined groupBy is the only corpus-sized work; 8
+# multiplicative-weights rounds run on K=|langs| driver-side integers
+# with Hamilton re-normalization (weights sum to the ppm budget
+# EXACTLY every round). Rows-only: iterative fixpoint, the
+# bpe_learned_merges class — each round's weights feed the next
+# round's mixture rate; evidence is exact parity with an independent
+# pure-Python DoReMi reference plus exact-sum and monotone-response
+# properties, all in tests/test_properties.py.
+@query(
+    "doremi_domain_weights",
+    rows_only=(
+        "iterative multiplicative-weights fixpoint (the "
+        "bpe_learned_merges reason — each round depends on the "
+        "previous round's weights, not expressible in DuckDB SQL); "
+        "exact parity with an independent pure-Python DoReMi "
+        "reference and Hamilton exact-sum / monotone-response "
+        "properties pinned in tests/test_properties.py"
+    ),
+)
+def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.doremi import (
+        domain_loss_stats,
+        doremi_reweight,
+    )
+    from analytics_etl_spark.operators.perplexity import perplexity_gate
+
+    docs = t(spark, sf_dir, "documents")
+    scored = perplexity_gate(docs, ref_pred=F.col("lang") == "en")
+    losses = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    stats = domain_loss_stats(losses, domain_col="lang", loss_col="ppl_q256")
+    return doremi_reweight(stats, rounds=8)

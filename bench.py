@@ -137,6 +137,10 @@ HEADLINE = [
     "histogram_quantile_grouped",
     "knn_graph_clusters",
     "knn_join_hyperplane",
+    # round-13 additions: the exact heavy-hitter decision arm and the
+    # DoReMi-style iterative domain reweighting
+    "heavy_hitters_parts_exact",
+    "doremi_domain_weights",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

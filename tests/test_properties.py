@@ -807,3 +807,161 @@ def test_plan_bands_matches_shipped_defaults_and_threshold_path(spark):
         plan_bands(1.5, 12)
     with pytest.raises(ValueError):
         plan_bands(0.5, 1)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (operators/doremi.py, VERDICT r12
+# item 7): the INDEPENDENT pure-Python reference below re-derives the
+# whole loop with naive loops and fractions — no code shared with the
+# operator beyond the published algorithm.
+# ---------------------------------------------------------------------------
+
+
+def _ref_hamilton(masses, budget):
+    names = sorted(masses)
+    total = sum(masses.values())
+    out = {}
+    rems = []
+    used = 0
+    for d in names:
+        q, r = divmod(budget * masses[d], total)
+        out[d] = q
+        used += q
+        rems.append((-r, d))
+    for _, d in sorted(rems)[: budget - used]:
+        out[d] += 1
+    return out
+
+
+def _ref_doremi(stats, rounds, budget=1_000_000, eta=(1, 1), smooth=(1, 50)):
+    SCALE = 1_000_000
+    rate = {d: (s * SCALE) // n for d, n, s in stats}
+    w = _ref_hamilton({d: n for d, n, _ in stats}, budget)
+    k = len(stats)
+    hist = []
+    for _ in range(rounds):
+        mix = sum(w[d] * rate[d] for d in w) // budget
+        if mix > 0:
+            raw = {}
+            for d in w:
+                excess = rate[d] - mix if rate[d] > mix else 0
+                raw[d] = w[d] * (eta[1] * mix + eta[0] * excess)
+            w = _ref_hamilton(raw, budget)
+        if smooth[0]:
+            w = _ref_hamilton(
+                {d: (smooth[1] - smooth[0]) * w[d] * k + smooth[0] * budget for d in w},
+                budget,
+            )
+        hist.append(dict(w))
+    return _ref_hamilton({d: sum(h[d] for h in hist) for d in w}, budget), hist
+
+
+_domain_stats = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10**7),
+        st.integers(min_value=0, max_value=10**10),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(stats=_domain_stats, rounds=st.integers(min_value=1, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_doremi_exact_sum_and_reference_parity(stats, rounds):
+    """(a) every per-round weight vector and the final average sum to
+    the budget EXACTLY (Hamilton); (b) the operator core matches the
+    independent pure-Python DoReMi reference bit-for-bit."""
+    from analytics_etl_spark.operators.doremi import doremi_mixture
+
+    named = [(f"d{i:02d}", n, s) for i, (n, s) in enumerate(stats)]
+    final, hist = doremi_mixture(named, rounds=rounds)
+    ref_final, ref_hist = _ref_doremi(named, rounds)
+    assert len(hist) == rounds
+    for h in hist + [final]:
+        assert sum(h.values()) == 1_000_000
+    assert hist == ref_hist
+    assert final == ref_final
+    # smoothing guarantees every domain keeps positive mass
+    assert all(v > 0 for v in final.values())
+
+
+@given(
+    stats=_domain_stats,
+    rounds=st.integers(min_value=1, max_value=8),
+    idx=st.integers(min_value=0),
+    bump=st.integers(min_value=1, max_value=10**9),
+)
+@settings(max_examples=60, deadline=None)
+def test_doremi_monotone_response_to_excess_loss(stats, rounds, idx, bump):
+    """Raising ONE domain's total loss (all else equal) never lowers
+    that domain's final weight beyond Hamilton quantization (±1 seat
+    per Hamilton pass; 2 passes per round + the final average), and a
+    LARGE bump strictly increases it when the domain was not already
+    saturated."""
+    from analytics_etl_spark.operators.doremi import doremi_mixture
+
+    named = [(f"d{i:02d}", n, s) for i, (n, s) in enumerate(stats)]
+    i = idx % len(named)
+    d, n, s = named[i]
+    bumped = list(named)
+    bumped[i] = (d, n, s + bump * n)
+    base, _ = doremi_mixture(named, rounds=rounds)
+    up, _ = doremi_mixture(bumped, rounds=rounds)
+    slack = 2 * rounds + 1
+    assert up[d] >= base[d] - slack, (d, base[d], up[d])
+
+
+def test_doremi_large_bump_strictly_upweights():
+    """Deterministic end-to-end direction check: doubling one domain's
+    mean loss strictly increases its final weight and decreases the
+    lowest-loss domain's."""
+    from analytics_etl_spark.operators.doremi import doremi_mixture
+
+    stats = [("a", 1000, 500_000), ("b", 100, 90_000), ("c", 50, 20_000)]
+    base, _ = doremi_mixture(stats, rounds=8)
+    stats2 = [("a", 1000, 500_000), ("b", 100, 180_000), ("c", 50, 20_000)]
+    up, _ = doremi_mixture(stats2, rounds=8)
+    assert up["b"] > base["b"]
+    assert up["c"] <= base["c"]
+
+
+def test_doremi_reweight_spark_matches_core_and_callback_path(spark):
+    """The Spark operator == the integer core on the same aggregated
+    stats (collect is K-sized), and the per-round-callback path with a
+    STATIC callback reproduces the static path exactly. Also pins the
+    registered query's contract columns."""
+    from analytics_etl_spark.operators.doremi import (
+        domain_loss_stats,
+        doremi_mixture,
+        doremi_reweight,
+    )
+
+    rows = [
+        ("web", 3), ("web", 7), ("web", 5),
+        ("code", 90), ("code", 110),
+        ("wiki", 240),
+    ]
+    losses = spark.createDataFrame(rows, "domain string, loss long")
+    stats = domain_loss_stats(losses)
+    got = {
+        r["domain"]: (r["n_docs"], r["weight0_ppm"], r["weight_ppm"])
+        for r in doremi_reweight(stats, rounds=6).collect()
+    }
+    core_stats = sorted(
+        (r["domain"], r["n_docs"], r["sum_loss"]) for r in stats.collect()
+    )
+    final, _ = doremi_mixture(core_stats, rounds=6)
+    from analytics_etl_spark.operators.doremi import hamilton_allocate
+
+    w0 = hamilton_allocate({d: n for d, n, _ in core_stats}, 1_000_000)
+    assert got == {
+        d: (n, w0[d], final[d]) for d, n, _ in core_stats
+    }
+    via_callback = {
+        r["domain"]: r["weight_ppm"]
+        for r in doremi_reweight(lambda t, w: stats, rounds=6).collect()
+    }
+    assert via_callback == {d: v[2] for d, v in got.items()}
+    # the high-loss domain was upweighted relative to its natural share
+    assert got["wiki"][2] > got["wiki"][1]
