@@ -860,11 +860,14 @@ def main() -> None:
     _CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
     noise_floor = {
         "controls": {c: timings[c] for c in _CONTROLS if c in timings},
+        # r12's BINDING quiet-host battery (ROUND12.md §11b, load 0.13)
+        # — the adopted control reference; the driver's loaded-host
+        # re-run (155.1 s, load 6.8->16.1) is NOT the baseline
         "controls_prev_round": {
-            "round": 10,
-            "dedup_exact": 0.286,
-            "dataset_split": 0.147,
-            "corpus_checksum": 0.166,
+            "round": 12,
+            "dedup_exact": 0.223,
+            "dataset_split": 0.173,
+            "corpus_checksum": 0.143,
         },
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],

@@ -313,3 +313,58 @@ def test_hot_key_split_join_equals_plain_join(spark):
     assert sorted(map(tuple, none_hot.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_scale_rehearsal_build_is_seed_stamped_and_decorrelated(spark, tmp_path):
+    """The 10x rehearsal's scratch builder (tools/scale_rehearsal.py):
+    id-shifted copies with a per-copy seed stamp — no duplicate ids,
+    no exact-duplicate texts across copies, embeddings rolled (same
+    multiset of values per vector, different direction), and the
+    at-scale plan checks hold on the generated layout."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_rehearsal as sr
+
+    scratch = str(tmp_path / "x")
+    old_sf1, old_copies = sr.SF1, sr.COPIES
+    sr.SF1, sr.COPIES = "/root/testdata/sf0.001", 3
+    try:
+        sr.build(scratch)
+        docs = spark.read.parquet(f"{scratch}/documents.parquet")
+        base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        nb = base.count()
+        assert docs.count() == 3 * nb
+        assert docs.select("doc_id").distinct().count() == 3 * nb
+        # the seed stamp makes each doc's copies pairwise non-identical
+        # and keeps the original text as the stamped suffix
+        trio = {
+            r["doc_id"]: r["text"]
+            for r in docs.filter(F.col("doc_id") % sr.SHIFT < 3).collect()
+        }
+        orig = {r["doc_id"]: r["text"] for r in base.filter(F.col("doc_id") < 3).collect()}
+        for i in orig:
+            texts = [trio[i + k * sr.SHIFT] for k in range(3)]
+            assert len(set(texts)) == 3, i
+            assert all(t.endswith(orig[i]) for t in texts), i
+        emb = spark.read.parquet(f"{scratch}/embeddings.parquet")
+        eb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        assert emb.count() == 3 * eb.count()
+        # rolled copies: same sorted values, different vectors
+        v0 = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id") < 3).collect()}
+        v1 = {
+            r["vec_id"] - sr.SHIFT: r["embedding"]
+            for r in emb.filter(
+                (F.col("vec_id") >= sr.SHIFT) & (F.col("vec_id") < sr.SHIFT + 3)
+            ).collect()
+        }
+        for vid, vec in v0.items():
+            assert sorted(vec) == sorted(v1[vid])
+            assert vec != v1[vid]
+        checks = sr.assert_plans(spark, scratch)
+        # *_info entries are scale-dependent observations (SMJ shows
+        # up at corpus-sized both sides; AQE broadcasts at this tiny
+        # SF) — the binding invariants are the non-info keys
+        assert all(v for k, v in checks.items() if not k.endswith("_info")), checks
+    finally:
+        sr.SF1, sr.COPIES = old_sf1, old_copies
