@@ -748,6 +748,7 @@ def knn_join(
     bucket_bits: int | None = None,
     exclude_self: bool = True,
     n_probes: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor JOIN: top-k cosine neighbors for EVERY row
     of ``queries`` at once — the set-valued sibling of
@@ -786,6 +787,20 @@ def knn_join(
     exclude_self=False: a coincidental id collision would silently
     drop a legitimate corpus neighbor (ADVICE r11).
 
+    ``max_bucket_size`` (bucketed forms only) is the hot-bucket
+    blow-up guard — the same trade the hyperplane arm and
+    lsh_candidate_pairs carry (r13): a template-heavy corpus puts
+    10^5+ near-identical vectors in ONE sign bucket, and a self-join
+    expands it quadratically. Sign buckets whose CORPUS membership
+    exceeds the cap contribute no candidates (their members are
+    near-duplicate templates better handled by exact/MinHash dedup
+    upstream); the census is a map-side-combined groupBy on the join
+    key and the hot list is structurally <= 2^bucket_bits rows, so
+    the broadcast anti-join is always driver-safe. Default None keeps
+    exact LSH semantics for the oracle-checked queries. Exact form +
+    cap raises (nothing to cap — the raise-instead-of-silently-
+    misbehave stance).
+
     Ranking is a per-query window (row_number over score DESC, id ASC
     — total order, tie-stable in any engine); a query whose bucket
     holds fewer than k candidates returns what exists, and a query
@@ -806,6 +821,12 @@ def knn_join(
                 "(query, corpus) pair, so probing is meaningless — "
                 "pass bucket_bits for the multiprobe LSH form"
             )
+        if max_bucket_size is not None:
+            raise ValueError(
+                "max_bucket_size requires bucket_bits: the exact "
+                "(bucket_bits=None) path has no buckets to cap — "
+                "pass bucket_bits for the LSH form"
+            )
         cand = corpus.crossJoin(F.broadcast(queries))
     else:
         if n_probes > 1:
@@ -819,9 +840,16 @@ def knn_join(
             probed = queries.withColumn(
                 "__qb", sign_bucket(qvec_col, bucket_bits)
             )
-        cand = corpus.withColumn("__cb", sign_bucket(vec_col, bucket_bits)).join(
-            probed, F.col("__cb") == F.col("__qb")
-        )
+        bucketed = corpus.withColumn("__cb", sign_bucket(vec_col, bucket_bits))
+        if max_bucket_size is not None:
+            hot = (
+                bucketed.groupBy("__cb")
+                .count()
+                .filter(F.col("count") > max_bucket_size)
+                .select("__cb")
+            )
+            bucketed = bucketed.join(F.broadcast(hot), ["__cb"], "left_anti")
+        cand = bucketed.join(probed, F.col("__cb") == F.col("__qb"))
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -695,3 +695,48 @@ def test_hyperplane_self_join_mega_cell_cap(spark):
     for j in range(N_DIV // 2):
         u, v = 1000 + 2 * j, 1001 + 2 * j
         assert (u, v) in capped and (v, u) in capped, (u, v)
+
+
+def test_knn_join_bucketed_mega_bucket_cap(spark):
+    """The sign-bucket arm's hot-bucket guard (symmetry with the
+    hyperplane arm's r13 cap): a template-heavy corpus concentrates in
+    ONE sign bucket; with max_bucket_size set that bucket contributes
+    no candidates while non-hot buckets are untouched, and the exact
+    form rejects the knob (nothing to cap)."""
+    import pytest
+
+    from analytics_etl_spark.operators.similarity import knn_join
+
+    DIM, N_TPL = 16, 150
+    template = [1.0] * DIM
+    rows = [(i, template) for i in range(N_TPL)]
+    # diverse pairs in their own (small) buckets
+    for j in range(10):
+        v = [float(((j * 5 + d * 11) % 13) - 6) / 6.0 for d in range(DIM)]
+        rows += [(1000 + 2 * j, v), (1001 + 2 * j, v)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    self_q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    uncapped = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(df, self_q, k=3, bucket_bits=8).collect()
+    }
+    assert any(u < N_TPL and v < N_TPL for u, v in uncapped)
+    capped = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_join(
+            df, self_q, k=3, bucket_bits=8, max_bucket_size=100
+        ).collect()
+    }
+    # no candidate ever comes from the hot template bucket
+    assert not any(v < N_TPL for _, v in capped), sorted(capped)[:5]
+    # non-hot pairs keep their neighbors (each diverse pair still finds
+    # its identical twin at rank 1 if they share a bucket)
+    diverse_uncapped = {(u, v) for u, v in uncapped if u >= 1000 and v >= 1000}
+    diverse_capped = {(u, v) for u, v in capped if u >= 1000}
+    assert diverse_uncapped <= diverse_capped | {
+        (u, v) for u, v in diverse_uncapped if v < 1000
+    }
+    with pytest.raises(ValueError, match="bucket_bits"):
+        knn_join(df, self_q, k=3, max_bucket_size=100)
