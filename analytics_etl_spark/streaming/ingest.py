@@ -846,6 +846,66 @@ def merge_histogram_batch(
     )
 
 
+def merge_domain_stats_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    stats_path: str,
+    domain_col: str = "domain",
+    loss_col: str = "loss",
+) -> None:
+    """foreachBatch maintenance of the DoReMi domain-stats table
+    (operators/doremi.py) — (domain, n_docs, sum_loss), K rows total.
+    With this table maintained at ingest, the reweighting loop never
+    rescans the corpus: ``doremi_reweight(spark.read.parquet(path))``
+    reads K rows, and the whole mixture optimization becomes
+    driver-side integer arithmetic on an always-current table.
+
+    Merge contract (the CMS/histogram stance, stated not accidental):
+    domain-keyed int64 SUM is LOSSLESS (incremental == one-shot
+    recompute) but NOT idempotent, so this runs under exactly-once
+    foreachBatch semantics with the streaming checkpoint as the epoch
+    ledger."""
+    import pyspark.sql.functions as F
+
+    from analytics_etl_spark.operators.doremi import domain_loss_stats
+
+    fresh = domain_loss_stats(batch_df, domain_col=domain_col, loss_col=loss_col)
+    _merge_swap_table(
+        batch_df.sparkSession,
+        stats_path,
+        fresh,
+        lambda stored: stored.unionByName(fresh)
+        .groupBy("domain")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_loss").cast("bigint").alias("sum_loss"),
+        ),
+    )
+
+
+def streaming_domain_stats_maintenance(
+    docs_stream: DataFrame,
+    stats_path: str,
+    checkpoint: str,
+    domain_col: str = "domain",
+    loss_col: str = "loss",
+):
+    """Wire merge_domain_stats_batch into a streaming writer (caller
+    .start()s it) — an always-current K-row domain-stats table; the
+    DoReMi loop reads it instead of rescanning the corpus."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_domain_stats_batch(
+            batch_df, epoch_id, stats_path, domain_col, loss_col
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def streaming_histogram_maintenance(
     events_stream: DataFrame,
     hist_path: str,

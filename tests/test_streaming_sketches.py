@@ -466,3 +466,35 @@ def test_grouped_histogram_maintenance_equals_batch(spark, tmp_path):
         )
     )
     assert len(q_stored) > 0
+
+
+def test_domain_stats_maintenance_equals_batch_and_feeds_doremi(spark, tmp_path):
+    """The DoReMi domain-stats table maintains losslessly: per-domain
+    (n_docs, sum_loss) merged over micro-batches equals the one-shot
+    aggregation (int64 SUM; exactly-once stance declared at the
+    merge), and doremi_reweight over the MAINTAINED table equals the
+    reweighting over the one-shot stats — the loop never rescans the
+    corpus."""
+    from analytics_etl_spark.operators.doremi import (
+        domain_loss_stats,
+        doremi_reweight,
+    )
+    from analytics_etl_spark.streaming.ingest import merge_domain_stats_batch
+
+    rows = [(i, ["web", "code", "wiki"][i % 3], (i * 37) % 900) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, loss long")
+    path = str(tmp_path / "dstats")
+    for epoch in range(3):
+        merge_domain_stats_batch(
+            docs.filter(F.col("doc_id") % 3 == epoch), epoch, path
+        )
+    got = sorted(map(tuple, spark.read.parquet(path).collect()))
+    want = sorted(map(tuple, domain_loss_stats(docs).collect()))
+    assert got == want and len(got) == 3
+    w_maintained = sorted(
+        map(tuple, doremi_reweight(spark.read.parquet(path), rounds=5).collect())
+    )
+    w_oneshot = sorted(
+        map(tuple, doremi_reweight(domain_loss_stats(docs), rounds=5).collect())
+    )
+    assert w_maintained == w_oneshot
