@@ -749,6 +749,7 @@ def knn_join(
     exclude_self: bool = True,
     n_probes: int = 1,
     max_bucket_size: int | None = None,
+    anti_affinity: tuple[str, str] | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor JOIN: top-k cosine neighbors for EVERY row
     of ``queries`` at once — the set-valued sibling of
@@ -801,12 +802,27 @@ def knn_join(
     cap raises (nothing to cap — the raise-instead-of-silently-
     misbehave stance).
 
+    ``anti_affinity=(corpus_col, query_col)`` drops candidates whose
+    two columns MATCH (null-safe: NULL == NULL counts as a match) —
+    the HARD-NEGATIVE MINING contract (retrieval training: nearest
+    neighbors from a DIFFERENT source/group than the query, so the
+    rank is computed over eligible negatives only, not post-filtered
+    with gaps). Both frames must carry their column; the names must
+    differ (the raise-instead-of-silently-misbehave stance — a shared
+    name would be ambiguous after the join). Filtering happens BEFORE
+    the ranking window, exactly like exclude_self.
+
     Ranking is a per-query window (row_number over score DESC, id ASC
     — total order, tie-stable in any engine); a query whose bucket
     holds fewer than k candidates returns what exists, and a query
     with an empty candidate set returns no rows (both documented
     DuckDB-replayable outcomes). Output:
     (query_id, vec_id, rank int, score double)."""
+    if anti_affinity is not None and anti_affinity[0] == anti_affinity[1]:
+        raise ValueError(
+            "anti_affinity columns must have DISTINCT names on the two "
+            f"frames (got {anti_affinity!r}) — alias one side"
+        )
     e = as_double_array(vec_col)
     q = as_double_array(qvec_col)
     if bucket_bits is None:
@@ -850,6 +866,9 @@ def knn_join(
             )
             bucketed = bucketed.join(F.broadcast(hot), ["__cb"], "left_anti")
         cand = bucketed.join(probed, F.col("__cb") == F.col("__qb"))
+    if anti_affinity is not None:
+        c_col, q_col = anti_affinity
+        cand = cand.filter(~F.col(c_col).eqNullSafe(F.col(q_col)))
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),

@@ -2114,3 +2114,65 @@ def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     losses = scored.join(docs.select("doc_id", "lang"), "doc_id")
     stats = domain_loss_stats(losses, domain_col="lang", loss_col="ppl_q256")
     return doremi_reweight(stats, rounds=8)
+
+
+# Hard-negative mining — the kNN join family's retrieval-training use
+# case (DPR/Contriever-style: for each query, the nearest neighbors
+# from a DIFFERENT source than the query's own are the informative
+# negatives; same-source neighbors are likely positives/duplicates).
+# Composition: embeddings enriched with the documents table's source,
+# exact kNN join with the anti_affinity contract — the same-source
+# exclusion runs BEFORE the ranking window, so ranks are dense over
+# eligible negatives (a post-filter would leave gaps and short lists).
+# Fully hash-checked: the source join is a keyed equi-join in both
+# engines, the exclusion is IS DISTINCT FROM, scoring is the exact
+# cosine. Scale: the anti-affinity filter rides the candidate frame of
+# whichever arm generates it — here the contract-gated exact arm (50
+# bounded queries); at corpus scale the same knob composes with the
+# bucketed/multiprobe/hyperplane arms unchanged.
+@query(
+    "knn_hard_negatives",
+    oracle=f"""
+    WITH {_KNN_E_CTE},
+    {_KNN_Q_CTE},
+    s AS (
+      SELECT q.query_id, e.vec_id, {_COS_SQL} AS score
+      FROM e, documents de, q, documents dq
+      WHERE e.vec_id = de.doc_id AND q.query_id = dq.doc_id
+        AND de.source IS DISTINCT FROM dq.source
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, CAST(rn AS INT) AS hn_rank, score
+    FROM r WHERE rn <= 5
+    """,
+)
+def knn_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.similarity import knn_join
+    from analytics_etl_spark.queries.llm import _EMB_DIM
+
+    emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    src = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), F.col("source").alias("src")
+    )
+    corpus = emb.join(src, "vec_id")
+    queries = corpus.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("src").alias("qsrc"),
+    )
+    # exclude_self=False: a query's own row shares its source, so the
+    # anti-affinity contract already removes it
+    out = knn_join(
+        corpus,
+        queries,
+        k=5,
+        exclude_self=False,
+        anti_affinity=("src", "qsrc"),
+    )
+    return out.select(
+        "query_id", "vec_id", F.col("rank").alias("hn_rank"), "score"
+    )

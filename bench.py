@@ -141,6 +141,7 @@ HEADLINE = [
     # DoReMi-style iterative domain reweighting
     "heavy_hitters_parts_exact",
     "doremi_domain_weights",
+    "knn_hard_negatives",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -740,3 +740,45 @@ def test_knn_join_bucketed_mega_bucket_cap(spark):
     }
     with pytest.raises(ValueError, match="bucket_bits"):
         knn_join(df, self_q, k=3, max_bucket_size=100)
+
+
+def test_knn_join_anti_affinity_contract(spark):
+    """Hard-negative mining knob: candidates whose affinity columns
+    match (null-safe) never appear, ranks stay dense over the
+    ELIGIBLE set, NULL-vs-NULL counts as a match (dropped), and a
+    shared column name raises."""
+    import pytest
+
+    from analytics_etl_spark.operators.similarity import knn_join
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], "a"),   # same group as 0 — must never be 0's neighbor
+        (2, [0.8, 0.2], "b"),
+        (3, [0.7, 0.3], None),
+        (4, [0.6, 0.4], None),  # NULL group: matches other NULLs, dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, src string")
+    q = df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("src").alias("qsrc"),
+    )
+    out = knn_join(
+        df, q, k=4, exclude_self=False, anti_affinity=("src", "qsrc")
+    ).collect()
+    src = {r[0]: r[2] for r in rows}
+    by_q = {}
+    for r in out:
+        # null-safe: neither same group nor both-NULL ever collide
+        assert not (src[r["query_id"]] == src[r["vec_id"]]), r
+        assert not (src[r["query_id"]] is None and src[r["vec_id"]] is None), r
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+    # query 0 ('a') has eligible negatives {2, 3, 4} — exactly 3 rows
+    assert len(by_q[0]) == 3
+    # NULL-group query 3 can see a/b but not 4
+    assert len(by_q[3]) == 3 and all(r["vec_id"] != 4 for r in out if r["query_id"] == 3)
+    with pytest.raises(ValueError, match="DISTINCT names"):
+        knn_join(df, q.withColumnRenamed("qsrc", "src"), k=2, anti_affinity=("src", "src"))
