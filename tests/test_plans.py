@@ -301,3 +301,16 @@ def test_nb_classifier_consts_broadcast_no_cartesian(spark):
     assert "CartesianProduct" not in tree
     for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert node not in tree
+
+
+def test_heavy_hitters_exact_is_partial_agg_plus_take_ordered(spark):
+    """The exact heavy-hitter decision arm (r13): map-side-combined
+    count (HashAggregate appears in partial AND final mode — one keyed
+    exchange of counter-sized data) feeding TakeOrderedAndProject, no
+    global sort, one shuffle total."""
+    plan = plan_of(spark, "heavy_hitters_parts_exact")
+    assert "TakeOrderedAndProject" in plan
+    tree = tree_of(plan)
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "Sort " not in tree  # top-k must not globally sort
+    assert "HashAggregate" in plan
