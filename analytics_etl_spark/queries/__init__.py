@@ -74,46 +74,46 @@ FIXED_CORE: tuple[str, ...] = (
 # from the r8 cohort. Every r11 window member rotates out with a
 # fresh green row standing (CORRECTNESS_r11.json: 50/50).
 ROTATION: tuple[str, ...] = (
-    "dedup_semantic_knn_graph",
-    "histogram_quantile_grouped",
-    "knn_graph_clusters",
-    "knn_join_hyperplane",
-    "knn_join_multiprobe",
-    "revenue_anomaly_days",
-    "revenue_pareto",
-    "revenue_ytd",
-    "sales_etl_chain",
-    "sample_budget_allocation",
-    "scd2_customer_status_history",
-    "session_window_agg",
-    "array_functions_pack",
-    "avg_stats_per_nation",
-    "cohort_retention",
-    "conditional_pack",
-    "copurchase_triangles",
-    "date_arithmetic_pack",
-    "dedup_bloom_prescreen",
-    "dedup_simhash",
-    "dedup_substring_stride",
-    "distinct_customers",
-    "dsir_importance_topk",
-    "gap_fill_locf",
-    "hourly_histogram",
-    "ingest_novelty_score",
-    "interval_overlap_events",
-    "map_event_type_counts",
-    "math_functions_pack",
-    "multimodal_byte_histogram",
-    "packed_examples",
-    "priority_share_per_nation",
-    "quality_percentile_gate",
-    "set_except_customers",
-    "set_intersect_customers",
-    "shipmode_priority_counts",
-    "similarity_topk_rerank",
-    "skew_key_census",
-    "sliding_window_agg",
-    "small_quantity_revenue",
+    "heavy_hitters_parts_exact",  # last driver row: never
+    "knn_hard_negatives",  # last driver row: never
+    "sole_late_supplier",  # last driver row: r8
+    "supplier_pagerank",  # last driver row: r8
+    "table_diff_reconciliation",  # last driver row: r8
+    "table_profile_orders",  # last driver row: r8
+    "temperature_mix_rates",  # last driver row: r8
+    "text_search_bm25",  # last driver row: r8
+    "text_search_conjunctive",  # last driver row: r8
+    "text_search_phrase",  # last driver row: r8
+    "text_tfidf_topterms",  # last driver row: r8
+    "top_supplier_revenue",  # last driver row: r8
+    "value_twap",  # last driver row: r8
+    "wealthy_inactive_customers",  # last driver row: r8
+    "anti_join_inactive_customers",  # last driver row: r9
+    "asof_join_last_click",  # last driver row: r9
+    "benchmark_contamination",  # last driver row: r9
+    "broadcast_join_enrich",  # last driver row: r9
+    "cents_to_dollars",  # last driver row: r9
+    "corpus_build_pipeline",  # last driver row: r9
+    "corpus_filter_pipeline",  # last driver row: r9
+    "corpus_frequency_score",  # last driver row: r9
+    "cube_counts",  # last driver row: r9
+    "dataset_split",  # last driver row: r9
+    "dedup_cluster_canonical",  # last driver row: r9
+    "dedup_embedding_cosine",  # last driver row: r9
+    "dedup_exact",  # last driver row: r9
+    "dedup_incremental_batch",  # last driver row: r9
+    "dedup_ngram_jaccard",  # last driver row: r9
+    "dim_scan",  # last driver row: r9
+    "doc_fingerprint_winnow",  # last driver row: r9
+    "docs_balanced_topn",  # last driver row: r9
+    "docs_chunked_overlap",  # last driver row: r9
+    "docs_stats_by_lang",  # last driver row: r9
+    "docs_stratified_sample",  # last driver row: r9
+    "embedding_centroids",  # last driver row: r9
+    "embedding_norms",  # last driver row: r9
+    "funnel_conversion",  # last driver row: r9
+    "grouping_sets_revenue",  # last driver row: r9
+    "pricing_summary",  # last driver row: r9
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
