@@ -47,11 +47,20 @@ from pyspark.sql import DataFrame
 SCALE = 1_000_000
 
 
+def _dkey(d):
+    """Total order over domain labels INCLUDING None (hostile-data
+    lesson, r13: a NULL lang/source is a real domain bucket in crawl
+    data — None sorts first, everything else by value)."""
+    return (d is not None, d if d is not None else "")
+
+
 def hamilton_allocate(masses: dict[str, int], budget: int) -> dict[str, int]:
     """Largest-remainder (Hamilton) apportionment of ``budget`` seats
     proportional to non-negative integer ``masses`` — exact integer
-    arithmetic, remainder ties broken by domain name ascending (a
-    total order, so the allocation hash-matches anywhere). The same
+    arithmetic, remainder ties broken by domain name ascending with
+    None FIRST (a total order over labels including the NULL domain
+    crawl data really contains, so the allocation hash-matches
+    anywhere). The same
     method sample_budget_allocation ships SQL-side; this is the
     driver-side form the reweighting loop uses on K-sized state."""
     if not masses:
@@ -63,7 +72,9 @@ def hamilton_allocate(masses: dict[str, int], budget: int) -> dict[str, int]:
         raise ValueError("zero total mass")
     floor = {d: budget * m // total for d, m in masses.items()}
     leftover = budget - sum(floor.values())
-    order = sorted(masses, key=lambda d: (-(budget * masses[d] % total), d))
+    order = sorted(
+        masses, key=lambda d: (-(budget * masses[d] % total), _dkey(d))
+    )
     for d in order[:leftover]:
         floor[d] += 1
     return floor
@@ -211,7 +222,8 @@ def doremi_reweight(
     spark = first.sparkSession
     n_by_d = {d: n for d, n, _ in first_rows}
     out = [
-        (d, int(n_by_d[d]), int(w0[d]), int(final[d])) for d in sorted(final)
+        (d, int(n_by_d[d]), int(w0[d]), int(final[d]))
+        for d in sorted(final, key=_dkey)
     ]
     return spark.createDataFrame(
         out,

@@ -818,7 +818,7 @@ def test_plan_bands_matches_shipped_defaults_and_threshold_path(spark):
 
 
 def _ref_hamilton(masses, budget):
-    names = sorted(masses)
+    names = sorted(masses, key=lambda d: (d is not None, d or ""))
     total = sum(masses.values())
     out = {}
     rems = []
@@ -827,8 +827,8 @@ def _ref_hamilton(masses, budget):
         q, r = divmod(budget * masses[d], total)
         out[d] = q
         used += q
-        rems.append((-r, d))
-    for _, d in sorted(rems)[: budget - used]:
+        rems.append((-r, (d is not None, d or ""), d))
+    for _, _, d in sorted(rems)[: budget - used]:
         out[d] += 1
     return out
 
@@ -965,3 +965,30 @@ def test_doremi_reweight_spark_matches_core_and_callback_path(spark):
     assert via_callback == {d: v[2] for d, v in got.items()}
     # the high-loss domain was upweighted relative to its natural share
     assert got["wiki"][2] > got["wiki"][1]
+
+
+def test_doremi_null_domain_is_first_class(spark):
+    """Hostile-data lesson (r13 hostile sweep caught this live): a
+    NULL lang/source is a REAL domain bucket in crawl data — the
+    reweighting must treat it as its own domain, not crash sorting
+    str against None. Exact-sum holds, the None row survives to the
+    output, and the core matches the reference with a None label."""
+    from analytics_etl_spark.operators.doremi import (
+        domain_loss_stats,
+        doremi_mixture,
+        doremi_reweight,
+    )
+
+    stats = [(None, 40, 90_000), ("en", 100, 50_000), ("zh", 20, 30_000)]
+    final, hist = doremi_mixture(stats, rounds=6)
+    assert sum(final.values()) == 1_000_000
+    ref_final, ref_hist = _ref_doremi(stats, 6)
+    assert final == ref_final and hist == ref_hist
+
+    rows = [(0, None, 900), (1, None, 800), (2, "en", 100), (3, "zh", 500)]
+    losses = spark.createDataFrame(rows, "doc_id long, domain string, loss long")
+    out = doremi_reweight(domain_loss_stats(losses), rounds=4).collect()
+    assert len(out) == 3
+    assert sum(r["weight_ppm"] for r in out) == 1_000_000
+    null_row = [r for r in out if r["domain"] is None]
+    assert len(null_row) == 1 and null_row[0]["n_docs"] == 2
