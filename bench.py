@@ -640,6 +640,68 @@ def _skew_join_probe(spark, salted: bool):
     return joined.agg(F.count("*").alias("n"), F.sum("v").alias("s"))
 
 
+_HOTCELL_CORPUS = None
+_HOTCELL_QUERIES = None
+
+
+def _setup_hotcell(spark, sf_dir: str) -> None:
+    """Synthetic template-heavy embedding corpus (untimed): 800
+    IDENTICAL template vectors that land in the same (table,
+    signature) cell of EVERY hyperplane table, plus 1200 deterministic
+    diverse vectors — the SEO-template pathology the r13 mega-bucket
+    cap exists for. Real embeddings at sf0.1 are too uniform to show
+    this failure mode (the skew-probe argument, vector edition)."""
+    global _HOTCELL_CORPUS, _HOTCELL_QUERIES
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="aes_bench_hotcell_")
+    dim, n_tpl, n_div = 16, 2400, 1600
+    rows = [(i, [1.0] * dim) for i in range(n_tpl)]
+    rows += [
+        (
+            n_tpl + j,
+            [float(((j * 7 + d * 13) % 17) - 8) / 8.0 for d in range(dim)],
+        )
+        for j in range(n_div)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df.repartition(8).write.mode("overwrite").parquet(os.path.join(base, "emb"))
+    _HOTCELL_CORPUS = spark.read.parquet(os.path.join(base, "emb"))
+    _HOTCELL_QUERIES = _HOTCELL_CORPUS.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+    )
+
+
+def _hotcell_pairs(spark, cap):
+    from analytics_etl_spark.operators.similarity import (
+        hyperplane_candidate_pairs,
+    )
+
+    return hyperplane_candidate_pairs(
+        _HOTCELL_CORPUS,
+        _HOTCELL_QUERIES,
+        dim=16,
+        bits=6,
+        tables=24,
+        max_bucket_size=cap,
+    )
+
+
+def _knn_hyperplane_selfjoin_uncapped(spark, sf_dir: str):
+    """The pathology, measured: a 2000-vector self-join where 800
+    templates share every cell — candidate volume is dominated by the
+    ~640k template pairs replicated across 24 tables before the
+    DISTINCT."""
+    return _hotcell_pairs(spark, None)
+
+
+def _knn_hyperplane_selfjoin_capped(spark, sf_dir: str):
+    """The remedy, same data: max_bucket_size=100 drops the hot cells
+    at census time, so only the diverse remainder is paired."""
+    return _hotcell_pairs(spark, 100)
+
+
 def _skew_join_naive_aqe(spark, sf_dir: str):
     """Naive hot-key join with AQE skew-split ACTIVE — the first-line
     remedy. The split threshold is scaled to this probe's data size
@@ -804,6 +866,7 @@ def main() -> None:
     _setup_bloom(spark, sf_dir)  # untimed: ingest-time corpus span bloom
     _setup_rollup(spark, sf_dir)  # untimed: rollup MV bootstrap
     _setup_skew(spark, sf_dir)  # untimed: synthetic zipf-hot-key tables
+    _setup_hotcell(spark, sf_dir)  # untimed: synthetic template-heavy vectors
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -830,6 +893,8 @@ def main() -> None:
     plans["skew_join_hotsplit_noaqe"] = _skew_join_hotsplit_noaqe
     plans["skew_agg_naive"] = _skew_agg_naive
     plans["skew_agg_salted"] = _skew_agg_salted
+    plans["knn_hyperplane_selfjoin_uncapped"] = _knn_hyperplane_selfjoin_uncapped
+    plans["knn_hyperplane_selfjoin_capped"] = _knn_hyperplane_selfjoin_capped
 
     # warm-up pass (untimed)
     for fn in plans.values():
