@@ -354,3 +354,85 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return per_edge.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Deterministic synchronous label propagation → (node, community).
+
+    Community detection for graphs where components are too coarse
+    (one giant connected component, many internal communities — the
+    shape of co-purchase, citation, and near-dup-plus-topic graphs).
+    Raghavan et al. 2007's LPA, made engine-exact by pinning every
+    degree of freedom the published algorithm leaves open:
+
+    - SYNCHRONOUS updates for a FIXED number of rounds (asynchronous
+      visit order is irreducibly nondeterministic on a cluster; a
+      fixed-round synchronous sweep is a pure function of the graph);
+    - each node votes its OWN current label once alongside its
+      neighbors' labels (the standard oscillation damper for
+      synchronous LPA — a 2-node component otherwise swaps labels
+      forever);
+    - ties broken toward the SMALLEST label (total order, no RNG).
+
+    Labels are seeded with the node id, so a community's final label
+    is the id of one of its members. The result after k rounds is a
+    pure function of the edge set — partition- and join-order-
+    independent, hash-checkable against an unrolled SQL oracle.
+
+    Input is an UNDIRECTED simple edge list (one row per edge, either
+    orientation); it is symmetrized here, and duplicate rows SHOULD be
+    deduplicated by the caller (a duplicated edge is a double-weight
+    vote). Self-loops are dropped (a self-loop is already the self-vote).
+
+    Scale shape: per round, one edge-sized equi-join (edges ⋈ labels
+    on the src key) + one groupBy on (node, label) with map-side
+    partial counts + one dense-rank window partitioned by node — all
+    keyed shuffles bounded by |E|, never |V|². The edge list is
+    checkpointed once and reused; labels are checkpointed every two
+    rounds (same lineage-growth control as connected_components).
+    rounds is small and fixed (LPA converges in a handful of sweeps;
+    the published heuristic is ~5), so the loop is O(rounds) stages,
+    not data-dependent.
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    sym = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(
+            edges.filter(F.col(src) != F.col(dst)).select(
+                F.col(dst).alias("u"), F.col(src).alias("v")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+
+    def _round(lbl: DataFrame) -> DataFrame:
+        votes = sym.join(lbl, sym.v == lbl.node).select(
+            F.col("u").alias("node"), "lbl"
+        )
+        # the self-vote: every node's current label counts once
+        votes = votes.unionAll(lbl.select("node", "lbl"))
+        counts = votes.groupBy("node", "lbl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+
+    for i in range(rounds):
+        labels = _round(labels)
+        if i % 2 == 1 or i == rounds - 1:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -227,3 +227,56 @@ def priority_sample_per_stratum(
             ).alias("w_est"),
         )
     )
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    dup_edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """dataset_split with the near-duplicate leakage hole closed: the
+    split is assigned per DUPLICATE CLUSTER, never per document.
+
+    Hashing raw ids (plain dataset_split) guarantees a document never
+    migrates between splits — but two NEAR-DUPLICATES hash
+    independently, so with 5% test odds roughly 1 in 10 near-dup pairs
+    straddles train/test and the eval silently measures memorization
+    (the GPT-2/GPT-3-era contamination lesson that made cluster-level
+    splitting the published standard for dedup-aware corpora). The fix:
+    connected-components over the verified near-dup pairs, then hash
+    the CLUSTER id into split buckets — every member of a cluster
+    lands in the same split by construction, and docs with no near-dup
+    (the vast majority) fall back to their own id, reproducing plain
+    dataset_split exactly.
+
+    ``dup_edges`` is the verified near-dup pair list (e.g.
+    minhash_lsh_dedup(..., min_jaccard=...)). Output: df's columns +
+    ``cluster_id`` + ``out_col``.
+
+    Scale shape: components cost O(pair-list) joins (pairs are bounded
+    by near-dup density, not corpus size); attaching them to the corpus
+    is ONE left equi-join on the id; the split itself stays a pure
+    projection. Determinism: cluster_id = min doc id of the component
+    (unique fixpoint), md5 bucketing — the assignment is a pure
+    function of (corpus, edge set), bit-stable across engines.
+    """
+    from analytics_etl_spark.operators.graph import connected_components
+
+    cc = connected_components(dup_edges, src=src, dst=dst)
+    if id_col != "doc_id":
+        cc = cc.withColumnRenamed("doc_id", id_col)
+    assigned = df.join(cc, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return dataset_split(
+        assigned,
+        splits=splits,
+        id_col="cluster_id",
+        salt=salt,
+        out_col=out_col,
+    )

@@ -21,6 +21,7 @@ from analytics_etl_spark.queries import analytics  # noqa: F401,E402
 from analytics_etl_spark.queries import analytics2  # noqa: F401,E402
 from analytics_etl_spark.queries import llm  # noqa: F401,E402
 from analytics_etl_spark.queries import llm2  # noqa: F401,E402
+from analytics_etl_spark.queries import llm3  # noqa: F401,E402
 
 # The external correctness harness compares only the FIRST 50 entries of
 # queries() (dict insertion order), so window membership is a curated,

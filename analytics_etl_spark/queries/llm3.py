@@ -1,0 +1,204 @@
+"""Round-13 extension queries: multi-dimensional data layout,
+leakage-safe dataset splitting, and graph community detection.
+
+Three capabilities a 100 TB training-data pipeline needs beyond the
+reference surface (the reference has no layout, split, or graph
+operator at all — its sink is row-at-a-time INSERT,
+``app/services/database_service.py``, and its only grouping is SQL
+GROUP BY, ``README.md:274-288``):
+
+- ``zorder_key_orders`` — the Morton key behind Delta/Iceberg-style
+  ``OPTIMIZE ZORDER``: the z-order family's hash-checked decision arm
+  (the write path, sinks/layout.py, shares this exact interleave; its
+  measured footer-stat pruning is pinned in tests/test_layout.py).
+- ``dataset_split_cluster_safe`` — train/test splitting where verified
+  near-duplicate CLUSTERS, not documents, are the unit of assignment;
+  closes the dedup-aware-eval contamination hole.
+- ``copurchase_communities`` — deterministic fixed-round synchronous
+  label propagation (Raghavan et al. 2007) over the co-purchase
+  graph; the community sibling of connected_components.
+
+All three are fully hash-checked: every step is integer/md5/string
+arithmetic both engines compute bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.layout import zorder_key, zorder_key_sql
+from analytics_etl_spark.queries.llm import _LSH_CTES
+from analytics_etl_spark.queries.registry import query, t
+
+# --- z-order layout key -------------------------------------------------
+
+# orders spans [1995-01-01, 2001-08-01] (~2400 days) and o_totalprice
+# < 500k (so floor(price/128) < 4096): both dimensions fit 12 bits
+# without clamping at every SF. price/128 is a power-of-two scale —
+# exact in IEEE double, so floor() agrees across engines.
+_Z_DAY_SQL = "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)"
+_Z_PRICE_SQL = "CAST(floor(o_totalprice / 128) AS BIGINT)"
+
+
+@query(
+    "zorder_key_orders",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_Z_DAY_SQL} AS day_bucket,
+           {_Z_PRICE_SQL} AS price_bucket,
+           CAST({zorder_key_sql([_Z_DAY_SQL, _Z_PRICE_SQL], bits=12)} AS BIGINT) AS zkey
+    FROM orders
+    """,
+)
+def zorder_key_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) layout key over (order day, price bucket).
+
+    The key itself is the oracle-checkable core of the layout op: a
+    pure shift/and/or expression tree in whole-stage codegen (no UDF,
+    no shuffle). Sorting a table by this key makes parquet row groups
+    tile small rectangles of the (date, price) plane, so min/max stats
+    prune scans filtered on EITHER or BOTH dimensions — write path and
+    measured pruning: sinks/layout.py + tests/test_layout.py (which
+    share this exact interleave arithmetic).
+    """
+    orders = t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    pb = F.floor(F.col("o_totalprice") / F.lit(128)).cast("long")
+    return orders.select(
+        "o_orderkey",
+        day.alias("day_bucket"),
+        pb.alias("price_bucket"),
+        zorder_key([day, pb], bits=12).alias("zkey"),
+    )
+
+
+# --- cluster-safe dataset split -----------------------------------------
+
+
+@query(
+    "dataset_split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE {_LSH_CTES},
+    pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.5),
+    e2 AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, u FROM e2
+      UNION SELECT u, v FROM e2
+      UNION SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    assigned AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN cc c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             CAST((('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15))::BIGINT
+                   % 10000) AS INT) AS b
+      FROM assigned
+    )
+    """,
+)
+def dataset_split_cluster_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-safe train/val/test split: verified MinHash
+    pairs → connected components → the split hashes the CLUSTER id,
+    so a near-duplicate pair can never straddle train and test (with
+    independent per-doc hashing, ~1 in 10 near-dup pairs would leak
+    across the 5% test boundary and the eval would measure
+    memorization). Docs with no near-dup fall back to their own id —
+    bit-identical to plain dataset_split for the whole non-duplicated
+    corpus. The no-straddle invariant is pinned by
+    tests/test_layout_split_lpa.py on a crafted corpus where the
+    naive split provably leaks.
+    """
+    from analytics_etl_spark.operators.dedup import minhash_lsh_dedup
+    from analytics_etl_spark.operators.sampling import cluster_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, num_hashes=12, rows_per_band=3, shingle_n=3, min_jaccard=0.5
+    )
+    return cluster_safe_split(docs.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+# --- label-propagation communities --------------------------------------
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled fixed-round synchronous LPA as chained CTEs — the same
+    simhash-vote-SQL trick: the iteration count is a compile-time
+    constant, so the 'iterative' algorithm is honestly expressible as
+    one declarative query and the whole result hash-checks."""
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                      greatest(x.l_partkey, y.l_partkey) AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+      WHERE x.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND x.l_shipdate <  TIMESTAMP '1995-07-01'
+        AND y.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND y.l_shipdate <  TIMESTAMP '1995-07-01'
+    )""",
+        "e2 AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs)",
+        "r0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e2)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""votes{i} AS (
+      SELECT node, lbl, COUNT(*) AS c FROM (
+        SELECT e.u AS node, p.lbl FROM e2 e JOIN r{i - 1} p ON p.node = e.v
+        UNION ALL
+        SELECT node, lbl FROM r{i - 1}
+      ) GROUP BY node, lbl
+    ),
+    r{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        FROM votes{i}
+      ) WHERE rn = 1
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node AS part_id, lbl AS community FROM r{rounds}"
+    )
+
+
+@query("copurchase_communities", oracle=_lpa_oracle(rounds=4))
+def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities in the co-purchase graph via deterministic
+    4-round synchronous label propagation (operators/graph.py) —
+    the finer-grained sibling of connected_components for graphs
+    whose giant component hides internal structure. Every degree of
+    freedom LPA leaves open is pinned (fixed synchronous rounds,
+    self-vote, min-label ties), so the result is a pure function of
+    the edge set and hash-checks against the unrolled SQL fixpoint."""
+    from analytics_etl_spark.operators.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    out = label_propagation(edges, rounds=4)
+    return out.select(F.col("node").alias("part_id"), "community")

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from analytics_etl_spark.operators.layout import zorder_key as interleave_buckets
+
 
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 6
@@ -49,25 +51,20 @@ def zorder_key(
     One approxQuantile pass per column yields 2^bits-1 boundary
     scalars (driver-side, index-sized); the key itself is pure
     branch-free expressions over those literals: bucket = Σ_t (col>t),
-    then shift/or bit interleave.
+    then the shared exact-integer bit interleave
+    (operators/layout.py — the oracle-checked arithmetic).
     """
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    z = F.lit(0).cast("long")
-    for ci, c in enumerate(cols):
+    buckets: list[Column] = []
+    for c in cols:
         boundaries = df.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
         col = F.col(c).cast("double")
         b = F.lit(0).cast("long")
         for t0 in boundaries:
             b = b + (col > F.lit(float(t0))).cast("long")
-        for bit in range(bits):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
-                    bit * len(cols) + ci,
-                )
-            )
-    return df, z
+        buckets.append(b)
+    return df, interleave_buckets(buckets, bits=bits)
 
 
 def write_zordered(

@@ -142,6 +142,12 @@ HEADLINE = [
     "heavy_hitters_parts_exact",
     "doremi_domain_weights",
     "knn_hard_negatives",
+    # round-13 (cont.): the z-order family's hash-checked key arm, the
+    # cluster-safe split (LSH pairs -> CC -> split, the contamination
+    # fix), and fixed-round label-propagation communities
+    "zorder_key_orders",
+    "dataset_split_cluster_safe",
+    "copurchase_communities",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy
