@@ -1015,3 +1015,96 @@ def containment_pairs(shingled: DataFrame, min_containment: float = 0.0) -> Data
         )
     )
     return out.filter(F.col("containment") >= min_containment)
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 20,
+    stride: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. 2022):
+    ``substring_span_duplicates`` finds the duplicated spans; this
+    operator actually cuts them out of the text, keeping exactly ONE
+    occurrence corpus-wide.
+
+    Policy (every degree of freedom pinned so the result is a pure
+    function of the corpus): each duplicated ``span_words``-word span
+    keeps its occurrence at the smallest (doc_id, position) — the
+    canonical occurrence — and every other occurrence's word positions
+    are removed from their documents; a document's surviving words are
+    re-joined with single spaces. Documents shorter than a span, and
+    NULL texts, pass through unchanged (same guard as
+    ``span_hash_expr``). The paragraph-granular sibling with the same
+    corpus-first-survivor stance is ``dedup_paragraph_corpus``.
+
+    Returns (doc_id, ``out_col``, n_removed) — n_removed counts the
+    word positions cut (overlapping duplicated spans are unioned, not
+    double-counted).
+
+    Scale shape: one explode to (doc, pos, hash) rows — one md5 row
+    per word position, the irreducible cost of suffix-free exact
+    dedup, same as the detection pass; a groupBy(hash) min-struct for
+    the canonical occurrence (map-side combined); one hash-keyed join
+    back to the occurrences (spans-sized); one groupBy(doc) to union
+    covered positions (arrays bounded by doc length); one left join to
+    the corpus. No all-pairs anywhere, every shuffle keyed. The
+    rebuild is pure array expressions in whole-stage codegen
+    (transform-with-index + filter + array_join — no UDF).
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    w = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.col(text_col).isNotNull() & (F.size(w) >= span_words),
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - F.lit(span_words), F.lit(stride)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(w, i + 1, span_words), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    spans = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("s")
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    # canonical occurrence = lexicographic min (doc_id, pos) — struct
+    # MIN compares fields in declaration order, a total order, so the
+    # survivor is partition-invariant
+    canon = spans.groupBy("h").agg(F.min(F.struct("doc_id", "pos")).alias("c"))
+    dup = (
+        spans.join(canon, "h")
+        .filter(
+            (F.col("doc_id") != F.col("c.doc_id")) | (F.col("pos") != F.col("c.pos"))
+        )
+        .select("doc_id", "pos")
+    )
+    cov = (
+        dup.groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("pos"), F.col("pos") + F.lit(span_words - 1))
+                    )
+                )
+            ).alias("_rds_covered")
+        )
+        .withColumnRenamed("doc_id", "_rds_id")
+    )
+    joined = docs.join(cov, F.col(id_col) == F.col("_rds_id"), "left")
+    covered = F.coalesce(F.col("_rds_covered"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(w, lambda wd, i: F.when(~F.array_contains(covered, i), wd)),
+        lambda x: x.isNotNull(),
+    )
+    cleaned = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.array_join(kept, " ")
+    )
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias(out_col),
+        F.size(covered).cast("bigint").alias("n_removed"),
+    )

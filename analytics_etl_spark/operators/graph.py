@@ -433,6 +433,11 @@ def label_propagation(
 
     for i in range(rounds):
         labels = _round(labels)
-        if i % 2 == 1 or i == rounds - 1:
+        # lineage cut every TWO rounds (the CC cadence); an odd final
+        # round returns lazy — at most one round of lineage on top of
+        # the last checkpoint, and the caller's action pays for it
+        # exactly once. Side benefit: rounds=1 keeps the full round
+        # plan inspectable (the scale rehearsal asserts its shape).
+        if i % 2 == 1:
             labels = labels.localCheckpoint(eager=True)
     return labels.select("node", F.col("lbl").alias("community"))

@@ -118,7 +118,7 @@ def dataset_split_cluster_safe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     memorization). Docs with no near-dup fall back to their own id —
     bit-identical to plain dataset_split for the whole non-duplicated
     corpus. The no-straddle invariant is pinned by
-    tests/test_layout_split_lpa.py on a crafted corpus where the
+    tests/test_zorder_split_lpa.py on a crafted corpus where the
     naive split provably leaks.
     """
     from analytics_etl_spark.operators.dedup import minhash_lsh_dedup
@@ -202,3 +202,71 @@ def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = label_propagation(edges, rounds=4)
     return out.select(F.col("node").alias("part_id"), "community")
+
+
+# --- duplicate-span REMOVAL (Lee et al. 2022, the transformation) ---------
+
+# The detection arms (dedup_substring_spans/_stride/_persisted) report
+# which spans are duplicated; this is the step that actually EDITS the
+# corpus — keep each duplicated 20-word span's smallest-(doc, pos)
+# occurrence, cut every other occurrence's words, re-join survivors.
+# Fully hash-checked: canonical choice is a total order, hashes are
+# md5, the rebuild is pure array arithmetic in both engines (DuckDB
+# side works in 1-based positions, Spark in 0-based — each engine
+# internally consistent, the TEXTS must match bit-for-bit).
+@query(
+    "dedup_substring_remove",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 20
+    ),
+    s0 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(w) - 18),
+             i -> {'pos': i, 'h': md5(array_to_string(w[i:i+19], ' '))})) AS sp
+      FROM w
+    ),
+    s AS (SELECT doc_id, sp.pos AS pos, sp.h AS h FROM s0),
+    canon AS (
+      SELECT h, doc_id AS cd, pos AS cp FROM (
+        SELECT h, doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT s.doc_id, s.pos FROM s JOIN canon c ON c.h = s.h
+      WHERE s.doc_id <> c.cd OR s.pos <> c.cp
+    ),
+    cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list(range(pos, pos + 20)))) AS covp
+      FROM dup GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                WHEN c.covp IS NULL THEN d.text
+                -- COALESCE: DuckDB's array_to_string([]) is NULL, but a
+                -- fully-cut document is the EMPTY STRING (Spark
+                -- array_join semantics, and the honest answer)
+                ELSE COALESCE(array_to_string(
+                  list_filter(
+                    list_transform(range(1, len(string_split(d.text, ' ')) + 1),
+                      i -> CASE WHEN NOT list_contains(c.covp, i)
+                                THEN string_split(d.text, ' ')[i] END),
+                    x -> x IS NOT NULL), ' '), '')
+           END AS clean_text,
+           CAST(COALESCE(len(c.covp), 0) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_substring_remove_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN removal: every verbatim 20-word span keeps
+    one corpus-wide occurrence (smallest (doc_id, position)); all
+    other occurrences are cut from their documents and the surviving
+    words re-joined. Completes the Lee et al. pipeline whose detection
+    half is dedup_substring_spans — detection tells you the leak
+    exists, this produces the training corpus without it."""
+    from analytics_etl_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(t(spark, sf_dir, "documents"), span_words=20)

@@ -148,6 +148,9 @@ HEADLINE = [
     "zorder_key_orders",
     "dataset_split_cluster_safe",
     "copurchase_communities",
+    # the Lee et al. EDIT step: duplicate-span removal (detection's
+    # cost class + the array-expression rebuild)
+    "dedup_substring_remove",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

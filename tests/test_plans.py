@@ -314,3 +314,17 @@ def test_heavy_hitters_exact_is_partial_agg_plus_take_ordered(spark):
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
     assert "Sort " not in tree  # top-k must not globally sort
     assert "HashAggregate" in plan
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key is shift/and/or arithmetic over the scan — a
+    layout key computation must add ZERO shuffles and read only the
+    columns it interleaves."""
+    plan = plan_of(spark, "zorder_key_orders")
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # column pruning: the scan must not read the untouched columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "o_orderpriority" not in read_schema[0]

@@ -229,3 +229,63 @@ def test_lpa_drops_self_loops_and_validates(spark):
     assert got_a == got_b
     with pytest.raises(ValueError, match="rounds"):
         label_propagation(without, rounds=0)
+
+
+# --- duplicate-span removal ----------------------------------------------
+
+
+def test_remove_duplicate_spans_hand_checked(spark):
+    """Crafted corpus, span_words=3, every expectation hand-derived:
+    cross-doc copy cut (canonical doc untouched), full-doc duplicate
+    emptied, within-doc repeat cut, short/NULL docs pass through."""
+    from analytics_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "x y a b c z"),
+            (3, "q r s"),
+            (4, "a b c d e"),
+            (5, None),
+            (6, "one two"),
+            (7, "m n o p m n o"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(docs, span_words=3).collect()
+    }
+    assert out[1] == ("a b c d e", 0)  # canonical occurrences keep their text
+    assert out[2] == ("x y z", 3)  # cross-doc copy cut, survivors re-joined
+    assert out[3] == ("q r s", 0)  # unique span untouched
+    assert out[4] == ("", 5)  # full duplicate of doc 1: all words cut
+    assert out[5] == (None, 0)  # NULL text passes through
+    assert out[6] == ("one two", 0)  # shorter than a span: no spans, no cuts
+    assert out[7] == ("m n o p", 3)  # within-doc repeat: second occurrence cut
+
+
+def test_remove_duplicate_spans_overlap_not_double_counted(spark):
+    """Two overlapping duplicated spans union their covered positions:
+    n_removed counts positions once."""
+    from analytics_etl_spark.operators.dedup import remove_duplicate_spans
+
+    # doc 2 copies FOUR consecutive words of doc 1 -> two overlapping
+    # duplicated 3-spans covering 4 positions, not 6
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "p q a b c d r")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in remove_duplicate_spans(docs, span_words=3).collect()
+    }
+    assert out[2] == ("p q r", 4)
+
+
+def test_remove_duplicate_spans_validates(spark):
+    from analytics_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        remove_duplicate_spans(docs, stride=0)

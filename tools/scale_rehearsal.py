@@ -44,6 +44,11 @@ FAMILIES = (
     "dedup_paragraph_corpus",
     "dedup_minhash_lsh",
     "text_search_bm25",
+    # round-13 continuation: the LSH->CC->split composition (documents
+    # 10x) and fixed-round LPA over the co-purchase graph (lineitem is
+    # 10x'd as disjoint graph copies — see build())
+    "dataset_split_cluster_safe",
+    "copurchase_communities",
 )
 
 
@@ -106,10 +111,29 @@ def build(scratch: str) -> None:
         f"{scratch}/embeddings.parquet"
     )
 
+    # lineitem 10x: id-shift BOTH graph keys, producing 10 disjoint
+    # copies of the co-purchase graph — 10x the edges with the same
+    # per-copy structure (copurchase_communities' scale input; the
+    # disjointness is fine, LPA/CC cost is driven by |E|, not by
+    # whether components touch)
+    li = spark.read.parquet(f"{SF1}/lineitem.parquet")
+    lparts = []
+    for k in range(COPIES):
+        lparts.append(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * SHIFT))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * SHIFT))
+        )
+    lout = lparts[0]
+    for p in lparts[1:]:
+        lout = lout.unionByName(p)
+    lout.repartition(32).write.mode("overwrite").parquet(
+        f"{scratch}/lineitem.parquet"
+    )
+
     # remaining tables: the heavy families above never read them, but
     # copying keeps the dir a complete sf layout for any t() load
     for name in (
-        "region nation customer supplier part orders lineitem events".split()
+        "region nation customer supplier part orders events".split()
     ):
         src = f"{SF1}/{name}.parquet"
         dst = f"{scratch}/{name}.parquet"
@@ -178,6 +202,36 @@ def assert_plans(spark, scratch: str) -> dict:
     lsh_plan = plan_of(REGISTRY["dedup_minhash_lsh"].fn(spark, scratch))
     checks["lsh_no_cartesian"] = "CartesianProduct" not in lsh_plan
     checks["lsh_no_bnl"] = "BroadcastNestedLoopJoin" not in lsh_plan
+    # LPA: one un-checkpointed round over the 10x co-purchase edges —
+    # the per-round work must stay keyed (edge join + vote groupBy +
+    # rank window), never a nested-loop shape
+    from analytics_etl_spark.operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{scratch}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+    lpa_plan = plan_of(label_propagation(edges, rounds=1))
+    checks["lpa_round_no_nested_loop"] = (
+        "CartesianProduct" not in lpa_plan
+        and "BroadcastNestedLoopJoin" not in lpa_plan
+    )
+    checks["lpa_round_windowed_vote"] = "Window" in lpa_plan
+    # cluster-safe split: CC truncates its own lineage; what remains
+    # must be the ONE corpus-side equi-join + a pure projection
+    split_plan = plan_of(REGISTRY["dataset_split_cluster_safe"].fn(spark, scratch))
+    checks["cluster_split_no_nested_loop"] = (
+        "CartesianProduct" not in split_plan
+        and "BroadcastNestedLoopJoin" not in split_plan
+    )
     return checks
 
 

@@ -25,11 +25,12 @@ super-linear shape.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from analytics_etl_spark import get_spark  # noqa: E402
 from analytics_etl_spark.queries import REGISTRY  # noqa: E402
