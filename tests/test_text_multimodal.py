@@ -357,3 +357,158 @@ def test_gopher_flags_match_reference_on_random_text(spark, texts):
         got = tuple(out[i][f] for f in flags)
         assert got == want, (txt, got, want)
         assert out[i]["keep"] is all(want)
+
+
+# --- real built-in decoders (round 13): PCM16 WAV + P6 PPM ----------------
+
+
+def _make_wav(rate=8000, freq=440, n=800, channels=1, amp=12000, extra_chunk=False):
+    """Pure-stdlib PCM16 WAV builder (sine tone) — independent of the
+    operator's parser; optionally inserts an odd-sized LIST chunk
+    before data to exercise the RIFF chunk walk + pad rule."""
+    import math
+    import struct
+
+    frames = b""
+    for i in range(n):
+        v = int(amp * math.sin(2 * math.pi * freq * i / rate))
+        frames += struct.pack("<h", v) * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd + pad
+    chunks += b"data" + struct.pack("<I", len(frames)) + frames
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _make_ppm(arr, comment=False):
+    head = b"P6\n"
+    if comment:
+        head += b"# netpbm comment\n"
+    head += b"%d %d\n255\n" % (arr.shape[1], arr.shape[0])
+    return head + arr.tobytes()
+
+
+def test_decode_wav_matches_stdlib_wave():
+    """The operator's RIFF walk against the stdlib `wave` parser on
+    the same bytes — two independent implementations, one answer."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import decode_wav
+
+    payload = _make_wav(rate=8000, n=640, channels=2, extra_chunk=True)
+    rate, channels, samples = decode_wav(payload)
+    with wave.open(io.BytesIO(payload)) as ref:
+        assert rate == ref.getframerate()
+        assert channels == ref.getnchannels()
+        assert samples.shape[0] == ref.getnframes()
+        assert samples.astype("<i2").tobytes() == ref.readframes(ref.getnframes())
+    assert samples.dtype == np.dtype("<i2")
+
+
+def test_wav_features_physical_values():
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import wav_features
+
+    f = wav_features(_make_wav(rate=8000, freq=440, n=800, amp=12000))
+    dur, rate, ch, rms, peak, zcr, lo, hi = f
+    assert dur == 800 / 8000 and rate == 8000.0 and ch == 1.0
+    # sine RMS = amp/sqrt(2); integer rounding keeps it within 1%
+    assert abs(rms - 12000 / np.sqrt(2)) < 120
+    assert 11900 <= peak <= 12000
+    # a 440 Hz tone at 8 kHz crosses zero ~2*440/8000 of samples
+    assert abs(zcr - 2 * 440 / 8000) < 0.02
+    # pure low tone: energy concentrated in the low half-spectrum
+    assert lo > 0.9 and abs((lo + hi) - 1.0) < 1e-9
+
+
+def test_decode_ppm_roundtrip_and_features():
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        image_features,
+    )
+
+    arr = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    assert np.array_equal(decode_ppm(_make_ppm(arr, comment=True)), arr)
+    assert np.array_equal(decode_ppm(encode_ppm(arr)), arr)
+    w, h, mr, mg, mb, sl, lmin, lmax = image_features(encode_ppm(arr))
+    assert (w, h) == (4.0, 2.0)
+    a = arr.astype(np.float64)
+    assert mr == a[:, :, 0].mean() and mg == a[:, :, 1].mean() and mb == a[:, :, 2].mean()
+    luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    assert sl == luma.std() and lmin == luma.min() and lmax == luma.max()
+
+
+def test_dispatch_falls_back_on_unknown_or_corrupt():
+    from analytics_etl_spark.operators.multimodal import (
+        decode_stub,
+        dispatch_features,
+    )
+
+    text = "just a document".encode()
+    assert dispatch_features(text) == decode_stub(text)
+    corrupt_wav = b"RIFF\x00\x00\x00\x00WAVEjunk"  # magic ok, chunks absent
+    assert dispatch_features(corrupt_wav) == decode_stub(corrupt_wav)
+    corrupt_ppm = b"P6\n9 9\n255\nxx"  # truncated raster
+    assert dispatch_features(corrupt_ppm) == decode_stub(corrupt_ppm)
+
+
+def test_real_decoders_closure_in_sync(spark):
+    """extract_features' self-contained worker closure must compute
+    EXACTLY what the module-level dispatch does (the keep-in-sync
+    contract, enforced): WAV, PPM, fallback and corrupt rows through
+    Spark vs dispatch_features, equal after the schema's float32 cast."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import (
+        dispatch_features,
+        extract_features,
+    )
+
+    arr = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    payloads = {
+        1: _make_wav(extra_chunk=True),
+        2: _make_ppm(arr),
+        3: "plain text payload".encode(),
+        4: b"P6\n2 2\n255\nxy",  # corrupt -> fallback
+    }
+    df = spark.createDataFrame(
+        [(k, "audio" if k == 1 else "image", v, None) for k, v in payloads.items()],
+        "media_id long, kind string, payload binary, meta struct<width:int,height:int,duration_ms:int,mime:string>",
+    )
+    got = {r.media_id: r.feature for r in extract_features(df).collect()}
+    for k, payload in payloads.items():
+        expect = [np.float32(v) for v in dispatch_features(payload)]
+        assert got[k] == expect, k
+
+
+def test_resize_images_real_ppm_nearest_neighbor(spark):
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_images,
+    )
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        [(1, "image", encode_ppm(arr)), (2, "image", b"not an image")],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(df, width=2, height=2).collect()}
+    # nearest-neighbor index map: yi = xi = [0, 2]
+    expect = arr[[0, 2]][:, [0, 2]]
+    assert np.array_equal(decode_ppm(bytes(out[1].payload)), expect)
+    assert (out[1].width, out[1].height) == (2, 2)
+    # non-PPM payload still yields the deterministic fold of w*h bytes
+    assert len(bytes(out[2].payload)) == 4
