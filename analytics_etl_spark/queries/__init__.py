@@ -65,18 +65,21 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-12 rotation (output of tools/rotate_window.py, re-run AFTER
-# the round's last registry-touching commit): the driver-evidence
-# backlog cleared in r11, so the selection is now pure LRU — this
-# round's FIVE never-checked additions (multiprobe + hyperplane kNN
-# joins, grouped histogram quantiles, kNN-graph clustering, the
-# SemDeDup decision arm) lead, then the stalest cohort: the seven r6
-# queries whose last driver row is CORRECTNESS_r6 and twenty-eight
-# from the r8 cohort. Every r11 window member rotates out with a
-# fresh green row standing (CORRECTNESS_r11.json: 50/50).
+# Round-13 rotation (output of tools/rotate_window.py, re-run AFTER
+# the round's last registry-touching commit — the continuation added
+# four more oracle-paired queries after the first r13 rotation, so
+# this regeneration supersedes it): the SIX never-driver-checked
+# queries lead (the r13 additions: LPA communities, cluster-safe
+# split, duplicate-span removal, exact heavy hitters, hard-negative
+# mining, the z-order key), then pure LRU — the rest of the r8 cohort
+# and the stalest r9 rows.
 ROTATION: tuple[str, ...] = (
+    "copurchase_communities",  # last driver row: never
+    "dataset_split_cluster_safe",  # last driver row: never
+    "dedup_substring_remove",  # last driver row: never
     "heavy_hitters_parts_exact",  # last driver row: never
     "knn_hard_negatives",  # last driver row: never
+    "zorder_key_orders",  # last driver row: never
     "sole_late_supplier",  # last driver row: r8
     "supplier_pagerank",  # last driver row: r8
     "table_diff_reconciliation",  # last driver row: r8
@@ -111,10 +114,6 @@ ROTATION: tuple[str, ...] = (
     "docs_stats_by_lang",  # last driver row: r9
     "docs_stratified_sample",  # last driver row: r9
     "embedding_centroids",  # last driver row: r9
-    "embedding_norms",  # last driver row: r9
-    "funnel_conversion",  # last driver row: r9
-    "grouping_sets_revenue",  # last driver row: r9
-    "pricing_summary",  # last driver row: r9
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION

@@ -711,6 +711,72 @@ def _knn_hyperplane_selfjoin_capped(spark, sf_dir: str):
     return _hotcell_pairs(spark, 100)
 
 
+_MEDIA_WAV_PATH: str | None = None
+
+
+def _setup_media_wav(spark, sf_dir: str) -> None:
+    """Synthetic PCM16 WAV corpus (untimed): one REAL RIFF/WAVE
+    payload per document, tone parameters a pure function of doc_id —
+    the input for the real-decode throughput entry. Payload bytes are
+    built in a self-contained mapInPandas closure (numpy sine +
+    struct header), ~1-2 KB per row."""
+    global _MEDIA_WAV_PATH
+    from analytics_etl_spark.tables import load_table
+
+    _MEDIA_WAV_PATH = os.path.join(
+        tempfile.mkdtemp(prefix="aes_bench_wav_"), "media"
+    )
+
+    def gen(batches):
+        import struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def wav(doc_id: int) -> bytes:
+            rate = 8000
+            n = 400 + (doc_id % 37) * 16
+            freq = 200 + (doc_id % 23) * 40
+            i = _np.arange(n)
+            data = (
+                (9000 * _np.sin(2 * _np.pi * freq * i / rate))
+                .astype("<i2")
+                .tobytes()
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            chunks = (
+                b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "payload": [wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.mapInPandas(gen, "media_id long, kind string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(_MEDIA_WAV_PATH)
+
+
+def _multimodal_wav_decode(spark, sf_dir: str):
+    """REAL media decode throughput: the full RIFF chunk walk + FFT
+    feature extraction (operators/multimodal.extract_features) over
+    the synthetic WAV corpus, Arrow-batched — the measured cost of the
+    one deliberate Python boundary in the multimodal family. count()
+    forces every payload through the decoder; payloads never reach
+    the driver."""
+    from analytics_etl_spark.operators.multimodal import extract_features
+
+    return extract_features(spark.read.parquet(_MEDIA_WAV_PATH))
+
+
 def _skew_join_naive_aqe(spark, sf_dir: str):
     """Naive hot-key join with AQE skew-split ACTIVE — the first-line
     remedy. The split threshold is scaled to this probe's data size
@@ -876,6 +942,7 @@ def main() -> None:
     _setup_rollup(spark, sf_dir)  # untimed: rollup MV bootstrap
     _setup_skew(spark, sf_dir)  # untimed: synthetic zipf-hot-key tables
     _setup_hotcell(spark, sf_dir)  # untimed: synthetic template-heavy vectors
+    _setup_media_wav(spark, sf_dir)  # untimed: synthetic PCM16 WAV corpus
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -904,6 +971,7 @@ def main() -> None:
     plans["skew_agg_salted"] = _skew_agg_salted
     plans["knn_hyperplane_selfjoin_uncapped"] = _knn_hyperplane_selfjoin_uncapped
     plans["knn_hyperplane_selfjoin_capped"] = _knn_hyperplane_selfjoin_capped
+    plans["multimodal_wav_decode"] = _multimodal_wav_decode
 
     # warm-up pass (untimed)
     for fn in plans.values():
