@@ -44,9 +44,20 @@ def quantize(col: Column | str, lo: int, hi: int, bits: int) -> Column:
         raise ValueError(f"quantize bits must be in [1, 32], got {bits}")
     c = F.col(col) if isinstance(col, str) else col
     span = hi - lo + 1
-    raw = (c.cast("long") - F.lit(lo)) * F.lit(1 << bits) / F.lit(span)
-    bucket = F.floor(raw).cast("long")
-    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), bucket))
+    x = (c.cast("long") - F.lit(lo)) * F.lit(1 << bits)
+    # exact integer floor division: Spark's `/` is DOUBLE division,
+    # which misrounds once x exceeds 2^53 — so take the float quotient
+    # as a GUESS and correct it with exact long arithmetic (the guess
+    # is within ±1 of the true floor, and q*span / (q+1)*span compare
+    # exactly). Same trick as the fixed-point operators: floats may
+    # propose, integers decide.
+    q0 = F.floor(x / F.lit(span)).cast("long")
+    q = (
+        q0
+        - F.when(q0 * F.lit(span) > x, F.lit(1)).otherwise(F.lit(0))
+        + F.when((q0 + F.lit(1)) * F.lit(span) <= x, F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q))
 
 
 def zorder_key(cols: list[Column | str], bits: int = 12) -> Column:

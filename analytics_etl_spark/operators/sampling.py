@@ -267,6 +267,11 @@ def cluster_safe_split(
     """
     from analytics_etl_spark.operators.graph import connected_components
 
+    if "cluster_id" in df.columns:
+        raise ValueError(
+            "df already has a 'cluster_id' column — the split would silently "
+            "join/overwrite it; rename it first (raise-instead-of-misbehave)"
+        )
     cc = connected_components(dup_edges, src=src, dst=dst)
     if id_col != "doc_id":
         cc = cc.withColumnRenamed("doc_id", id_col)

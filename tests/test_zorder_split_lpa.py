@@ -289,3 +289,29 @@ def test_remove_duplicate_spans_validates(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         remove_duplicate_spans(docs, stride=0)
+
+
+def test_quantize_exact_at_float_breaking_magnitudes(spark):
+    """Spark's `/` is DOUBLE division; above 2^53 the quotient guess
+    misrounds ((2^60-2)/2^60 rounds UP to 1.0). quantize's integer
+    correction must hold the exact floor."""
+    hi = (1 << 60) - 1
+    df = spark.createDataFrame(
+        [((1 << 59) - 1,), (1 << 59,), (hi,), (0,)], "v long"
+    )
+    got = {
+        r.v: r.b
+        for r in df.select("v", quantize("v", lo=0, hi=hi, bits=1).alias("b")).collect()
+    }
+    # bucket = (v * 2) // 2^60: 2^59-1 -> 0 (the float guess says 1)
+    assert got[(1 << 59) - 1] == 0
+    assert got[1 << 59] == 1
+    assert got[hi] == 1
+    assert got[0] == 0
+
+
+def test_cluster_safe_split_rejects_cluster_id_collision(spark):
+    df = spark.createDataFrame([(1, 9)], "doc_id long, cluster_id long")
+    edges = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="cluster_id"):
+        cluster_safe_split(df, edges)
