@@ -1096,10 +1096,13 @@ def remove_duplicate_spans(
     )
     joined = docs.join(cov, F.col(id_col) == F.col("_rds_id"), "left")
     covered = F.coalesce(F.col("_rds_covered"), F.array().cast("array<int>"))
-    kept = F.filter(
-        F.transform(w, lambda wd, i: F.when(~F.array_contains(covered, i), wd)),
-        lambda x: x.isNotNull(),
-    )
+    # hash-based set difference, O(doc_len + n_covered): array_except
+    # preserves first-array order, so surviving positions stay
+    # ascending. (A per-word array_contains scan would be
+    # O(doc_len * n_covered) — quadratic for a heavily-duplicated long
+    # document.)
+    kept_idx = F.array_except(F.sequence(F.lit(0), F.size(w) - F.lit(1)), covered)
+    kept = F.transform(kept_idx, lambda i: F.element_at(w, i + F.lit(1)))
     cleaned = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
         F.array_join(kept, " ")
     )

@@ -42,9 +42,22 @@ def quantize(col: Column | str, lo: int, hi: int, bits: int) -> Column:
         raise ValueError(f"quantize needs hi > lo, got [{lo}, {hi}]")
     if not (1 <= bits <= 32):
         raise ValueError(f"quantize bits must be in [1, 32], got {bits}")
-    c = F.col(col) if isinstance(col, str) else col
     span = hi - lo + 1
-    x = (c.cast("long") - F.lit(lo)) * F.lit(1 << bits)
+    # capacity guard: every intermediate below is bounded by
+    # span * 2^bits, which must fit a signed long — otherwise the
+    # multiply wraps (non-ANSI) or throws (ANSI) and the documented
+    # clamping/exactness contracts silently break
+    if span > ((1 << 63) - 1) >> bits:
+        raise ValueError(
+            f"span {span} * 2^{bits} exceeds a signed long — lower bits or "
+            "narrow the [lo, hi] range"
+        )
+    c = F.col(col) if isinstance(col, str) else col
+    # clamp BEFORE the multiply: an out-of-range value must land in an
+    # edge bucket (the contract), and clamping first also keeps the
+    # product inside the capacity bound above no matter the input
+    c = F.greatest(F.lit(lo), F.least(F.lit(hi), c.cast("long")))
+    x = (c - F.lit(lo)) * F.lit(1 << bits)
     # exact integer floor division: Spark's `/` is DOUBLE division,
     # which misrounds once x exceeds 2^53 — so take the float quotient
     # as a GUESS and correct it with exact long arithmetic (the guess

@@ -177,6 +177,27 @@ def _lpa_oracle(rounds: int) -> str:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase edge list (6-month window, distinct undirected
+    part pairs) — the ONE construction shared by the registered query
+    and the 10x rehearsal's plan assertions, so the rehearsal
+    certifies the plan the production query actually runs (a
+    hand-duplicated pipeline would silently keep certifying a stale
+    shape after a query change)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    return (
+        x.join(y, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .distinct()
+    )
+
+
 @query("copurchase_communities", oracle=_lpa_oracle(rounds=4))
 def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product communities in the co-purchase graph via deterministic
@@ -188,19 +209,7 @@ def copurchase_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the edge set and hash-checks against the unrolled SQL fixpoint."""
     from analytics_etl_spark.operators.graph import label_propagation
 
-    li = t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
-    )
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
-    )
-    out = label_propagation(edges, rounds=4)
+    out = label_propagation(copurchase_edges(spark, sf_dir), rounds=4)
     return out.select(F.col("node").alias("part_id"), "community")
 
 

@@ -64,6 +64,11 @@ def zorder_key(
         for t0 in boundaries:
             b = b + (col > F.lit(float(t0))).cast("long")
         buckets.append(b)
+    if len(buckets) == 1:
+        # one column: the Morton key degenerates to the bucket itself
+        # (a plain bucketed sort) — preserved sink behavior; the shared
+        # interleave deliberately rejects k=1 at the operator level
+        return df, buckets[0]
     return df, interleave_buckets(buckets, bits=bits)
 
 

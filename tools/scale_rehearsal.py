@@ -204,22 +204,14 @@ def assert_plans(spark, scratch: str) -> dict:
     checks["lsh_no_bnl"] = "BroadcastNestedLoopJoin" not in lsh_plan
     # LPA: one un-checkpointed round over the 10x co-purchase edges —
     # the per-round work must stay keyed (edge join + vote groupBy +
-    # rank window), never a nested-loop shape
+    # rank window), never a nested-loop shape. The edge list comes
+    # from the SAME helper the registered query runs (queries/llm3.py
+    # copurchase_edges), so this certifies the production plan, not a
+    # hand-copied twin.
     from analytics_etl_spark.operators.graph import label_propagation
+    from analytics_etl_spark.queries.llm3 import copurchase_edges
 
-    li = spark.read.parquet(f"{scratch}/lineitem.parquet").filter(
-        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
-    )
-    x = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    y = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
-    edges = (
-        x.join(y, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .distinct()
-    )
-    lpa_plan = plan_of(label_propagation(edges, rounds=1))
+    lpa_plan = plan_of(label_propagation(copurchase_edges(spark, scratch), rounds=1))
     checks["lpa_round_no_nested_loop"] = (
         "CartesianProduct" not in lpa_plan
         and "BroadcastNestedLoopJoin" not in lpa_plan
