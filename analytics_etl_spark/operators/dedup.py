@@ -1044,6 +1044,14 @@ def remove_duplicate_spans(
     word positions cut (overlapping duplicated spans are unioned, not
     double-counted).
 
+    ``stride`` is accepted for signature parity with the DETECTION arm
+    (``substring_span_duplicates``) but must be 1: the keep-one-
+    occurrence-corpus-wide policy only holds when every offset is
+    hashed — with stride>1 a duplicated span at an unsampled offset
+    would silently survive, which for a REMOVAL operator is a
+    correctness hole, not a recall trade-off. Strided sampling belongs
+    to the detection arm, where partial recall is a documented knob.
+
     Scale shape: one explode to (doc, pos, hash) rows — one md5 row
     per word position, the irreducible cost of suffix-free exact
     dedup, same as the detection pass; a groupBy(hash) min-struct for
@@ -1054,8 +1062,13 @@ def remove_duplicate_spans(
     rebuild is pure array expressions in whole-stage codegen
     (transform-with-index + filter + array_join — no UDF).
     """
-    if stride < 1:
-        raise ValueError(f"stride must be >= 1, got {stride}")
+    if stride != 1:
+        raise ValueError(
+            f"remove_duplicate_spans requires stride=1 (got {stride}): "
+            "strided offsets skip duplicated spans, breaking the "
+            "keep-one-occurrence guarantee — use "
+            "substring_span_duplicates for strided detection"
+        )
     w = F.split(F.col(text_col), " ")
     pairs = F.when(
         F.col(text_col).isNotNull() & (F.size(w) >= span_words),

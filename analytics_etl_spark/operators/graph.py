@@ -385,9 +385,13 @@ def label_propagation(
     independent, hash-checkable against an unrolled SQL oracle.
 
     Input is an UNDIRECTED simple edge list (one row per edge, either
-    orientation); it is symmetrized here, and duplicate rows SHOULD be
-    deduplicated by the caller (a duplicated edge is a double-weight
-    vote). Self-loops are dropped (a self-loop is already the self-vote).
+    orientation); it is symmetrized AND deduplicated here — a
+    duplicated input row would otherwise double-weight that
+    neighbor's vote, silently breaking oracle parity for any caller
+    that forgets its own distinct(). The frame is pair-sized and
+    checkpointed once, so the extra keyed shuffle is paid once, not
+    per round. Self-loops are dropped (a self-loop is already the
+    self-vote).
 
     Scale shape: per round, one edge-sized equi-join (edges ⋈ labels
     on the src key) + one groupBy on (node, label) with map-side
@@ -411,6 +415,7 @@ def label_propagation(
                 F.col(dst).alias("u"), F.col(src).alias("v")
             )
         )
+        .distinct()
         .localCheckpoint(eager=True)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(

@@ -211,8 +211,13 @@ def dispatch_features(payload: bytes, kind: str = "") -> list[float]:
             return wav_features(payload)
         if payload[:2] == b"P6":
             return image_features(payload)
-    except ValueError:
-        pass  # malformed header → total fallback below
+    except Exception:
+        # malformed magic-matching payload → total fallback below.
+        # Deliberately broad: the decoders raise ValueError on the
+        # failures they anticipate, but a hostile payload can surface
+        # OverflowError/MemoryError from the header ints — "never
+        # aborts on codec drift" must cover those too.
+        pass
     return decode_stub(payload, kind)
 
 
@@ -338,8 +343,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     return wav_feats(payload)
                 if payload[:2] == b"P6":
                     return ppm_feats(payload)
-            except ValueError:
-                pass
+            except Exception:
+                pass  # broad on purpose — mirrors dispatch_features
             n = len(payload)
             return [float((payload[i % n] if n else 0) + i) for i in range(8)]
 
@@ -420,8 +425,8 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             if payload[:2] == b"P6":
                 try:
                     return ppm_resize(payload)
-                except ValueError:
-                    pass
+                except Exception:
+                    pass  # broad on purpose — mirrors dispatch_features
             # fallback: deterministic byte fold to width*height "pixels"
             n = max(len(payload), 1)
             return bytes(

@@ -21,12 +21,22 @@ site where ingest pays it once).
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import statistics
 import sys
 import tempfile
 import time
+
+
+def _mkdtemp(prefix: str) -> str:
+    """tempfile.mkdtemp that cleans up after the run — repeated bench
+    invocations must not accumulate orphaned parquet in /tmp."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -234,7 +244,7 @@ def _setup_ann_indexes(spark, sf_dir: str) -> None:
 
     emb = load_table(spark, sf_dir, "embeddings")
     _QVEC = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    base = tempfile.mkdtemp(prefix="aes_bench_ann_")
+    base = _mkdtemp(prefix="aes_bench_ann_")
     planes = rademacher_planes(len(_QVEC), 6, 24, seed=7)
     write_lsh_index(emb, os.path.join(base, "lsh"), planes)
     cents = kmeans_centroids(emb, k=16, iters=3, sample_fraction=0.5)
@@ -339,7 +349,7 @@ def _setup_shingled(spark, sf_dir: str) -> None:
     from analytics_etl_spark.operators.dedup import with_shingle_column, with_span_hashes
     from analytics_etl_spark.tables import load_table
 
-    _SHINGLED_PATH = os.path.join(tempfile.mkdtemp(prefix="aes_bench_sh_"), "docs")
+    _SHINGLED_PATH = os.path.join(_mkdtemp(prefix="aes_bench_sh_"), "docs")
     docs = load_table(spark, sf_dir, "documents")
     with_span_hashes(with_shingle_column(docs, n=3), span_words=20).write.mode(
         "overwrite"
@@ -368,7 +378,7 @@ def _setup_bloom(spark, sf_dir: str) -> None:
     from analytics_etl_spark.operators.bloom import bloom_build, write_bloom
     from pyspark.sql import functions as F
 
-    base = tempfile.mkdtemp(prefix="aes_bench_bloom_")
+    base = _mkdtemp(prefix="aes_bench_bloom_")
     _BLOOM_PATH = os.path.join(base, "bloom")
     _CORPUS_SPANS_PATH = os.path.join(base, "corpus_spans")
     spans = (
@@ -501,7 +511,7 @@ def _setup_postings(spark, sf_dir: str) -> None:
     )
     from analytics_etl_spark.tables import load_table
 
-    base = tempfile.mkdtemp(prefix="aes_bench_idx_")
+    base = _mkdtemp(prefix="aes_bench_idx_")
     path = os.path.join(base, "postings")
     docs = load_table(spark, sf_dir, "documents")
     write_postings_index(build_postings(docs), path)
@@ -539,7 +549,7 @@ def _setup_bigrams(spark, sf_dir: str) -> None:
     from analytics_etl_spark.operators.dedup import with_shingle_column
     from analytics_etl_spark.tables import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="aes_bench_bg_"), "docs2")
+    path = os.path.join(_mkdtemp(prefix="aes_bench_bg_"), "docs2")
     with_shingle_column(
         load_table(spark, sf_dir, "documents"), n=2, distinct=False
     ).write.mode("overwrite").parquet(path)
@@ -570,7 +580,7 @@ def _setup_sketches(spark, sf_dir: str) -> None:
     from analytics_etl_spark.operators.sketches import group_sketches
     from analytics_etl_spark.tables import load_table
 
-    path = os.path.join(tempfile.mkdtemp(prefix="aes_bench_hll_"), "daily")
+    path = os.path.join(_mkdtemp(prefix="aes_bench_hll_"), "daily")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date(F.col("ts").cast("timestamp"))
     )
@@ -600,7 +610,7 @@ def _setup_skew(spark, sf_dir: str) -> None:
     global _SKEW_FACT, _SKEW_DIM
     from pyspark.sql import functions as F
 
-    base = tempfile.mkdtemp(prefix="aes_bench_skew_")
+    base = _mkdtemp(prefix="aes_bench_skew_")
     n = 16_000_000
     fact = spark.range(n).select(
         F.when(F.pmod("id", F.lit(4)) < 3, F.lit(0))
@@ -663,7 +673,7 @@ def _setup_hotcell(spark, sf_dir: str) -> None:
     global _HOTCELL_CORPUS, _HOTCELL_QUERIES
     from pyspark.sql import functions as F
 
-    base = tempfile.mkdtemp(prefix="aes_bench_hotcell_")
+    base = _mkdtemp(prefix="aes_bench_hotcell_")
     dim, n_tpl, n_div = 16, 2400, 1600
     rows = [(i, [1.0] * dim) for i in range(n_tpl)]
     rows += [
@@ -724,7 +734,7 @@ def _setup_media_wav(spark, sf_dir: str) -> None:
     from analytics_etl_spark.tables import load_table
 
     _MEDIA_WAV_PATH = os.path.join(
-        tempfile.mkdtemp(prefix="aes_bench_wav_"), "media"
+        _mkdtemp(prefix="aes_bench_wav_"), "media"
     )
 
     def gen(batches):
@@ -869,7 +879,7 @@ def _setup_rollup(spark, sf_dir: str) -> None:
         build_monthly_rollup,
     )
 
-    base = tempfile.mkdtemp(prefix="aes_bench_mv_")
+    base = _mkdtemp(prefix="aes_bench_mv_")
     _ROLLUP_PATH = os.path.join(base, "rollup")
     fact_path = os.path.join(base, "fact_by_month")
     build_monthly_rollup(spark, sf_dir, _ROLLUP_PATH)
@@ -927,7 +937,7 @@ def main() -> None:
     spark = get_spark(
         "bench",
         extra_conf={
-            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="aes_bench_wh_")
+            "spark.sql.warehouse.dir": _mkdtemp(prefix="aes_bench_wh_")
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -462,6 +462,24 @@ def test_dispatch_falls_back_on_unknown_or_corrupt():
     assert dispatch_features(corrupt_ppm) == decode_stub(corrupt_ppm)
 
 
+def test_dispatch_falls_back_on_non_valueerror(monkeypatch):
+    """The totality claim covers exception classes the decoders did
+    not anticipate (r13 advice): a magic-matching payload whose decode
+    raises anything — not just ValueError — must still yield the
+    deterministic fallback row, never abort the task."""
+    from analytics_etl_spark.operators import multimodal as mm
+
+    def boom(payload):
+        raise MemoryError("hostile header")
+
+    monkeypatch.setattr(mm, "wav_features", boom)
+    wav_magic = b"RIFF\x00\x00\x00\x00WAVEjunk"
+    assert mm.dispatch_features(wav_magic) == mm.decode_stub(wav_magic)
+    monkeypatch.setattr(mm, "image_features", boom)
+    ppm_magic = b"P6\n2 2\n255\n" + bytes(12)
+    assert mm.dispatch_features(ppm_magic) == mm.decode_stub(ppm_magic)
+
+
 def test_real_decoders_closure_in_sync(spark):
     """extract_features' self-contained worker closure must compute
     EXACTLY what the module-level dispatch does (the keep-in-sync

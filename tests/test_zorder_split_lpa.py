@@ -231,6 +231,25 @@ def test_lpa_drops_self_loops_and_validates(spark):
         label_propagation(without, rounds=0)
 
 
+def test_label_propagation_duplicate_edges_ignored(spark):
+    """A duplicated input row must NOT double-weight a neighbor's
+    vote: the operator deduplicates the symmetrized edge frame itself
+    (r13 advice), so a caller that forgets .distinct() still gets the
+    simple-graph answer."""
+    from analytics_etl_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    simple = spark.createDataFrame(edges, "src long, dst long")
+    # duplicate the (3,4) bridge 5x, once in reversed orientation —
+    # if votes were weighted, node 4's pull on 3 would change rounds
+    noisy = spark.createDataFrame(
+        edges + [(3, 4)] * 4 + [(4, 3)], "src long, dst long"
+    )
+    a = {(r.node, r.community) for r in label_propagation(simple, rounds=4).collect()}
+    b = {(r.node, r.community) for r in label_propagation(noisy, rounds=4).collect()}
+    assert a == b
+
+
 # --- duplicate-span removal ----------------------------------------------
 
 
@@ -289,6 +308,10 @@ def test_remove_duplicate_spans_validates(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         remove_duplicate_spans(docs, stride=0)
+    # stride>1 would silently miss duplicated spans at unsampled
+    # offsets — a removal operator may not trade recall, so it raises
+    with pytest.raises(ValueError, match="stride=1"):
+        remove_duplicate_spans(docs, stride=2)
 
 
 def test_quantize_exact_at_float_breaking_magnitudes(spark):
