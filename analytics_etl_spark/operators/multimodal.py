@@ -11,9 +11,14 @@ without external libraries:
   ``wav_features``);
 - **P6 PPM** images (header token parse → (h, w, 3) uint8 array →
   channel/luma statistics and nearest-neighbor resize, ``decode_ppm``
-  / ``image_features`` / ``encode_ppm``).
+  / ``image_features`` / ``encode_ppm``);
+- **8-bit RGB/RGBA PNG** (since round 14): CRC-verified chunk walk →
+  stdlib ``zlib`` IDAT inflate → numpy scanline unfilter (all five
+  RFC 2083 filters), ``decode_png`` / ``encode_png`` — PNG's only
+  "compression" is DEFLATE, which the stdlib covers, so no external
+  codec is needed.
 
-Compressed codecs (JPEG/PNG/MP3/H.264) still require PIL/ffmpeg,
+Entropy-coded codecs (JPEG/MP3/H.264) still require PIL/ffmpeg,
 which are not in this container — payloads whose magic bytes match no
 built-in decoder (and any malformed built-in-format payload) fall
 back to the deterministic byte-fold feature (``decode_stub``), so the
@@ -60,9 +65,11 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 # formats the pure-numpy built-in decoders handle; everything else
-# falls back to decode_stub (compressed codecs need PIL/ffmpeg —
+# falls back to decode_stub (JPEG/MP3/H.264 need PIL/ffmpeg —
 # not in this container, the declared remaining limit)
-BUILTIN_DECODERS = ("audio/wav-pcm16", "image/ppm-p6")
+BUILTIN_DECODERS = ("audio/wav-pcm16", "image/ppm-p6", "image/png-rgb8")
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def decode_stub(payload: bytes, kind: str = "") -> list[float]:
@@ -175,6 +182,152 @@ def decode_ppm(payload: bytes):
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
 
 
+def decode_png(payload: bytes):
+    """Non-interlaced 8-bit truecolor PNG (color types 2 RGB / 6 RGBA)
+    parse → uint8 array (h, w, ch). PNG is "compressed" only by
+    stdlib-covered parts — DEFLATE (``zlib``) plus five per-scanline
+    byte filters (RFC 2083 §6) — so unlike JPEG it needs no external
+    codec: a CRC-verified chunk walk, one inflate, and a numpy
+    unfilter pass.
+
+    Strictness stance mirrors ``decode_wav``: CRC mismatches,
+    truncated chunks, palette/grayscale/16-bit/interlaced images, and
+    inflate-size disagreements all raise ValueError, which callers
+    treat as "fall back". The unfilter is cross-checked against an
+    independent per-spec byte-at-a-time reference in
+    tests/test_text_multimodal.py (the §16 golden-evidence pattern).
+    """
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos + 12 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        crc = payload[pos + 8 + ln : pos + 12 + ln]
+        if len(body) < ln or len(crc) < 4:
+            raise ValueError("truncated PNG chunk")
+        if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat or not ended:
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+        raise ValueError(
+            f"only 8-bit non-interlaced RGB/RGBA supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = 3 if color == 2 else 4
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG geometry {w}x{h}")
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated size disagrees with IHDR geometry")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    return _png_unfilter(rows, w, ch)
+
+
+def _png_unfilter(rows, w: int, ch: int):
+    """Reverse the per-scanline PNG filters. `rows` is (h, 1+w*ch)
+    uint8 — filter byte then filtered bytes. uint8 arithmetic IS the
+    spec's mod-256; the left-neighbor dependency is at lag ch bytes,
+    so Sub is a cumsum over the (w, ch) view and Average/Paeth walk
+    pixels (w steps of ch-lane vector ops), never single bytes."""
+    import numpy as np
+
+    h, stride = rows.shape[0], rows.shape[1] - 1
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f, cur = int(rows[y, 0]), rows[y, 1:].copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub: recon[i] = cur[i] + recon[i-ch]
+            cur = (
+                cur.reshape(w, ch).astype(np.uint32).cumsum(axis=0) & 0xFF
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            cur += prev
+        elif f == 3:  # Average: + floor((left + up) / 2)
+            rec = cur.reshape(w, ch).astype(np.int32)
+            up = prev.reshape(w, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                left = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
+                rec[x] = left
+            cur = rec.astype(np.uint8).reshape(stride)
+        elif f == 4:  # Paeth predictor
+            rec = cur.reshape(w, ch).astype(np.int32)
+            up = prev.reshape(w, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (rec[x] + pred) & 0xFF
+                rec[x] = left
+                ul = up[x]
+            cur = rec.astype(np.uint8).reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr) -> bytes:
+    """uint8 (h, w, 3|4) array → minimal PNG payload (filter-0
+    scanlines, one IDAT, CRC-correct chunks) — the inverse of
+    decode_png, used by the resize path and the golden tests."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    if ch not in (3, 4):
+        raise ValueError(f"encode_png needs 3 or 4 channels, got {ch}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2 if ch == 3 else 6, 0, 0, 0])
+    )
+    scan = np.zeros((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 1:] = np.ascontiguousarray(arr).reshape(h, w * ch)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(arr) -> bytes:
     """uint8 (h, w, 3) array → P6 payload (the inverse of decode_ppm)."""
     h, w = arr.shape[0], arr.shape[1]
@@ -182,12 +335,16 @@ def encode_ppm(arr) -> bytes:
 
 
 def image_features(payload: bytes) -> list[float]:
-    """8 real image features from a P6 PPM payload:
-    [width, height, mean_r, mean_g, mean_b, std_luma, min_luma,
-    max_luma] — brightness/contrast/cast screening stats."""
+    """8 real image features from a P6 PPM or 8-bit RGB/RGBA PNG
+    payload: [width, height, mean_r, mean_g, mean_b, std_luma,
+    min_luma, max_luma] — brightness/contrast/cast screening stats.
+    RGBA alpha is ignored for the color stats (the screening question
+    is about the visible pixels, and it keeps the feature vector
+    shape codec-independent)."""
     import numpy as np
 
-    arr = decode_ppm(payload).astype(np.float64)
+    raw = decode_png(payload) if payload[:8] == PNG_MAGIC else decode_ppm(payload)
+    arr = raw[:, :, :3].astype(np.float64)
     luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
     return [
         float(arr.shape[1]),
@@ -209,7 +366,7 @@ def dispatch_features(payload: bytes, kind: str = "") -> list[float]:
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return wav_features(payload)
-        if payload[:2] == b"P6":
+        if payload[:2] == b"P6" or payload[:8] == PNG_MAGIC:
             return image_features(payload)
     except Exception:
         # malformed magic-matching payload → total fallback below.
@@ -243,7 +400,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     # module-level names): cloudpickle ships closures by value, so the
     # Python workers never need this package on their sys.path. The
     # inline decoders mirror decode_wav/wav_features, decode_ppm/
-    # image_features and decode_stub — kept in sync by
+    # decode_png/image_features and decode_stub — kept in sync by
     # tests/test_text_multimodal.py::test_real_decoders_closure_in_sync.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -300,6 +457,20 @@ def extract_features(df: DataFrame) -> DataFrame:
                 float(spec[half:].sum()) / total,
             ]
 
+        def img_feats(raw8) -> list[float]:
+            arr = raw8[:, :, :3].astype(_np.float64)
+            luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+            return [
+                float(raw8.shape[1]),
+                float(raw8.shape[0]),
+                float(arr[:, :, 0].mean()),
+                float(arr[:, :, 1].mean()),
+                float(arr[:, :, 2].mean()),
+                float(luma.std()),
+                float(luma.min()),
+                float(luma.max()),
+            ]
+
         def ppm_feats(b: bytes) -> list[float]:
             toks, pos = [], 2
             while len(toks) < 3:
@@ -322,20 +493,86 @@ def extract_features(df: DataFrame) -> DataFrame:
             raw = b[pos : pos + w * h * 3]
             if len(raw) < w * h * 3:
                 raise ValueError("truncated raster")
-            arr = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, w, 3).astype(
-                _np.float64
-            )
-            luma = 0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
-            return [
-                float(w),
-                float(h),
-                float(arr[:, :, 0].mean()),
-                float(arr[:, :, 1].mean()),
-                float(arr[:, :, 2].mean()),
-                float(luma.std()),
-                float(luma.min()),
-                float(luma.max()),
-            ]
+            return img_feats(_np.frombuffer(raw, dtype=_np.uint8).reshape(h, w, 3))
+
+        def png_arr(b: bytes):
+            import zlib
+
+            pos, ihdr, idat, ended = 8, None, bytearray(), False
+            while pos + 12 <= len(b):
+                ln = int.from_bytes(b[pos : pos + 4], "big")
+                ctype = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + ln]
+                crc = b[pos + 8 + ln : pos + 12 + ln]
+                if len(body) < ln or len(crc) < 4:
+                    raise ValueError("truncated chunk")
+                if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = body
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if ihdr is None or len(ihdr) < 13 or not idat or not ended:
+                raise ValueError("missing IHDR/IDAT/IEND")
+            w = int.from_bytes(ihdr[0:4], "big")
+            h = int.from_bytes(ihdr[4:8], "big")
+            depth, color, comp, filt, interlace = ihdr[8:13]
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise ValueError("unsupported PNG flavor")
+            ch = 3 if color == 2 else 4
+            if w < 1 or h < 1:
+                raise ValueError("bad geometry")
+            stride = w * ch
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (stride + 1):
+                raise ValueError("inflated size mismatch")
+            rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
+            out = _np.zeros((h, stride), dtype=_np.uint8)
+            prev = _np.zeros(stride, dtype=_np.uint8)
+            for y in range(h):
+                f, cur = int(rows[y, 0]), rows[y, 1:].copy()
+                if f == 0:
+                    pass
+                elif f == 1:
+                    cur = (
+                        cur.reshape(w, ch).astype(_np.uint32).cumsum(axis=0) & 0xFF
+                    ).astype(_np.uint8).reshape(stride)
+                elif f == 2:
+                    cur += prev
+                elif f == 3:
+                    rec = cur.reshape(w, ch).astype(_np.int32)
+                    up = prev.reshape(w, ch).astype(_np.int32)
+                    left = _np.zeros(ch, dtype=_np.int32)
+                    for x in range(w):
+                        left = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
+                        rec[x] = left
+                    cur = rec.astype(_np.uint8).reshape(stride)
+                elif f == 4:
+                    rec = cur.reshape(w, ch).astype(_np.int32)
+                    up = prev.reshape(w, ch).astype(_np.int32)
+                    left = _np.zeros(ch, dtype=_np.int32)
+                    ul = _np.zeros(ch, dtype=_np.int32)
+                    for x in range(w):
+                        p = left + up[x] - ul
+                        pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                        pred = _np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            _np.where(pb <= pc, up[x], ul),
+                        )
+                        left = (rec[x] + pred) & 0xFF
+                        rec[x] = left
+                        ul = up[x]
+                    cur = rec.astype(_np.uint8).reshape(stride)
+                else:
+                    raise ValueError("unknown filter")
+                out[y] = cur
+                prev = cur
+            return out.reshape(h, w, ch)
 
         def decode(payload: bytes) -> list[float]:
             try:
@@ -343,6 +580,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     return wav_feats(payload)
                 if payload[:2] == b"P6":
                     return ppm_feats(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    return img_feats(png_arr(payload))
             except Exception:
                 pass  # broad on purpose — mirrors dispatch_features
             n = len(payload)
@@ -366,10 +605,11 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Image resize — REAL for P6 PPM payloads (nearest-neighbor pixel
-    sampling in numpy, output re-encoded as P6), deterministic
-    byte-fold for anything else (compressed codecs need PIL — the
-    total-fallback stance of dispatch_features).
+    """Image resize — REAL for P6 PPM and 8-bit RGB/RGBA PNG payloads
+    (nearest-neighbor pixel sampling in numpy, output re-encoded in
+    the input's own format), deterministic byte-fold for anything
+    else (entropy-coded codecs need PIL — the total-fallback stance
+    of dispatch_features).
 
     Filters to kind='image' BEFORE the Python boundary (metadata
     pushdown). Nearest-neighbor is the deliberate choice over
@@ -421,10 +661,122 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             out = arr[yi][:, xi]
             return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
 
+        def png_resize(b: bytes) -> bytes:
+            import zlib
+
+            # decode: mirrors decode_png (sync-pinned)
+            pos, ihdr, idat, ended = 8, None, bytearray(), False
+            while pos + 12 <= len(b):
+                ln = int.from_bytes(b[pos : pos + 4], "big")
+                ctype = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + ln]
+                crc = b[pos + 8 + ln : pos + 12 + ln]
+                if len(body) < ln or len(crc) < 4:
+                    raise ValueError("truncated chunk")
+                if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = body
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if ihdr is None or len(ihdr) < 13 or not idat or not ended:
+                raise ValueError("missing IHDR/IDAT/IEND")
+            w = int.from_bytes(ihdr[0:4], "big")
+            h = int.from_bytes(ihdr[4:8], "big")
+            depth, color, comp, filt, interlace = ihdr[8:13]
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise ValueError("unsupported PNG flavor")
+            ch = 3 if color == 2 else 4
+            if w < 1 or h < 1:
+                raise ValueError("bad geometry")
+            stride = w * ch
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (stride + 1):
+                raise ValueError("inflated size mismatch")
+            rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
+            out = _np.zeros((h, stride), dtype=_np.uint8)
+            prev = _np.zeros(stride, dtype=_np.uint8)
+            for y in range(h):
+                f, cur = int(rows[y, 0]), rows[y, 1:].copy()
+                if f == 0:
+                    pass
+                elif f == 1:
+                    cur = (
+                        cur.reshape(w, ch).astype(_np.uint32).cumsum(axis=0) & 0xFF
+                    ).astype(_np.uint8).reshape(stride)
+                elif f == 2:
+                    cur += prev
+                elif f == 3:
+                    rec = cur.reshape(w, ch).astype(_np.int32)
+                    up = prev.reshape(w, ch).astype(_np.int32)
+                    left = _np.zeros(ch, dtype=_np.int32)
+                    for x in range(w):
+                        left = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
+                        rec[x] = left
+                    cur = rec.astype(_np.uint8).reshape(stride)
+                elif f == 4:
+                    rec = cur.reshape(w, ch).astype(_np.int32)
+                    up = prev.reshape(w, ch).astype(_np.int32)
+                    left = _np.zeros(ch, dtype=_np.int32)
+                    ul = _np.zeros(ch, dtype=_np.int32)
+                    for x in range(w):
+                        p = left + up[x] - ul
+                        pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
+                        pred = _np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            _np.where(pb <= pc, up[x], ul),
+                        )
+                        left = (rec[x] + pred) & 0xFF
+                        rec[x] = left
+                        ul = up[x]
+                    cur = rec.astype(_np.uint8).reshape(stride)
+                else:
+                    raise ValueError("unknown filter")
+                out[y] = cur
+                prev = cur
+            arr = out.reshape(h, w, ch)
+            # nearest-neighbor sample, re-encode filter-0 (same integer
+            # index arithmetic as ppm_resize; mirrors encode_png)
+            yi = (_np.arange(height) * h) // height
+            xi = (_np.arange(width) * w) // width
+            small = _np.ascontiguousarray(arr[yi][:, xi])
+            scan = _np.zeros((height, 1 + width * ch), dtype=_np.uint8)
+            scan[:, 1:] = small.reshape(height, width * ch)
+
+            def chunk(ctype: bytes, body: bytes) -> bytes:
+                return (
+                    len(body).to_bytes(4, "big")
+                    + ctype
+                    + body
+                    + zlib.crc32(ctype + body).to_bytes(4, "big")
+                )
+
+            out_ihdr = (
+                width.to_bytes(4, "big")
+                + height.to_bytes(4, "big")
+                + bytes([8, 2 if ch == 3 else 6, 0, 0, 0])
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", out_ihdr)
+                + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+                + chunk(b"IEND", b"")
+            )
+
         def resize(payload: bytes) -> bytes:
             if payload[:2] == b"P6":
                 try:
                     return ppm_resize(payload)
+                except Exception:
+                    pass  # broad on purpose — mirrors dispatch_features
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                try:
+                    return png_resize(payload)
                 except Exception:
                     pass  # broad on purpose — mirrors dispatch_features
             # fallback: deterministic byte fold to width*height "pixels"

@@ -775,6 +775,77 @@ def _setup_media_wav(spark, sf_dir: str) -> None:
     ).parquet(_MEDIA_WAV_PATH)
 
 
+_MEDIA_PNG_PATH: str | None = None
+
+
+def _setup_media_png(spark, sf_dir: str) -> None:
+    """Synthetic PNG corpus (untimed): one REAL 8-bit RGB PNG per
+    document — deterministic gradient-plus-texture pixels, filter-0
+    scanlines, stdlib zlib DEFLATE — the input for the PNG
+    real-decode throughput entry (~24x24 px, ~1-2 KB per row)."""
+    global _MEDIA_PNG_PATH
+    from analytics_etl_spark.tables import load_table
+
+    _MEDIA_PNG_PATH = os.path.join(_mkdtemp(prefix="aes_bench_png_"), "media")
+
+    def gen(batches):
+        import zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def png(doc_id: int) -> bytes:
+            h = w = 16 + (doc_id % 3) * 8
+            n = h * w * 3
+            arr = ((_np.arange(n) * (31 + doc_id % 17) + doc_id) % 256).astype(
+                _np.uint8
+            )
+            scan = _np.zeros((h, 1 + w * 3), dtype=_np.uint8)
+            scan[:, 1:] = arr.reshape(h, w * 3)
+
+            def chunk(ctype: bytes, body: bytes) -> bytes:
+                return (
+                    len(body).to_bytes(4, "big")
+                    + ctype
+                    + body
+                    + zlib.crc32(ctype + body).to_bytes(4, "big")
+                )
+
+            ihdr = (
+                w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+                + chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [png(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs.mapInPandas(gen, "media_id long, kind string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(_MEDIA_PNG_PATH)
+
+
+def _multimodal_png_decode(spark, sf_dir: str):
+    """REAL PNG decode throughput: CRC-verified chunk walk + zlib
+    inflate + scanline unfilter + luma stats
+    (operators/multimodal.extract_features) over the synthetic PNG
+    corpus — the image sibling of multimodal_wav_decode."""
+    from analytics_etl_spark.operators.multimodal import extract_features
+
+    return extract_features(spark.read.parquet(_MEDIA_PNG_PATH))
+
+
 def _multimodal_wav_decode(spark, sf_dir: str):
     """REAL media decode throughput: the full RIFF chunk walk + FFT
     feature extraction (operators/multimodal.extract_features) over
@@ -953,6 +1024,7 @@ def main() -> None:
     _setup_skew(spark, sf_dir)  # untimed: synthetic zipf-hot-key tables
     _setup_hotcell(spark, sf_dir)  # untimed: synthetic template-heavy vectors
     _setup_media_wav(spark, sf_dir)  # untimed: synthetic PCM16 WAV corpus
+    _setup_media_png(spark, sf_dir)  # untimed: synthetic RGB PNG corpus
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -982,6 +1054,7 @@ def main() -> None:
     plans["knn_hyperplane_selfjoin_uncapped"] = _knn_hyperplane_selfjoin_uncapped
     plans["knn_hyperplane_selfjoin_capped"] = _knn_hyperplane_selfjoin_capped
     plans["multimodal_wav_decode"] = _multimodal_wav_decode
+    plans["multimodal_png_decode"] = _multimodal_png_decode
 
     # warm-up pass (untimed)
     for fn in plans.values():

@@ -448,6 +448,186 @@ def test_decode_ppm_roundtrip_and_features():
     assert sl == luma.std() and lmin == luma.min() and lmax == luma.max()
 
 
+# --- real PNG decoder (round 14): stdlib zlib + numpy unfilter ------------
+
+
+def _filter_png(arr, ftypes):
+    """INDEPENDENT per-spec PNG builder: forward-filters `arr` with
+    the given per-row filter types using the RFC 2083 §6 equations
+    byte-at-a-time in pure Python — the reference the engine's
+    vectorized unfilter must invert. CRC-correct chunks via zlib."""
+    import zlib
+
+    h, w, ch = arr.shape
+    stride = w * ch
+    flat = arr.reshape(h, stride)
+    raw = bytearray()
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        raw.append(f)
+        for i in range(stride):
+            x = int(flat[y, i])
+            left = int(flat[y, i - ch]) if i >= ch else 0
+            up = int(flat[y - 1, i]) if y > 0 else 0
+            ul = int(flat[y - 1, i - ch]) if (y > 0 and i >= ch) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            raw.append((x - pred) % 256)
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2 if ch == 3 else 6, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _demo_rgb(h=7, w=5, ch=3):
+    """Deterministic high-variance pixels (neighbor deltas exercise
+    every mod-256 wrap in the filters)."""
+    import numpy as np
+
+    n = h * w * ch
+    return ((np.arange(n) * 97 + (np.arange(n) ** 2) * 31) % 256).astype(
+        np.uint8
+    ).reshape(h, w, ch)
+
+
+def test_decode_png_roundtrip_rgb_and_rgba():
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import decode_png, encode_png
+
+    for ch in (3, 4):
+        arr = _demo_rgb(6, 4, ch)
+        assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+def test_png_unfilter_inverts_per_spec_reference_filters():
+    """Every filter type (0..4, cycled per scanline, plus an all-Paeth
+    and an all-Average image) built by the independent byte-at-a-time
+    reference — the engine's vectorized unfilter must recover the
+    exact pixels. This is the §16 golden-evidence pattern: two
+    implementations from the spec, one answer."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import decode_png
+
+    for ch in (3, 4):
+        arr = _demo_rgb(11, 6, ch)
+        for ftypes in ([0, 1, 2, 3, 4], [4], [3], [1, 4, 2]):
+            got = decode_png(_filter_png(arr, ftypes))
+            assert np.array_equal(got, arr), (ch, ftypes)
+
+
+def test_decode_png_rejects_malformed():
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from analytics_etl_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(_demo_rgb(4, 4, 3))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + good[4:])
+    # flip one IDAT byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    # unsupported flavors: grayscale(0), palette(3), 16-bit, interlaced
+    def mutate(depth=8, color=2, interlace=0):
+        ihdr = (
+            (4).to_bytes(4, "big")
+            + (4).to_bytes(4, "big")
+            + bytes([depth, color, 0, 0, interlace])
+        )
+        body = (
+            len(ihdr).to_bytes(4, "big")
+            + b"IHDR"
+            + ihdr
+            + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+        )
+        return good[:8] + body + good[8 + len(body) :]
+
+    for kw in ({"color": 0}, {"color": 3}, {"depth": 16}, {"interlace": 1}):
+        with pytest.raises(ValueError, match="supported"):
+            decode_png(mutate(**kw))
+    # inflated size disagreeing with IHDR geometry
+    arr = _demo_rgb(4, 4, 3)
+    truncated = np.zeros((3, 1 + 4 * 3), dtype=np.uint8)  # one row short
+    import analytics_etl_spark.operators.multimodal as mm
+
+    payload = (
+        good[: 8 + 25]  # magic + IHDR chunk (13 + 12)
+        + (lambda b: len(b).to_bytes(4, "big") + b"IDAT" + b + zlib.crc32(b"IDAT" + b).to_bytes(4, "big"))(zlib.compress(truncated.tobytes()))
+        + (0).to_bytes(4, "big") + b"IEND" + zlib.crc32(b"IEND").to_bytes(4, "big")
+    )
+    with pytest.raises(ValueError, match="size"):
+        decode_png(payload)
+    # all of the above must reach the FALLBACK through dispatch
+    assert mm.dispatch_features(bytes(bad)) == mm.decode_stub(bytes(bad))
+
+
+def test_image_features_png_matches_ppm_and_ignores_alpha():
+    """The same pixels through PPM and PNG payloads must yield the
+    SAME feature vector (codec-independent stats), and an RGBA PNG's
+    alpha channel must not leak into the color stats."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import encode_png, image_features
+
+    arr = _demo_rgb(8, 5, 3)
+    assert image_features(_make_ppm(arr)) == image_features(encode_png(arr))
+    rgba = np.dstack([arr, np.full((8, 5), 77, np.uint8)])
+    assert image_features(encode_png(rgba)) == image_features(encode_png(arr))
+
+
+def test_resize_images_real_png(spark):
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import (
+        decode_png,
+        resize_images,
+    )
+
+    arr = _demo_rgb(8, 8, 3)
+    # multi-filter payload: the worker's inline unfilter runs for real
+    payload = _filter_png(arr, [0, 1, 2, 3, 4])
+    df = spark.createDataFrame(
+        [(1, "image", payload), (2, "image", b"\x89PNG\r\n\x1a\njunk")],
+        "media_id long, kind string, payload binary",
+    )
+    got = {r.media_id: r.payload for r in resize_images(df, 4, 4).collect()}
+    yi, xi = (np.arange(4) * 8) // 4, (np.arange(4) * 8) // 4
+    assert np.array_equal(decode_png(bytes(got[1])), arr[yi][:, xi])
+    assert len(got[2]) == 16  # corrupt -> byte-fold fallback
+
+
 def test_dispatch_falls_back_on_unknown_or_corrupt():
     from analytics_etl_spark.operators.multimodal import (
         decode_stub,
@@ -498,6 +678,9 @@ def test_real_decoders_closure_in_sync(spark):
         2: _make_ppm(arr),
         3: "plain text payload".encode(),
         4: b"P6\n2 2\n255\nxy",  # corrupt -> fallback
+        5: _filter_png(_demo_rgb(6, 4, 3), [0, 1, 2, 3, 4]),  # all filters
+        6: _filter_png(_demo_rgb(5, 3, 4), [4, 3]),  # RGBA
+        7: b"\x89PNG\r\n\x1a\njunk",  # corrupt PNG -> fallback
     }
     df = spark.createDataFrame(
         [(k, "audio" if k == 1 else "image", v, None) for k, v in payloads.items()],
