@@ -431,7 +431,10 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "quantiles_approx",
     rows_only="approx_percentile sketch: engine-specific, only exact quantiles are "
-    "oracle-checked; per-group rank-error envelope vs exact percentiles pinned in "
+    "oracle-checked; decision arm: quantiles_exact — oracle-paired (DuckDB "
+    "quantile_cont) over the SAME frame and grouping (lineitem.l_extendedprice "
+    "by l_returnflag), so the sketch's error envelope anchors to a hash-checked "
+    "frame; per-group rank-error envelope vs exact percentiles pinned in "
     "tests/test_sketches.py::test_quantiles_approx_within_rank_envelope",
 )
 def quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:

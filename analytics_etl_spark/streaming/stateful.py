@@ -155,3 +155,11 @@ def recent_events_state(events: DataFrame, k: int = 5) -> DataFrame:
 # path in this environment; on a stock Spark 4 cluster (protobuf
 # ships with pyspark[connect] / most distros) recent_events_state
 # runs as written.
+#
+# PERMANENT (r14 final attempt): `pip download protobuf` fails with
+# NewConnectionError (no network egress) and installs are off-limits
+# by the environment rules; vendoring is not viable either — the
+# generated StateMessage_pb2 requires the full google.protobuf
+# runtime (descriptor pool + message factory + wire-format codec),
+# i.e. a shim would be a protobuf reimplementation, not a stub. The
+# single declared pytest skip stands as the complete record.

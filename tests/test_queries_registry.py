@@ -35,6 +35,8 @@ def test_registry_shape():
         "approx_distinct_buyers": "sketch",
         "approx_distinct_sketch_union": "engine-specific",
         "table_profile_sketch": "engine-specific",
+        # decision arm: quantiles_exact, oracle-paired on the same
+        # frame/grouping (the r13 heavy-hitters pattern)
         "quantiles_approx": "sketch",
         # partition/stream-order dependent counters (decision arm:
         # heavy_hitters_parts_exact, oracle-paired)

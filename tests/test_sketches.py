@@ -264,6 +264,17 @@ def test_quantiles_approx_within_rank_envelope(spark):
         r["l_returnflag"]: r["p50_approx"]
         for r in REGISTRY["quantiles_approx"].fn(spark, SF_SMOKE).collect()
     }
+    # the DECISION ARM: quantiles_exact is the oracle-paired sibling
+    # over the same frame/grouping — its group keys must be exactly
+    # the sketch's, and the sketch p50 must sit inside its exact
+    # [p25, p95] (coarse sanity on top of the tight bound below)
+    exact = {
+        r["l_returnflag"]: (r["p25"], r["p95"])
+        for r in REGISTRY["quantiles_exact"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(exact) == set(got)
+    for flag, p50 in got.items():
+        assert exact[flag][0] <= p50 <= exact[flag][1], (flag, p50, exact[flag])
     li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
     bounds = {
         r["l_returnflag"]: (r["lo"], r["hi"])
