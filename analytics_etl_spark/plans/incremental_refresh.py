@@ -1,0 +1,315 @@
+"""Incremental corpus refresh — the DAILY-ingest shape of the corpus
+build, as ONE lazy Spark plan with attributable rejects.
+
+``corpus_build`` (plans/corpus_build.py) is the nightly full rebuild:
+every gate re-scores the whole pool. A production training-data
+pipeline runs that once, then ingests BATCHES against the standing
+corpus — and every corpus-sized step in the daily loop is a bug. This
+module composes the engine's existing incremental arms into that
+loop:
+
+    quality gate (batch)  ->  decontaminate (batch vs bench bank)
+      ->  near-dedup vs STANDING corpus (incremental LSH — O(batch))
+      ->  near-dedup within the batch
+      ->  cluster-safe split assignment for the survivors
+      ->  chunk counts for the accepted docs
+
+Output: ONE ROW PER BATCH DOC — ``(doc_id, disposition, cluster_id,
+split, n_chunks)`` — the attribution record a daily ingest must
+produce (every rejected doc says WHY it was rejected; every accepted
+doc says where it landed and how much training signal it adds).
+``disposition`` is the FIRST failing gate in pipeline order:
+``quality`` | ``contaminated`` | ``dup_corpus`` | ``dup_batch`` |
+``accepted``.
+
+Split-assignment semantics (the leakage contract, continuing
+``cluster_safe_split``): a batch doc whose Jaccard overlap with ANY
+standing doc reaches ``drop_jaccard`` is rejected outright
+(``dup_corpus`` — the corpus copy wins); one whose overlap lands in
+the LINK band ``[link_jaccard, drop_jaccard)`` is kept but must not
+straddle splits with its standing near-dup, so split assignment
+hashes the connected-component id over all link edges
+(batch<->corpus and batch<->batch). Under the monotone-id contract
+(new docs get ids above the standing corpus) a linked component's
+min id is a STANDING doc, so the batch doc inherits exactly the
+split the standing doc was assigned by the same salted hash —
+no standing assignment is ever touched. Unlinked docs hash their own
+id, bit-identical to plain ``dataset_split``.
+
+Scale shape (the whole point): the standing corpus is touched by
+exactly ONE pass — ``incremental_minhash_dedup``'s signature build —
+and at deployment even that is the PERSISTED ingest artifact (the
+``write_lsh_index`` bucket table; the bench's
+``dedup_incremental_persisted`` entry measures that probe), so a
+batch arrival costs O(batch x collision rate): batch-sized gates,
+batch-sized pair lists, component finding over link edges bounded by
+near-dup density, one batch-sized left join per decision. No stage
+is corpus-sized at refresh time.
+
+Reference scope: the reference has no incremental path at all — its
+ETL re-reads the month and DELETEs+reINSERTs (monthly_etl.py,
+README.md "idempotent reload"); this is the extension surface a
+100 TB training-data pipeline needs (SURVEY.md §2 extension families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from analytics_etl_spark.operators.dedup import (
+    incremental_minhash_dedup,
+    minhash_lsh_dedup,
+    word_shingles,
+)
+from analytics_etl_spark.operators.sampling import cluster_safe_split
+from analytics_etl_spark.operators.text_analysis import (
+    chunk_documents,
+    ngram_contamination,
+    repetition_metrics,
+)
+
+DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+# Cache rotation — same contract as plans/corpus_build.py (ADVICE
+# r11/r12 lineage): exactly one invocation's id-/pair-sized decision
+# frames stay cached; entering a refresh stashes the previous
+# invocation's frames and finishing it unpersists every stashed frame
+# the new refresh did not re-register (semanticHash match = shared
+# cache entry). A separate list from corpus_build's on purpose: the
+# two plans rotate independently, so a refresh never evicts a
+# build's warm frames mid-session (bench interleaves both).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _stash_caches() -> list[DataFrame]:
+    stale, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
+    return stale
+
+
+def _drop_stale(stale: list[DataFrame]) -> None:
+    fresh = {df.semanticHash() for df in _LIVE_CACHES}
+    for df in stale:
+        if df.semanticHash() not in fresh:
+            df.unpersist()
+
+
+def corpus_refresh(
+    standing: DataFrame,
+    batch: DataFrame,
+    bench: DataFrame,
+    *,
+    quality_min_ngrams: int = 20,
+    quality_max_dup_frac: float = 0.05,
+    quality_max_top_frac: float = 0.06,
+    contamination_threshold: float = 0.2,
+    drop_jaccard: float = 0.5,
+    link_jaccard: float = 0.3,
+    splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
+    chunk_words: int = 50,
+    overlap: int = 10,
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """Run one ingest batch against the standing corpus; see module
+    docstring for semantics. All three inputs are (doc_id, text)
+    frames. Returns ``(result, observations)``: result has one row
+    per batch doc (doc_id, disposition, cluster_id, split, n_chunks);
+    observations carry the funnel counts (batch, quality_pass,
+    decontaminated, survived_corpus_dedup, accepted) on the same
+    action that consumes the result.
+
+    Gate rules are corpus_build's exactly (same thresholds, same
+    operators), so a doc accepted by the nightly rebuild and the same
+    doc arriving in a batch face one policy. Every decision is
+    deterministic integer/md5/exact-double arithmetic — the whole
+    result hash-checks against a DuckDB oracle.
+    """
+    if not (0.0 <= link_jaccard <= drop_jaccard):
+        raise ValueError(
+            f"need 0 <= link_jaccard <= drop_jaccard, got "
+            f"link={link_jaccard}, drop={drop_jaccard}"
+        )
+    _stale = _stash_caches()
+    try:
+        return _refresh_body(
+            standing,
+            batch,
+            bench,
+            quality_min_ngrams=quality_min_ngrams,
+            quality_max_dup_frac=quality_max_dup_frac,
+            quality_max_top_frac=quality_max_top_frac,
+            contamination_threshold=contamination_threshold,
+            drop_jaccard=drop_jaccard,
+            link_jaccard=link_jaccard,
+            splits=splits,
+            chunk_words=chunk_words,
+            overlap=overlap,
+            _stale=_stale,
+        )
+    except BaseException:
+        # a failed refresh must not orphan the previous invocation's
+        # cached frames (the corpus_build ADVICE r12 lesson)
+        _LIVE_CACHES[:] = _stale + _LIVE_CACHES
+        raise
+
+
+def _refresh_body(
+    standing: DataFrame,
+    batch: DataFrame,
+    bench: DataFrame,
+    *,
+    quality_min_ngrams: int,
+    quality_max_dup_frac: float,
+    quality_max_top_frac: float,
+    contamination_threshold: float,
+    drop_jaccard: float,
+    link_jaccard: float,
+    splits: tuple[tuple[str, float], ...],
+    chunk_words: int,
+    overlap: int,
+    _stale: list[DataFrame],
+) -> tuple[DataFrame, dict[str, Observation]]:
+    obs = {
+        name: Observation(f"corpus_refresh_{name}")
+        for name in (
+            "batch",
+            "quality_pass",
+            "decontaminated",
+            "survived_corpus_dedup",
+            "accepted",
+        )
+    }
+    count_n = F.count(F.lit(1)).alias("n")
+    pool = batch.select("doc_id", "text").observe(obs["batch"], count_n)
+
+    # --- per-doc decisions, each computed ONCE off the batch pool ----
+    # (the corpus_build flat layout: decision frames are id-/pair-
+    # sized, cached, and combined with id-sized joins — never a
+    # replay of a text-bearing subtree per gate)
+    m = repetition_metrics(pool, n=2)
+    quality_ids = (
+        m.filter(
+            (F.col("n_ngrams") >= quality_min_ngrams)
+            & (F.col("dup_ngram_frac") <= quality_max_dup_frac)
+            & (F.col("top_ngram_frac") <= quality_max_top_frac)
+        )
+        .select("doc_id")
+        .observe(obs["quality_pass"], count_n)
+        .cache()
+    )
+    _LIVE_CACHES.append(quality_ids)
+    contaminated_ids = (
+        ngram_contamination(
+            word_shingles(pool, n=3, distinct=True),
+            word_shingles(bench, n=3, distinct=True),
+        )
+        .filter(F.col("contamination_frac") > contamination_threshold)
+        .select("doc_id")
+        .cache()
+    )
+    _LIVE_CACHES.append(contaminated_ids)
+    # ONE incremental pass at the LINK threshold yields both decisions:
+    # pairs >= drop_jaccard reject the batch doc (corpus copy wins);
+    # pairs in [link, drop) become split-linkage edges. The standing
+    # corpus is touched only here.
+    inc_pairs = incremental_minhash_dedup(
+        standing, pool, min_jaccard=link_jaccard
+    ).cache()
+    _LIVE_CACHES.append(inc_pairs)
+    batch_pairs = (
+        minhash_lsh_dedup(pool, min_jaccard=link_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+        .cache()
+    )
+    _LIVE_CACHES.append(batch_pairs)
+
+    # --- gate combine: id-sized joins over the cached decisions ------
+    dup_corpus_ids = (
+        inc_pairs.filter(F.col("jaccard") >= drop_jaccard)
+        .select(F.col("batch_doc").alias("doc_id"))
+        .distinct()
+        .cache()
+    )
+    _LIVE_CACHES.append(dup_corpus_ids)
+    surv2 = quality_ids.join(contaminated_ids, "doc_id", "left_anti").observe(
+        obs["decontaminated"], count_n
+    )
+    surv3 = (
+        surv2.join(dup_corpus_ids, "doc_id", "left_anti")
+        .observe(obs["survived_corpus_dedup"], count_n)
+        .cache()
+    )
+    _LIVE_CACHES.append(surv3)
+    # batch-internal drop: greedy keep-first among docs alive after the
+    # corpus-facing gates (corpus_build's drop rule, batch-scoped)
+    dup_batch_ids = (
+        batch_pairs.filter(F.col("jaccard") >= drop_jaccard)
+        .join(surv3.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(surv3.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .cache()
+    )
+    _LIVE_CACHES.append(dup_batch_ids)
+    accepted_ids = (
+        surv3.join(dup_batch_ids, "doc_id", "left_anti")
+        .observe(obs["accepted"], count_n)
+        .cache()
+    )
+    _LIVE_CACHES.append(accepted_ids)
+
+    # --- split assignment over link edges (cluster-safe) -------------
+    link_bc = (
+        inc_pairs.filter(F.col("jaccard") < drop_jaccard)
+        .join(
+            accepted_ids.withColumnRenamed("doc_id", "batch_doc"),
+            "batch_doc",
+            "left_semi",
+        )
+        .select(F.col("batch_doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b"))
+    )
+    link_bb = (
+        batch_pairs.filter(F.col("jaccard") < drop_jaccard)
+        .join(accepted_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+        .join(accepted_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_a", "doc_b")
+    )
+    assigned = cluster_safe_split(
+        accepted_ids, link_bc.unionByName(link_bb), splits=splits
+    ).select("doc_id", "cluster_id", "split")
+
+    # --- one text-bearing pass for the packing volume -----------------
+    n_chunks = (
+        chunk_documents(
+            pool.join(accepted_ids, "doc_id", "left_semi"),
+            chunk_words=chunk_words,
+            overlap=overlap,
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_chunks"))
+    )
+
+    # --- assemble the per-doc attribution record ----------------------
+    flag = F.lit(1)
+    out = (
+        pool.select("doc_id")
+        .join(quality_ids.withColumn("_q", flag), "doc_id", "left")
+        .join(contaminated_ids.withColumn("_c", flag), "doc_id", "left")
+        .join(dup_corpus_ids.withColumn("_dc", flag), "doc_id", "left")
+        .join(dup_batch_ids.withColumn("_db", flag), "doc_id", "left")
+        .join(assigned, "doc_id", "left")
+        .join(n_chunks, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_q").isNull(), F.lit("quality"))
+            .when(F.col("_c").isNotNull(), F.lit("contaminated"))
+            .when(F.col("_dc").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("_db").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("disposition"),
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            "split",
+            F.coalesce(F.col("n_chunks"), F.lit(0).cast("bigint")).alias("n_chunks"),
+        )
+    )
+    _drop_stale(_stale)
+    return out, obs

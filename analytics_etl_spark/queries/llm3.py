@@ -279,3 +279,223 @@ def dedup_substring_remove_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(t(spark, sf_dir, "documents"), span_words=20)
+
+
+# --- incremental corpus refresh (round 14) ---------------------------------
+
+# The daily-ingest composition (plans/incremental_refresh.py): batch
+# docs against the standing corpus — gate, decontaminate, incremental
+# LSH dedup (corpus touched once), cluster-safe split assignment over
+# the LINK band, chunk counts — one row per batch doc with the FIRST
+# failing gate as its disposition. Slicing: bench = doc_id < 25 (the
+# corpus_build convention), the newest 20% of ids (exact-integer
+# cutoff (8*max) div 10, broadcast 1-row cross join — stays one lazy
+# plan, no driver collect) are the arriving batch, the rest is the
+# standing corpus. Every decision is integer/md5/exact-double
+# arithmetic; the oracle unrolls the same pipeline in SQL, with the
+# split-linkage components via a recursive transitive closure.
+def _refresh_oracle() -> str:
+    from analytics_etl_spark.queries.llm import _minhash_params_sql
+
+    tok3 = (
+        "SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), "
+        "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle"
+    )
+    ver = """
+    common_{s} AS (
+      SELECT c.u, c.v, COUNT(*) AS cm
+      FROM cand_{s} c
+      JOIN alltok x ON x.doc_id = c.u
+      JOIN alltok y ON y.doc_id = c.v AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ),
+    ver_{s} AS (
+      SELECT c.u, c.v, CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm) AS j
+      FROM cand_{s} c
+      JOIN common_{s} cm ON cm.u = c.u AND cm.v = c.v
+      JOIN sizes sa ON sa.doc_id = c.u
+      JOIN sizes sb ON sb.doc_id = c.v
+      WHERE CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm) >= 0.3
+    )"""
+    return f"""
+    WITH RECURSIVE
+    cut AS (SELECT (8 * MAX(doc_id)) // 10 AS c FROM documents),
+    batch AS (SELECT d.doc_id, d.text FROM documents d, cut WHERE d.doc_id > cut.c),
+    standing AS (
+      SELECT d.doc_id, d.text FROM documents d, cut
+      WHERE d.doc_id >= 25 AND d.doc_id <= cut.c
+    ),
+    benchd AS (SELECT doc_id, text FROM documents WHERE doc_id < 25),
+    -- quality gate on the batch (word 2-grams, corpus_build rules)
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+      FROM w2
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS cg FROM g2 GROUP BY 1, 2),
+    m AS (
+      SELECT doc_id, CAST(SUM(cg) AS BIGINT) AS n_ngrams,
+             1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cg) AS DOUBLE) AS dup_frac,
+             CAST(MAX(cg) AS DOUBLE) / CAST(SUM(cg) AS DOUBLE) AS top_frac
+      FROM pg GROUP BY doc_id
+    ),
+    q AS (
+      SELECT doc_id FROM m
+      WHERE n_ngrams >= 20 AND dup_frac <= 0.05 AND top_frac <= 0.06
+    ),
+    -- distinct word 3-grams per side
+    wb AS (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+    tok_b AS ({tok3} FROM wb),
+    ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM standing),
+    tok_s AS ({tok3} FROM ws),
+    we AS (SELECT doc_id, string_split(text, ' ') AS w FROM benchd),
+    tok_e AS ({tok3} FROM we),
+    -- decontamination: batch 3-gram overlap with the bench bank
+    bank AS (SELECT DISTINCT shingle FROM tok_e),
+    csize AS (SELECT doc_id, COUNT(*) AS n FROM tok_b GROUP BY doc_id),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS h FROM tok_b t JOIN bank USING (shingle)
+      GROUP BY t.doc_id
+    ),
+    contaminated AS (
+      SELECT s.doc_id FROM csize s JOIN hits h USING (doc_id)
+      WHERE CAST(h.h AS DOUBLE) / s.n > 0.2
+    ),
+    -- MinHash bands over batch + standing (per-doc, so one CTE serves
+    -- both the incremental and the batch-internal candidate joins)
+    {_minhash_params_sql(12)},
+    alltok AS (
+      SELECT doc_id, shingle FROM tok_b
+      UNION ALL SELECT doc_id, shingle FROM tok_s
+    ),
+    base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT % 2147483647) AS hb
+      FROM alltok
+    ),
+    mh AS (
+      SELECT doc_id, seed, MIN((a * hb + b) % 2147483647) AS h
+      FROM base CROSS JOIN params GROUP BY doc_id, seed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 3 AS INT) AS band,
+             md5(string_agg(h::VARCHAR, '|' ORDER BY seed)) AS bucket
+      FROM mh GROUP BY doc_id, CAST(seed // 3 AS INT)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM alltok GROUP BY doc_id),
+    -- candidates: batch vs standing (u = batch side), batch vs batch
+    cand_bc AS (
+      SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+      FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket
+      JOIN batch b1 ON b1.doc_id = x.doc_id
+      JOIN standing s1 ON s1.doc_id = y.doc_id
+    ),
+    cand_bb AS (
+      SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      JOIN batch b1 ON b1.doc_id = x.doc_id
+      JOIN batch b2 ON b2.doc_id = y.doc_id
+    ),
+    {ver.format(s="bc")},
+    {ver.format(s="bb")},
+    -- gate combine (pipeline order; dispositions attribute the FIRST cut)
+    dc AS (SELECT DISTINCT u AS doc_id FROM ver_bc WHERE j >= 0.5),
+    s2 AS (
+      SELECT doc_id FROM q
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM dc)),
+    db AS (
+      SELECT DISTINCT v.v AS doc_id FROM ver_bb v
+      JOIN s3 xa ON xa.doc_id = v.u
+      JOIN s3 xb ON xb.doc_id = v.v
+      WHERE v.j >= 0.5
+    ),
+    acc AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM db)),
+    -- split-linkage components over the [0.3, 0.5) link band
+    e_raw AS (
+      SELECT v.u, v.v FROM ver_bc v JOIN acc ON acc.doc_id = v.u WHERE v.j < 0.5
+      UNION ALL
+      SELECT v.u, v.v FROM ver_bb v
+      JOIN acc xa ON xa.doc_id = v.u
+      JOIN acc xb ON xb.doc_id = v.v
+      WHERE v.j < 0.5
+    ),
+    e2 AS (SELECT u, v FROM e_raw UNION SELECT v, u FROM e_raw),
+    reach(u, v) AS (
+      SELECT u, u FROM e2
+      UNION SELECT u, v FROM e2
+      UNION SELECT r.u, e.v FROM reach r JOIN e2 e ON r.v = e.u
+    ),
+    cc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+    assigned AS (
+      SELECT a.doc_id, COALESCE(c.cluster_id, a.doc_id) AS cluster_id
+      FROM acc a LEFT JOIN cc c ON c.doc_id = a.doc_id
+    ),
+    sp AS (
+      SELECT doc_id, cluster_id,
+             CASE WHEN bkt < 9000 THEN 'train'
+                  WHEN bkt < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, cluster_id,
+               CAST((('0x' || substr(md5('split:' || cluster_id::VARCHAR), 1, 15))::BIGINT
+                     % 10000) AS INT) AS bkt
+        FROM assigned
+      )
+    ),
+    -- chunk counts (50-word windows, 10 overlap) for accepted docs
+    cw AS (
+      SELECT b.doc_id, string_split(b.text, ' ') AS words
+      FROM batch b JOIN acc USING (doc_id) WHERE b.text IS NOT NULL
+    ),
+    nch AS (
+      SELECT doc_id,
+             CAST(ceil(greatest(len(words) - 10, 1) / 40.0) AS BIGINT) AS n_chunks
+      FROM cw
+    )
+    SELECT b.doc_id,
+           CASE WHEN q.doc_id IS NULL THEN 'quality'
+                WHEN con.doc_id IS NOT NULL THEN 'contaminated'
+                WHEN dc.doc_id IS NOT NULL THEN 'dup_corpus'
+                WHEN db.doc_id IS NOT NULL THEN 'dup_batch'
+                ELSE 'accepted' END AS disposition,
+           CAST(sp.cluster_id AS BIGINT) AS cluster_id,
+           sp.split,
+           COALESCE(nch.n_chunks, 0) AS n_chunks
+    FROM batch b
+    LEFT JOIN q ON q.doc_id = b.doc_id
+    LEFT JOIN contaminated con ON con.doc_id = b.doc_id
+    LEFT JOIN dc ON dc.doc_id = b.doc_id
+    LEFT JOIN db ON db.doc_id = b.doc_id
+    LEFT JOIN sp ON sp.doc_id = b.doc_id
+    LEFT JOIN nch ON nch.doc_id = b.doc_id
+    """
+
+
+@query("corpus_refresh_pipeline", oracle=_refresh_oracle())
+def corpus_refresh_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh (plans/incremental_refresh.py): one
+    ingest batch (the newest 20% of doc ids) against the standing
+    corpus, as ONE lazy plan — quality gate, bench decontamination,
+    incremental LSH dedup vs the corpus (the O(batch) arm: the corpus
+    is touched once, by the signature build that at deployment is the
+    persisted ingest index), batch-internal dedup, cluster-safe split
+    assignment over the [link, drop) Jaccard band, chunk counts.
+    Returns the per-doc attribution record every daily ingest must
+    produce: (doc_id, disposition, cluster_id, split, n_chunks) with
+    disposition = the first failing gate or 'accepted'."""
+    from analytics_etl_spark.plans.incremental_refresh import corpus_refresh
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("(8 * max(doc_id)) div 10").alias("c"))
+    base = docs.crossJoin(F.broadcast(cut))
+    bench = base.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    standing = base.filter(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") <= F.col("c"))
+    ).select("doc_id", "text")
+    batch = base.filter(F.col("doc_id") > F.col("c")).select("doc_id", "text")
+    result, _ = corpus_refresh(standing, batch, bench)
+    return result

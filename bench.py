@@ -161,6 +161,9 @@ HEADLINE = [
     # the Lee et al. EDIT step: duplicate-span removal (detection's
     # cost class + the array-expression rebuild)
     "dedup_substring_remove",
+    # round-14: the daily-ingest composition (incremental LSH vs the
+    # standing corpus + cluster-safe assignment, one plan)
+    "corpus_refresh_pipeline",
 ]
 
 # jitter-prone entries get extra reps so the median is trustworthy

@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 204, f"registry count changed: {len(qs)}"
+    assert len(qs) == 205, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set, pinned BY NAME with its declared reason
     # category (VERDICT r12 item 4) — the set cannot silently grow,
@@ -179,6 +179,7 @@ PYTHON_KERNEL_OK = {
     "corpus_build_classifier_gated",  # composes corpus_build's declared kernels
     "corpus_build_paradedup",  # composes corpus_build's declared kernels
     "corpus_filter_pipeline",
+    "corpus_refresh_pipeline",  # composes the same declared shingle kernels
     "dedup_incremental_batch",
     "dedup_minhash_lsh",
     "dedup_ngram_containment",
