@@ -187,6 +187,22 @@ REPS_OVERRIDE = {
 }
 
 
+# The three CODE-STABLE control entries (plans unchanged since r8)
+# and the prior round's BINDING quiet-host medians for them — the
+# adoption gate (below, and tools/adopt_bench.py) refuses to let a
+# run whose controls exceed 110% of these overwrite the committed
+# baseline. Update the values when a round adopts a new binding
+# battery (r13: aec7190, ROUND13.md §20); the driver's loaded-host
+# re-runs are exactly what this constant exists to keep out.
+CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
+CONTROLS_PREV_ROUND = {
+    "round": 13,
+    "dedup_exact": 0.223,
+    "dataset_split": 0.161,
+    "corpus_checksum": 0.164,
+}
+
+
 def _flagship_bucketed(spark, sf_dir: str):
     """flagship_monthly_revenue over lineitem/orders bucketed on the
     join key — the fact-fact sort-merge runs with NO Exchange
@@ -1086,18 +1102,19 @@ def main() -> None:
     # factor MECHANICALLY, instead of re-reading adjudication prose.
     # Host load averages bound how quiet the run actually was; the
     # per-entry [min, max] spreads expose which medians sit on jitter.
-    _CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
+    _CONTROLS = CONTROLS
+    # control-normalized timings (VERDICT r13 item 4): each entry's
+    # median ÷ this run's control median. Ambient host load inflates
+    # the controls and the heavy entries together, so the RATIOS are
+    # load-insensitive by construction — cross-round comparisons read
+    # `normalized`, not raw seconds, and need no adjudication prose.
+    control_median = statistics.median(
+        timings[c] for c in _CONTROLS if c in timings
+    )
     noise_floor = {
         "controls": {c: timings[c] for c in _CONTROLS if c in timings},
-        # r12's BINDING quiet-host battery (ROUND12.md §11b, load 0.13)
-        # — the adopted control reference; the driver's loaded-host
-        # re-run (155.1 s, load 6.8->16.1) is NOT the baseline
-        "controls_prev_round": {
-            "round": 12,
-            "dedup_exact": 0.223,
-            "dataset_split": 0.173,
-            "corpus_checksum": 0.143,
-        },
+        "controls_prev_round": dict(CONTROLS_PREV_ROUND),
+        "control_median": round(control_median, 3),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "spreads": spreads,
@@ -1108,26 +1125,52 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "normalized": {
+            name: round(t / control_median, 2) for name, t in timings.items()
+        },
         "noise_floor": noise_floor,
     }
     print(json.dumps(full))
-    # Truncation-proof per-query record (VERDICT r8 item 3): the
-    # driver's stdout-tail capture has repeatedly cut the HEAD of the
-    # full line above (62/76 entries survived in BENCH_r08), hiding
-    # regressions in alphabetically-early queries. Write the complete
-    # map to a committed file so the judge can diff ALL timings
-    # round-over-round regardless of any stdout tail budget. The file
-    # is overwritten per run; the end-of-round snapshot commit
-    # preserves the driver's sf0.1 run.
+    # Truncation-proof per-query record (VERDICT r8 item 3) + the
+    # EXECUTABLE adoption rule (VERDICT r13 item 4). Every run writes
+    # the complete map to BENCH_CANDIDATE.json (untracked — see
+    # .gitignore), then SELF-ADOPTS into the committed
+    # BENCH_FULL_latest.json only if its controls sit within 110% of
+    # the prior binding medians. A loaded-host run (the recurring
+    # driver post-commit re-run: r11-r13 all left the tree dirty with
+    # one) therefore can never overwrite the adopted baseline — the
+    # tree stays clean by construction, no adjudication prose needed.
+    # tools/adopt_bench.py re-runs the same check standalone and
+    # carries a --force for deliberate re-baselines.
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
-        )
-        with open(out_path, "w") as f:
+        with open(os.path.join(repo, "BENCH_CANDIDATE.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:  # never let the artifact write kill the bench
-        print(f"# BENCH_FULL_latest.json write failed: {e}", file=sys.stderr)
+        print(f"# BENCH_CANDIDATE.json write failed: {e}", file=sys.stderr)
+    prev = CONTROLS_PREV_ROUND
+    noisy = [
+        f"{c}: {timings[c]:.3f} > 1.10 x {prev[c]:.3f}"
+        for c in _CONTROLS
+        if c in timings and timings[c] > 1.10 * prev[c]
+    ]
+    if noisy:
+        print(
+            "# NOT adopted into BENCH_FULL_latest.json — controls above the "
+            f"r{prev['round']} binding noise envelope ({'; '.join(noisy)}); "
+            "re-run on a quiet host or adopt explicitly via "
+            "tools/adopt_bench.py --force",
+            file=sys.stderr,
+        )
+    else:
+        try:
+            with open(os.path.join(repo, "BENCH_FULL_latest.json"), "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
+            print("# adopted into BENCH_FULL_latest.json (controls quiet)", file=sys.stderr)
+        except OSError as e:
+            print(f"# BENCH_FULL_latest.json write failed: {e}", file=sys.stderr)
     # Compact summary as the LAST stdout line: the full line above
     # carries the per-query map and grows with the suite (~71 entries by
     # r6), and the driver's stdout-tail capture truncated its HEAD in
