@@ -37,7 +37,12 @@ def get_spark(
     """Build (or fetch) the engine's SparkSession."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # SPARK_GRAFT_MASTER lets the portability harness
+        # (tools/local_cluster_check.py) run the same engine under
+        # local-cluster[...] — real executor PROCESSES with closure
+        # serialization, loopback shuffle, and actually-shipped
+        # broadcasts — without touching any call site.
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
 
@@ -59,6 +64,13 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs must fit the worker memory declared in the
+        # master string (local-cluster[n, cores, MEM_MB])
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "6g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

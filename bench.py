@@ -1155,6 +1155,10 @@ def main() -> None:
         for c in _CONTROLS
         if c in timings and timings[c] > 1.10 * prev[c]
     ]
+    if sf != 0.1:
+        # a quiet run at a SMALLER SF has faster controls and would
+        # wrongly self-adopt — the binding battery is sf0.1 only
+        noisy.append(f"sf={sf} != 0.1 (binding batteries are sf0.1)")
     if noisy:
         print(
             "# NOT adopted into BENCH_FULL_latest.json — controls above the "

@@ -10,10 +10,11 @@ from bench import CONTROLS, CONTROLS_PREV_ROUND
 from tools.adopt_bench import TOLERANCE, check
 
 
-def _artifact(scale: float) -> dict:
+def _artifact(scale: float, sf: float = 0.1) -> dict:
     return {
         "value": 150.0,
         "queries": {},
+        "sf": sf,
         "noise_floor": {
             "controls": {
                 c: round(CONTROLS_PREV_ROUND[c] * scale, 3) for c in CONTROLS
@@ -32,6 +33,12 @@ def test_loaded_run_refused_per_control():
     assert len(problems) == len(CONTROLS)
     for c in CONTROLS:
         assert any(c in p for p in problems)
+
+
+def test_wrong_sf_refused_even_when_quiet():
+    """A quiet run at a smaller SF has FASTER controls (it would pass
+    the 110% rule trivially) but is not a binding battery."""
+    assert any("sf=" in p for p in check(_artifact(0.5, sf=0.001)))
 
 
 def test_missing_control_refused():

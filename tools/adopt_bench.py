@@ -40,6 +40,10 @@ def check(artifact: dict) -> list[str]:
 
     controls = artifact.get("noise_floor", {}).get("controls", {})
     problems = []
+    if artifact.get("sf") != 0.1:
+        # control medians are only comparable at the binding SF — a
+        # quiet sf0.001 run would pass the 110% rule trivially
+        problems.append(f"sf={artifact.get('sf')} != 0.1 (binding batteries are sf0.1)")
     for name, prev_median in CONTROLS_PREV_ROUND.items():
         if name == "round":
             continue

@@ -1,23 +1,39 @@
-"""10x scale rehearsal (VERDICT r12 item 2): empirically test the
-SCALING.md ledger's 100x-design claims one decade up from the sf0.1
-scale gate, without touching the read-only /root/testdata.
+"""Scale rehearsal: 10x AND 100x tiers (VERDICT r12 item 2, r13 item 1)
+— empirically test the SCALING.md ledger's 100 TB-design claims two
+decades up from the sf0.1 scale gate, without touching the read-only
+/root/testdata.
 
-Builds a deterministic sf1-equivalent in scratch — a 10-way
-id-shifted self-union of sf0.1 with a per-copy SEED STAMP so the
-copies are not exact duplicates (a stamp token prefixes every
-document text; embeddings are rolled by the copy index, a
-norm-preserving permutation that decorrelates the copies). Then runs
-the heavy registered families interleaved A/B at sf0.1 and 10x in
-ONE session (the bench-host-variance rule: only same-run ratios are
-trustworthy), reports median wall times, the 1x->10x ratio and the
-implied scaling exponent log10(t10/t1), and re-asserts the at-scale
-plan invariants on the 10x data (candidate joins stay keyed
-equi-joins — no broadcast flipping to NestedLoop, no
-CartesianProduct).
+Corpus construction (round-14 revision). The r13 generator stamped
+one seed token per copy, which left copies of the same document
+NEAR-DUPLICATES of each other (measured: 224,361 of the 10x tier's
+250,300 LSH pairs were cross-copy self-pairs) — so the near-dup pair
+list grew QUADRATICALLY in the copy count (C(copies,2) per base doc).
+At 10 copies that was survivable (250k pairs); at 100 copies it would
+be 24.75M pairs — an artifact of the synthetic construction, not a
+property of a 100x-bigger corpus (a real corpus's near-dup density is
+roughly linear in its size). The r14 generator instead marks copies
+by DETERMINISTIC WORD SUBSTITUTION: every 4th word of copy k > 0 gets
+an ``x{k}`` suffix, so ~75% of a copy's 3-gram shingles differ from
+every other copy's (cross-copy Jaccard ~0.14 — below the 0.3 link
+band and far below minhash banding's effective candidate range),
+while WITHIN-copy near-dup structure (the real signal) is preserved
+exactly. Embeddings: norm-preserving roll by k mod dim, negated for
+k >= dim (distinct transforms for 100 copies at dim 64). Lineitem:
+both graph keys shifted per copy — 100 disjoint co-purchase graphs.
 
-Usage: python tools/scale_rehearsal.py [build|run|all] [scratch_dir]
-Output: one JSON line per family + a summary block (paste into
-SCALING.md's "measured at 10x" column).
+Both tiers are built by the same generator, so the 1x->10x and
+10x->100x decades are comparable; the 10x->100x exponent is the
+honest one (fixed overheads stop flattering the curve).
+
+Usage:
+    python tools/scale_rehearsal.py build10  [/tmp/scale10x]
+    python tools/scale_rehearsal.py build100 [/tmp/scale100x]
+    python tools/scale_rehearsal.py run      [/tmp/scale10x /tmp/scale100x]
+    python tools/scale_rehearsal.py all
+
+Output: one JSON line per family with per-decade wall-time exponents
+(log10 of adjacent-tier ratios) + the at-scale plan re-assertions on
+the 100x data (paste into SCALING.md's measured-at-scale table).
 """
 
 from __future__ import annotations
@@ -25,6 +41,7 @@ from __future__ import annotations
 import contextlib
 import io
 import json
+import math
 import os
 import shutil
 import statistics
@@ -35,7 +52,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1 = "/root/testdata/sf0.1"
 SHIFT = 10_000_000
-COPIES = 10
 
 FAMILIES = (
     "knn_graph_clusters",
@@ -44,11 +60,11 @@ FAMILIES = (
     "dedup_paragraph_corpus",
     "dedup_minhash_lsh",
     "text_search_bm25",
-    # round-13 continuation: the LSH->CC->split composition (documents
-    # 10x) and fixed-round LPA over the co-purchase graph (lineitem is
-    # 10x'd as disjoint graph copies — see build())
     "dataset_split_cluster_safe",
     "copurchase_communities",
+    # round-14: the daily-ingest composition — its batch is the top
+    # 20% of ids, so the tiers scale batch AND standing together
+    "corpus_refresh_pipeline",
 )
 
 
@@ -59,98 +75,117 @@ def get_spark():
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
 
 
-def build(scratch: str) -> None:
+def build(scratch: str, copies: int) -> None:
+    """One pass per table: cross join with a broadcast copy-index
+    frame (k = 0..copies-1), id-shift by k*SHIFT, mark copy k's text
+    by suffixing every 4th word — a single scan however many copies,
+    no 100-way union plan."""
     import pyspark.sql.functions as F
 
     spark = get_spark()
     os.makedirs(scratch, exist_ok=True)
+    ks = F.broadcast(spark.range(copies).select(F.col("id").alias("k")))
+
     docs = spark.read.parquet(f"{SF1}/documents.parquet")
-    parts = []
-    for k in range(COPIES):
-        stamped = docs.select(
-            (F.col("doc_id") + F.lit(k * SHIFT)).alias("doc_id"),
-            F.concat(F.lit(f"seed{k}tok "), F.col("text")).alias("text"),
+    w = F.split(F.col("text"), " ")
+    marked = F.array_join(
+        F.zip_with(
+            w,
+            F.sequence(F.lit(0), F.greatest(F.size(w) - 1, F.lit(0))),
+            lambda word, i: F.when(
+                (F.col("k") > 0) & (i % 4 == 0),
+                F.concat(word, F.lit("x"), F.col("k").cast("string")),
+            ).otherwise(word),
+        ),
+        " ",
+    )
+    (
+        docs.crossJoin(ks)
+        .select(
+            (F.col("doc_id") + F.col("k") * SHIFT).alias("doc_id"),
+            F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+            .otherwise(marked)
+            .alias("text"),
             "lang",
             "source",
-        ).withColumn("n_chars", F.length("text").cast("long"))
-        parts.append(stamped)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(32).write.mode("overwrite").parquet(
-        f"{scratch}/documents.parquet"
+            "k",
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .drop("k")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/documents.parquet")
     )
 
     emb = spark.read.parquet(f"{SF1}/embeddings.parquet")
     dim = len(emb.select("embedding").first()["embedding"])
-    eparts = []
-    for k in range(COPIES):
-        if k == 0:
-            rolled = F.col("embedding")
-        else:
-            rolled = F.concat(
-                F.slice("embedding", k + 1, dim - k), F.slice("embedding", 1, k)
-            )
-        eparts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(k * SHIFT)).alias("vec_id"),
-                rolled.alias("embedding"),
-            )
+    roll = F.col("k") % dim
+    rolled = F.when(F.col("k") % dim == 0, F.col("embedding")).otherwise(
+        F.concat(
+            F.slice("embedding", roll + 1, F.lit(dim) - roll),
+            F.slice("embedding", 1, roll),
         )
-    eout = eparts[0]
-    for p in eparts[1:]:
-        eout = eout.unionByName(p)
-    eout.repartition(32).write.mode("overwrite").parquet(
-        f"{scratch}/embeddings.parquet"
+    )
+    signed = F.when(
+        F.col("k") >= dim, F.transform(rolled, lambda x: -x)
+    ).otherwise(rolled)
+    (
+        emb.crossJoin(ks)
+        .select(
+            (F.col("vec_id") + F.col("k") * SHIFT).alias("vec_id"),
+            signed.alias("embedding"),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/embeddings.parquet")
     )
 
-    # lineitem 10x: id-shift BOTH graph keys, producing 10 disjoint
-    # copies of the co-purchase graph — 10x the edges with the same
-    # per-copy structure (copurchase_communities' scale input; the
-    # disjointness is fine, LPA/CC cost is driven by |E|, not by
-    # whether components touch)
     li = spark.read.parquet(f"{SF1}/lineitem.parquet")
-    lparts = []
-    for k in range(COPIES):
-        lparts.append(
-            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * SHIFT))
-            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * SHIFT))
-        )
-    lout = lparts[0]
-    for p in lparts[1:]:
-        lout = lout.unionByName(p)
-    lout.repartition(32).write.mode("overwrite").parquet(
-        f"{scratch}/lineitem.parquet"
+    (
+        li.crossJoin(ks)
+        .withColumn("l_orderkey", F.col("l_orderkey") + F.col("k") * SHIFT)
+        .withColumn("l_partkey", F.col("l_partkey") + F.col("k") * SHIFT)
+        .drop("k")
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{scratch}/lineitem.parquet")
     )
 
-    # remaining tables: the heavy families above never read them, but
-    # copying keeps the dir a complete sf layout for any t() load
-    for name in (
-        "region nation customer supplier part orders events".split()
-    ):
-        src = f"{SF1}/{name}.parquet"
-        dst = f"{scratch}/{name}.parquet"
+    for name in "region nation customer supplier part orders events".split():
+        src, dst = f"{SF1}/{name}.parquet", f"{scratch}/{name}.parquet"
         if os.path.isdir(src):
             shutil.copytree(src, dst, dirs_exist_ok=True)
         else:
             shutil.copy(src, dst)
     n_docs = spark.read.parquet(f"{scratch}/documents.parquet").count()
     n_vecs = spark.read.parquet(f"{scratch}/embeddings.parquet").count()
-    print(json.dumps({"built": scratch, "n_docs": n_docs, "n_vecs": n_vecs}))
+    n_li = spark.read.parquet(f"{scratch}/lineitem.parquet").count()
+    print(
+        json.dumps(
+            {
+                "built": scratch,
+                "copies": copies,
+                "n_docs": n_docs,
+                "n_vecs": n_vecs,
+                "n_lineitem": n_li,
+            }
+        ),
+        flush=True,
+    )
 
 
 def assert_plans(spark, scratch: str) -> dict:
-    """At-scale plan invariants on the 10x data: the kNN candidate
-    join stays a SortMergeJoin on the bucket key (no broadcast flip to
-    NestedLoop at 20k vectors), and the LSH dedup plan carries no
-    CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    """At-scale plan invariants on the LARGEST tier: the kNN candidate
+    join stays a keyed equi-join (no broadcast flip to NestedLoop),
+    LSH dedup / LPA / cluster-safe split carry no nested-loop shapes."""
     import pyspark.sql.functions as F
 
     from analytics_etl_spark.operators.similarity import knn_join, valid_embeddings
@@ -170,10 +205,6 @@ def assert_plans(spark, scratch: str) -> dict:
     )
     knn_plan = plan_of(knn_join(emb, self_q, k=5, bucket_bits=8))
     checks = {
-        # the invariant: the candidate join is a KEYED equi-join of
-        # some physical flavor (SMJ at corpus-sized both sides; AQE
-        # may pick a hash join when one side is genuinely small) and
-        # NEVER degrades to a nested-loop/cartesian shape
         "knn_bucketed_keyed_equijoin": any(
             j in knn_plan
             for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
@@ -182,10 +213,6 @@ def assert_plans(spark, scratch: str) -> dict:
         "knn_bucketed_no_bnl": "BroadcastNestedLoopJoin" not in knn_plan,
         "knn_bucketed_no_cartesian": "CartesianProduct" not in knn_plan,
     }
-    # the 100x simulation: when NO side fits a broadcast (the true
-    # corpus regime — disable the threshold to force the planner's
-    # hand), the candidate join must fall back to SortMergeJoin on the
-    # bucket key, never to a nested-loop shape
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -202,12 +229,6 @@ def assert_plans(spark, scratch: str) -> dict:
     lsh_plan = plan_of(REGISTRY["dedup_minhash_lsh"].fn(spark, scratch))
     checks["lsh_no_cartesian"] = "CartesianProduct" not in lsh_plan
     checks["lsh_no_bnl"] = "BroadcastNestedLoopJoin" not in lsh_plan
-    # LPA: one un-checkpointed round over the 10x co-purchase edges —
-    # the per-round work must stay keyed (edge join + vote groupBy +
-    # rank window), never a nested-loop shape. The edge list comes
-    # from the SAME helper the registered query runs (queries/llm3.py
-    # copurchase_edges), so this certifies the production plan, not a
-    # hand-copied twin.
     from analytics_etl_spark.operators.graph import label_propagation
     from analytics_etl_spark.queries.llm3 import copurchase_edges
 
@@ -217,8 +238,6 @@ def assert_plans(spark, scratch: str) -> dict:
         and "BroadcastNestedLoopJoin" not in lpa_plan
     )
     checks["lpa_round_windowed_vote"] = "Window" in lpa_plan
-    # cluster-safe split: CC truncates its own lineage; what remains
-    # must be the ONE corpus-side equi-join + a pure projection
     split_plan = plan_of(REGISTRY["dataset_split_cluster_safe"].fn(spark, scratch))
     checks["cluster_split_no_nested_loop"] = (
         "CartesianProduct" not in split_plan
@@ -227,48 +246,49 @@ def assert_plans(spark, scratch: str) -> dict:
     return checks
 
 
-def run(scratch: str, reps: int = 3) -> None:
+def run(tiers: list[tuple[str, str]], reps: int = 3) -> None:
+    """Interleaved A/B/C across all tiers in ONE session (the
+    bench-host-variance rule: only same-run ratios are trustworthy)."""
     from analytics_etl_spark.queries import REGISTRY
 
     spark = get_spark()
-    # warm the JVM/codegen once per family per SF outside timing
     times: dict[str, dict[str, list[float]]] = {
-        f: {"sf0.1": [], "x10": []} for f in FAMILIES
+        f: {label: [] for label, _ in tiers} for f in FAMILIES
     }
     for f in FAMILIES:
-        for sf in (SF1, scratch):
-            REGISTRY[f].fn(spark, sf).count()
+        for _, sf in tiers:
+            REGISTRY[f].fn(spark, sf).count()  # warm-up, untimed
     for rep in range(reps):
         for f in FAMILIES:
-            for label, sf in (("sf0.1", SF1), ("x10", scratch)):
+            for label, sf in tiers:
                 t0 = time.monotonic()
                 REGISTRY[f].fn(spark, sf).count()
                 times[f][label].append(time.monotonic() - t0)
         print(json.dumps({"rep": rep, "done": True}), flush=True)
-    import math
 
     summary = {}
+    labels = [label for label, _ in tiers]
     for f in FAMILIES:
-        t1 = statistics.median(times[f]["sf0.1"])
-        t10 = statistics.median(times[f]["x10"])
-        summary[f] = {
-            "sf0.1_s": round(t1, 3),
-            "x10_s": round(t10, 3),
-            "ratio": round(t10 / t1, 2),
-            "exponent": round(math.log10(t10 / t1), 3),
-            "spread_sf0.1": [round(min(times[f]["sf0.1"]), 3), round(max(times[f]["sf0.1"]), 3)],
-            "spread_x10": [round(min(times[f]["x10"]), 3), round(max(times[f]["x10"]), 3)],
+        med = {lb: statistics.median(times[f][lb]) for lb in labels}
+        entry = {f"{lb}_s": round(med[lb], 3) for lb in labels}
+        for a, b in zip(labels, labels[1:]):
+            # adjacent tiers are one decade apart -> log10 of the ratio
+            entry[f"exp_{a}_to_{b}"] = round(math.log10(med[b] / med[a]), 3)
+        entry["spreads"] = {
+            lb: [round(min(times[f][lb]), 3), round(max(times[f][lb]), 3)]
+            for lb in labels
         }
-        print(json.dumps({f: summary[f]}), flush=True)
-    checks = assert_plans(spark, scratch)
-    load = os.getloadavg()
+        summary[f] = entry
+        print(json.dumps({f: entry}), flush=True)
+    checks = assert_plans(spark, tiers[-1][1])
     print(
         json.dumps(
             {
                 "summary": summary,
                 "plan_checks": checks,
-                "load_avg": [round(x, 2) for x in load],
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
                 "reps": reps,
+                "tiers": dict(tiers),
             }
         ),
         flush=True,
@@ -281,11 +301,20 @@ def run(scratch: str, reps: int = 3) -> None:
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
-    if mode in ("build", "all"):
-        build(scratch)
-    if mode in ("run", "all"):
-        run(scratch)
+    if mode == "build10":
+        build(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x", 10)
+    elif mode == "build100":
+        build(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale100x", 100)
+    elif mode == "run":
+        ten = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
+        hundred = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale100x"
+        run([("sf0.1", SF1), ("x10", ten), ("x100", hundred)])
+    elif mode == "all":
+        build("/tmp/scale10x", 10)
+        build("/tmp/scale100x", 100)
+        run([("sf0.1", SF1), ("x10", "/tmp/scale10x"), ("x100", "/tmp/scale100x")])
+    else:
+        raise SystemExit(f"unknown mode {mode}")
 
 
 if __name__ == "__main__":
