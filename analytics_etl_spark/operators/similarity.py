@@ -737,6 +737,44 @@ def int8_rerank_topk(
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
 
+def plan_bucket_bits(
+    n_vectors: int,
+    target_occupancy: int = 4,
+    max_bits: int = 24,
+) -> int:
+    """Pick ``bucket_bits`` for the sign-LSH kNN join so candidate
+    volume stays LINEAR in corpus size — the knob-scaling rule a
+    100 TB deployment applies, made executable (the ``plan_bands``
+    pattern for the embedding family).
+
+    Why this planner exists (r14, measured): with FIXED bits the
+    self-join's candidate volume is ~N²/2^bits — quadratic in N. The
+    100x scale rehearsal caught the knee live: ``knn_graph_clusters``
+    at bucket_bits=10 ran 1.9 s / 5.1 s / 103.7 s at sf0.1/x10/x100 —
+    wall-time exponent 1.31 over the second decade (superlinear),
+    exactly the N²/1024 the docstring always declared. Expected
+    per-bucket occupancy is N/2^bits, so holding occupancy at a
+    CONSTANT ``target_occupancy`` — bits = log2(N / target) — makes
+    expected candidates ≈ N·target: linear by construction.
+
+    The recall trade is explicit and has its own knob: more bits →
+    fewer collisions among true neighbors → single-probe recall
+    drops; recover it with ``n_probes > 1`` (multiprobe costs
+    ~n_probes× LINEAR candidates — still no quadratic term) or with
+    the IVF/semantic family (`operators/ivf.py`), which is the
+    preferred production path for whole-corpus clustering at this
+    size. Clamped to [1, max_bits] (signature cost is linear in
+    bits; beyond ~24 the bucket key exceeds any realistic occupancy
+    win)."""
+    import math
+
+    if n_vectors < 1:
+        raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    if target_occupancy < 1:
+        raise ValueError(f"target_occupancy must be >= 1, got {target_occupancy}")
+    return max(1, min(max_bits, round(math.log2(max(n_vectors / target_occupancy, 2)))))
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1031,3 +1031,46 @@ def test_doremi_within_round_order_preservation(stats, r_hi, r_lo):
     _, hist = doremi_mixture(named, rounds=1)
     w = hist[0]
     assert w["zhi"] >= w["zlo"] - 3, (w["zhi"], w["zlo"])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    target=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_plan_bucket_bits_linear_candidates(n, target):
+    """The sign-LSH bits planner's contract (the r14 knee fix), pure
+    math: (a) bits stay in [1, 24]; (b) wherever the clamp is NOT
+    binding, the expected per-bucket occupancy n/2^bits lands within
+    a factor-of-2 of the target — so expected candidate volume
+    n * occupancy is LINEAR in n by construction, never the
+    fixed-bits quadratic the 100x rehearsal measured."""
+    from analytics_etl_spark.operators.similarity import plan_bucket_bits
+
+    bits = plan_bucket_bits(n, target)
+    assert 1 <= bits <= 24
+    if 1 < bits < 24:  # clamp not binding -> occupancy pinned
+        occupancy = n / (1 << bits)
+        # rounding log2 moves occupancy by at most sqrt(2) each way
+        assert target / 2 <= occupancy <= target * 2, (bits, occupancy)
+
+
+def test_plan_bucket_bits_monotone_and_validates():
+    from analytics_etl_spark.operators.similarity import plan_bucket_bits
+
+    # monotone non-decreasing in n (more vectors never fewer buckets)
+    last = 0
+    for exp in range(0, 13):
+        bits = plan_bucket_bits(10**exp)
+        assert bits >= last
+        last = bits
+    # the rehearsal sizes: small tier keeps the registered small knob's
+    # ballpark, the x100 tier demands ~15-16 bits
+    assert plan_bucket_bits(2000) in (9, 10)
+    assert plan_bucket_bits(200_000) in (15, 16)
+    import pytest
+
+    with pytest.raises(ValueError, match="n_vectors"):
+        plan_bucket_bits(0)
+    with pytest.raises(ValueError, match="target_occupancy"):
+        plan_bucket_bits(100, 0)

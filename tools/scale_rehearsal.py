@@ -299,6 +299,87 @@ def run(tiers: list[tuple[str, str]], reps: int = 3) -> None:
         sys.exit(1)
 
 
+def knee(scratch: str, reps: int = 3) -> None:
+    """The r14 knee follow-up: knn_graph_clusters went SUPERLINEAR
+    over the second decade (bucket_bits=10 fixed → candidates
+    ~N²/1024). Measure the remedy on the x100 tier in one session:
+
+    - bits=10 (the registered small-SF knob — the knee itself);
+    - bits=plan_bucket_bits(N) (constant occupancy → linear
+      candidates);
+    - scaled bits + n_probes=4 (multiprobe recall recovery at
+      ~4× linear cost).
+
+    Alongside wall time, record the mutual-edge count and the
+    fraction of the bits-10 edge set each scaled variant retains —
+    bits-10 collides the most, so retention against it is the
+    honest recall proxy at a size where exact ground truth (N² =
+    4·10^10 cosines) is off the table."""
+    import pyspark.sql.functions as F
+
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        mutual_knn_edges,
+        plan_bucket_bits,
+        valid_embeddings,
+    )
+
+    spark = get_spark()
+    emb = valid_embeddings(
+        spark.read.parquet(f"{scratch}/embeddings.parquet"), dim=64
+    ).localCheckpoint(eager=True)
+    n = emb.count()
+    scaled = plan_bucket_bits(n)
+    self_q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    variants = {
+        "bits10": dict(bucket_bits=10),
+        f"bits{scaled}": dict(bucket_bits=scaled),
+        f"bits{scaled}_probes4": dict(bucket_bits=scaled, n_probes=4),
+    }
+
+    def edges_of(kw):
+        return mutual_knn_edges(knn_join(emb, self_q, k=5, **kw))
+
+    out: dict[str, dict] = {}
+    edge_sets: dict[str, object] = {}
+    for name, kw in variants.items():
+        edges_of(kw).count()  # warm-up
+    for name, kw in variants.items():
+        runs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            n_edges = edges_of(kw).count()
+            runs.append(time.monotonic() - t0)
+        edge_sets[name] = edges_of(kw).localCheckpoint(eager=True)
+        out[name] = {
+            "median_s": round(statistics.median(runs), 3),
+            "spread": [round(min(runs), 3), round(max(runs), 3)],
+            "n_mutual_edges": n_edges,
+        }
+    ref = edge_sets["bits10"]
+    for name in variants:
+        if name == "bits10":
+            out[name]["retained_vs_bits10"] = 1.0
+            continue
+        kept = edge_sets[name].join(ref, ["u", "v"], "left_semi").count()
+        out[name]["retained_vs_bits10"] = round(
+            kept / max(out["bits10"]["n_mutual_edges"], 1), 3
+        )
+    print(
+        json.dumps(
+            {
+                "knee_followup": out,
+                "n_vectors": n,
+                "planned_bits": scaled,
+                "load_avg": [round(x, 2) for x in os.getloadavg()],
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode == "build10":
@@ -309,6 +390,8 @@ def main() -> None:
         ten = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
         hundred = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale100x"
         run([("sf0.1", SF1), ("x10", ten), ("x100", hundred)])
+    elif mode == "knee":
+        knee(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale100x")
     elif mode == "all":
         build("/tmp/scale10x", 10)
         build("/tmp/scale100x", 100)
