@@ -65,55 +65,51 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-13 rotation (output of tools/rotate_window.py, re-run AFTER
-# the round's last registry-touching commit — the continuation added
-# four more oracle-paired queries after the first r13 rotation, so
-# this regeneration supersedes it): the SIX never-driver-checked
-# queries lead (the r13 additions: LPA communities, cluster-safe
-# split, duplicate-span removal, exact heavy hitters, hard-negative
-# mining, the z-order key), then pure LRU — the rest of the r8 cohort
-# and the stalest r9 rows.
+# Round-14 rotation (output of tools/rotate_window.py, run after the
+# round's last registry-touching commit): the ONE never-driver-checked
+# query leads (the r14 addition: the incremental corpus refresh), then
+# pure LRU — the full r9 remainder and the stalest r10 rows.
 ROTATION: tuple[str, ...] = (
-    "copurchase_communities",  # last driver row: never
-    "dataset_split_cluster_safe",  # last driver row: never
-    "dedup_substring_remove",  # last driver row: never
-    "heavy_hitters_parts_exact",  # last driver row: never
-    "knn_hard_negatives",  # last driver row: never
-    "zorder_key_orders",  # last driver row: never
-    "sole_late_supplier",  # last driver row: r8
-    "supplier_pagerank",  # last driver row: r8
-    "table_diff_reconciliation",  # last driver row: r8
-    "table_profile_orders",  # last driver row: r8
-    "temperature_mix_rates",  # last driver row: r8
-    "text_search_bm25",  # last driver row: r8
-    "text_search_conjunctive",  # last driver row: r8
-    "text_search_phrase",  # last driver row: r8
-    "text_tfidf_topterms",  # last driver row: r8
-    "top_supplier_revenue",  # last driver row: r8
-    "value_twap",  # last driver row: r8
-    "wealthy_inactive_customers",  # last driver row: r8
-    "anti_join_inactive_customers",  # last driver row: r9
-    "asof_join_last_click",  # last driver row: r9
-    "benchmark_contamination",  # last driver row: r9
-    "broadcast_join_enrich",  # last driver row: r9
-    "cents_to_dollars",  # last driver row: r9
-    "corpus_build_pipeline",  # last driver row: r9
-    "corpus_filter_pipeline",  # last driver row: r9
-    "corpus_frequency_score",  # last driver row: r9
-    "cube_counts",  # last driver row: r9
-    "dataset_split",  # last driver row: r9
-    "dedup_cluster_canonical",  # last driver row: r9
-    "dedup_embedding_cosine",  # last driver row: r9
-    "dedup_exact",  # last driver row: r9
-    "dedup_incremental_batch",  # last driver row: r9
-    "dedup_ngram_jaccard",  # last driver row: r9
-    "dim_scan",  # last driver row: r9
-    "doc_fingerprint_winnow",  # last driver row: r9
-    "docs_balanced_topn",  # last driver row: r9
-    "docs_chunked_overlap",  # last driver row: r9
-    "docs_stats_by_lang",  # last driver row: r9
-    "docs_stratified_sample",  # last driver row: r9
-    "embedding_centroids",  # last driver row: r9
+    "corpus_refresh_pipeline",  # last driver row: never
+    "embedding_norms",  # last driver row: r9
+    "funnel_conversion",  # last driver row: r9
+    "grouping_sets_revenue",  # last driver row: r9
+    "pricing_summary",  # last driver row: r9
+    "quantiles_exact",  # last driver row: r9
+    "rollup_revenue",  # last driver row: r9
+    "sessionize_events",  # last driver row: r9
+    "shipping_priority",  # last driver row: r9
+    "sql_api_revenue_by_status",  # last driver row: r9
+    "string_functions_pack",  # last driver row: r9
+    "text_langid",  # last driver row: r9
+    "text_pii_redact",  # last driver row: r9
+    "text_repetition_metrics",  # last driver row: r9
+    "time_bucket_15min",  # last driver row: r9
+    "top_similar_pairs",  # last driver row: r9
+    "tumbling_window_agg",  # last driver row: r9
+    "unpivot_event_counts",  # last driver row: r9
+    "window_running_revenue",  # last driver row: r9
+    "binational_volume",  # last driver row: r10
+    "bpe_apply_tokens",  # last driver row: r10
+    "cheapest_supplier_per_part",  # last driver row: r10
+    "contrastive_triplets",  # last driver row: r10
+    "corpus_build_bucket_gated",  # last driver row: r10
+    "corpus_build_ppl_gated",  # last driver row: r10
+    "corpus_checksum",  # last driver row: r10
+    "dedup_exact_canonical",  # last driver row: r10
+    "dedup_substring_spans",  # last driver row: r10
+    "deterministic_shuffle",  # last driver row: r10
+    "disjunctive_filter_revenue",  # last driver row: r10
+    "embedding_random_projection",  # last driver row: r10
+    "equi_depth_histogram",  # last driver row: r10
+    "events_dau",  # last driver row: r10
+    "events_props_variant_stats",  # last driver row: r10
+    "explode_words",  # last driver row: r10
+    "hypertable_rollup",  # last driver row: r10
+    "json_extract_props",  # last driver row: r10
+    "latest_order_per_customer",  # last driver row: r10
+    "multimodal_binary_meta",  # last driver row: r10
+    "pivot_event_counts",  # last driver row: r10
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
