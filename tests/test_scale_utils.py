@@ -315,11 +315,16 @@ def test_hot_key_split_join_equals_plain_join(spark):
     )
 
 
-def test_scale_rehearsal_build_is_seed_stamped_and_decorrelated(spark, tmp_path):
-    """The 10x rehearsal's scratch builder (tools/scale_rehearsal.py):
-    id-shifted copies with a per-copy seed stamp — no duplicate ids,
-    no exact-duplicate texts across copies, embeddings rolled (same
-    multiset of values per vector, different direction), and the
+def test_scale_rehearsal_build_marks_copies_and_decorrelated(spark, tmp_path):
+    """The scale rehearsal's scratch builder (tools/scale_rehearsal.py,
+    r14 generator): id-shifted copies marked by deterministic word
+    SUBSTITUTION (every 4th word of copy k > 0 suffixed `x{k}`) — no
+    duplicate ids, copy 0 byte-identical to the base (the original
+    corpus is a subset), copies pairwise non-identical with ~75% of
+    3-gram shingles differing (the linear-near-dup-density fix: the
+    r13 seed-stamp build left copies near-dups of each other, growing
+    the pair list quadratically in the copy count), and embeddings
+    norm-preserving rolled — same multiset, different direction. The
     at-scale plan checks hold on the generated layout."""
     import sys
 
@@ -327,17 +332,15 @@ def test_scale_rehearsal_build_is_seed_stamped_and_decorrelated(spark, tmp_path)
     import scale_rehearsal as sr
 
     scratch = str(tmp_path / "x")
-    old_sf1, old_copies = sr.SF1, sr.COPIES
-    sr.SF1, sr.COPIES = "/root/testdata/sf0.001", 3
+    old_sf1 = sr.SF1
+    sr.SF1 = "/root/testdata/sf0.001"
     try:
-        sr.build(scratch)
+        sr.build(scratch, copies=3)
         docs = spark.read.parquet(f"{scratch}/documents.parquet")
         base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         nb = base.count()
         assert docs.count() == 3 * nb
         assert docs.select("doc_id").distinct().count() == 3 * nb
-        # the seed stamp makes each doc's copies pairwise non-identical
-        # and keeps the original text as the stamped suffix
         trio = {
             r["doc_id"]: r["text"]
             for r in docs.filter(F.col("doc_id") % sr.SHIFT < 3).collect()
@@ -346,11 +349,43 @@ def test_scale_rehearsal_build_is_seed_stamped_and_decorrelated(spark, tmp_path)
         for i in orig:
             texts = [trio[i + k * sr.SHIFT] for k in range(3)]
             assert len(set(texts)) == 3, i
-            assert all(t.endswith(orig[i]) for t in texts), i
+            # copy 0 IS the base corpus; marked copies keep word count
+            assert texts[0] == orig[i], i
+            for k in (1, 2):
+                words, owords = texts[k].split(" "), orig[i].split(" ")
+                assert len(words) == len(owords), i
+                for p, (w, ow) in enumerate(zip(words, owords)):
+                    if p % 4 == 0:
+                        assert w == f"{ow}x{k}", (i, k, p)
+                    else:
+                        assert w == ow, (i, k, p)
+        # the construction's POINT: cross-copy Jaccard sits below the
+        # near-dup candidate band, so pair lists scale LINEARLY in the
+        # copy count (r13's stamp construction measured 0.9+ here)
+        from analytics_etl_spark.operators.dedup import shingle_arrays
+
+        arrs = {
+            r["doc_id"]: set(r["shingles"])
+            for r in shingle_arrays(
+                docs.filter(
+                    (F.col("doc_id") % sr.SHIFT < 20)
+                    & (F.col("text").isNotNull())
+                )
+            ).collect()
+            if len(r["shingles"]) >= 20
+        }
+        checked = 0
+        for i in list(orig) + list(range(3, 20)):
+            a, b = arrs.get(i), arrs.get(i + sr.SHIFT)
+            if a is None or b is None:
+                continue
+            j = len(a & b) / len(a | b)
+            assert j < 0.3, (i, j)
+            checked += 1
+        assert checked >= 5  # the guard actually ran
         emb = spark.read.parquet(f"{scratch}/embeddings.parquet")
         eb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         assert emb.count() == 3 * eb.count()
-        # rolled copies: same sorted values, different vectors
         v0 = {r["vec_id"]: r["embedding"] for r in emb.filter(F.col("vec_id") < 3).collect()}
         v1 = {
             r["vec_id"] - sr.SHIFT: r["embedding"]
@@ -367,4 +402,4 @@ def test_scale_rehearsal_build_is_seed_stamped_and_decorrelated(spark, tmp_path)
         # SF) — the binding invariants are the non-info keys
         assert all(v for k, v in checks.items() if not k.endswith("_info")), checks
     finally:
-        sr.SF1, sr.COPIES = old_sf1, old_copies
+        sr.SF1 = old_sf1
