@@ -196,10 +196,10 @@ REPS_OVERRIDE = {
 # re-runs are exactly what this constant exists to keep out.
 CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
 CONTROLS_PREV_ROUND = {
-    "round": 13,
-    "dedup_exact": 0.223,
-    "dataset_split": 0.161,
-    "corpus_checksum": 0.164,
+    "round": 14,
+    "dedup_exact": 0.241,
+    "dataset_split": 0.168,
+    "corpus_checksum": 0.176,
 }
 
 
