@@ -108,6 +108,7 @@ def corpus_refresh(
     splits: tuple[tuple[str, float], ...] = DEFAULT_SPLITS,
     chunk_words: int = 50,
     overlap: int = 10,
+    shingles_col: str | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run one ingest batch against the standing corpus; see module
     docstring for semantics. All three inputs are (doc_id, text)
@@ -116,6 +117,15 @@ def corpus_refresh(
     observations carry the funnel counts (batch, quality_pass,
     decontaminated, survived_corpus_dedup, accepted) on the same
     action that consumes the result.
+
+    ``shingles_col`` is the DEPLOYMENT form (corpus_build's
+    convention): when set, all three frames carry the ingest-persisted
+    word-3-gram column (``with_shingle_column``), and both the
+    contamination gate and BOTH dedup arms read it instead of running
+    the Arrow shingling kernel — the standing corpus contributes its
+    persisted index, so refresh-time Python cost is batch-quality +
+    chunking only. Results are identical by construction (same 3-gram
+    definition; equality pinned in tests/test_incremental_refresh.py).
 
     Gate rules are corpus_build's exactly (same thresholds, same
     operators), so a doc accepted by the nightly rebuild and the same
@@ -143,6 +153,7 @@ def corpus_refresh(
             splits=splits,
             chunk_words=chunk_words,
             overlap=overlap,
+            shingles_col=shingles_col,
             _stale=_stale,
         )
     except BaseException:
@@ -166,6 +177,7 @@ def _refresh_body(
     splits: tuple[tuple[str, float], ...],
     chunk_words: int,
     overlap: int,
+    shingles_col: str | None,
     _stale: list[DataFrame],
 ) -> tuple[DataFrame, dict[str, Observation]]:
     obs = {
@@ -179,7 +191,8 @@ def _refresh_body(
         )
     }
     count_n = F.count(F.lit(1)).alias("n")
-    pool = batch.select("doc_id", "text").observe(obs["batch"], count_n)
+    keep = ["doc_id", "text"] + ([shingles_col] if shingles_col else [])
+    pool = batch.select(*keep).observe(obs["batch"], count_n)
 
     # --- per-doc decisions, each computed ONCE off the batch pool ----
     # (the corpus_build flat layout: decision frames are id-/pair-
@@ -197,11 +210,22 @@ def _refresh_body(
         .cache()
     )
     _LIVE_CACHES.append(quality_ids)
+    if shingles_col is not None:
+        # the persisted-index form: the same column serves the
+        # contamination gate and both dedup arms (one 3-gram
+        # definition by design — corpus_build's convention)
+        def _grams(df: DataFrame) -> DataFrame:
+            return df.select(
+                "doc_id",
+                F.explode(F.array_distinct(F.col(shingles_col))).alias("shingle"),
+            )
+
+        corpus_grams, bench_grams = _grams(pool), _grams(bench)
+    else:
+        corpus_grams = word_shingles(pool, n=3, distinct=True)
+        bench_grams = word_shingles(bench, n=3, distinct=True)
     contaminated_ids = (
-        ngram_contamination(
-            word_shingles(pool, n=3, distinct=True),
-            word_shingles(bench, n=3, distinct=True),
-        )
+        ngram_contamination(corpus_grams, bench_grams)
         .filter(F.col("contamination_frac") > contamination_threshold)
         .select("doc_id")
         .cache()
@@ -212,11 +236,11 @@ def _refresh_body(
     # pairs in [link, drop) become split-linkage edges. The standing
     # corpus is touched only here.
     inc_pairs = incremental_minhash_dedup(
-        standing, pool, min_jaccard=link_jaccard
+        standing, pool, min_jaccard=link_jaccard, shingles_col=shingles_col
     ).cache()
     _LIVE_CACHES.append(inc_pairs)
     batch_pairs = (
-        minhash_lsh_dedup(pool, min_jaccard=link_jaccard)
+        minhash_lsh_dedup(pool, min_jaccard=link_jaccard, shingles_col=shingles_col)
         .select("doc_a", "doc_b", "jaccard")
         .cache()
     )

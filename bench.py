@@ -865,6 +865,29 @@ def _multimodal_png_decode(spark, sf_dir: str):
     return extract_features(spark.read.parquet(_MEDIA_PNG_PATH))
 
 
+def _corpus_refresh_persisted(spark, sf_dir: str):
+    """corpus_refresh over the persisted shingle column on ALL sides —
+    the daily-ingest deployment number: the standing corpus
+    contributes its ingest index, no shingling kernel runs at
+    refresh time (compare corpus_refresh_pipeline, which shingles
+    standing + batch + bench inline per run). Same slicing as the
+    registered query (newest 20% of ids = the batch)."""
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.plans.incremental_refresh import corpus_refresh
+
+    docs = spark.read.parquet(_SHINGLED_PATH)
+    cut = docs.agg(F.expr("(8 * max(doc_id)) div 10").alias("c"))
+    base = docs.select("doc_id", "text", "shingles").crossJoin(F.broadcast(cut))
+    result, _ = corpus_refresh(
+        base.filter((F.col("doc_id") >= 25) & (F.col("doc_id") <= F.col("c"))).drop("c"),
+        base.filter(F.col("doc_id") > F.col("c")).drop("c"),
+        base.filter(F.col("doc_id") < 25).drop("c"),
+        shingles_col="shingles",
+    )
+    return result
+
+
 def _multimodal_wav_decode(spark, sf_dir: str):
     """REAL media decode throughput: the full RIFF chunk walk + FFT
     feature extraction (operators/multimodal.extract_features) over
@@ -1074,6 +1097,7 @@ def main() -> None:
     plans["knn_hyperplane_selfjoin_capped"] = _knn_hyperplane_selfjoin_capped
     plans["multimodal_wav_decode"] = _multimodal_wav_decode
     plans["multimodal_png_decode"] = _multimodal_png_decode
+    plans["corpus_refresh_persisted"] = _corpus_refresh_persisted
 
     # warm-up pass (untimed)
     for fn in plans.values():

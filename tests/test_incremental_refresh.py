@@ -127,6 +127,44 @@ def test_corpus_refresh_validates_thresholds(spark):
         corpus_refresh(standing, batch, bench, link_jaccard=0.6, drop_jaccard=0.5)
 
 
+def test_corpus_refresh_persisted_shingles_identical(spark):
+    """The deployment form: with the ingest-persisted shingle column
+    on all three frames, the result is BIT-IDENTICAL to the inline
+    form (same 3-gram definition), and the decision stages run no
+    shingling kernel — refresh-time Python shrinks to quality +
+    chunking."""
+    import contextlib
+    import io
+
+    from analytics_etl_spark.operators.dedup import with_shingle_column
+
+    standing, batch, bench = _fixture(spark)
+    inline, _ = corpus_refresh(standing, batch, bench)
+    # PERSIST the shingle column (localCheckpoint = the test's stand-in
+    # for the parquet ingest layout) — lazily-computed shingles would
+    # just re-run the kernel per branch, which is exactly the trade the
+    # persisted column exists to avoid
+    persisted, _ = corpus_refresh(
+        with_shingle_column(standing).localCheckpoint(eager=True),
+        with_shingle_column(batch).localCheckpoint(eager=True),
+        with_shingle_column(bench).localCheckpoint(eager=True),
+        shingles_col="shingles",
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+    # the persisted plan carries FEWER Python eval nodes (the
+    # shingle kernels are gone; quality metrics + chunking remain)
+    def n_python(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        p = buf.getvalue()
+        return sum(p.count(k) for k in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
+
+    assert n_python(persisted) < n_python(inline)
+
+
 def test_corpus_refresh_empty_batch(spark):
     """An empty ingest day is a no-op, not an error."""
     standing, batch, bench = _fixture(spark)
