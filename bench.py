@@ -197,9 +197,9 @@ REPS_OVERRIDE = {
 CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
 CONTROLS_PREV_ROUND = {
     "round": 14,
-    "dedup_exact": 0.241,
-    "dataset_split": 0.168,
-    "corpus_checksum": 0.176,
+    "dedup_exact": 0.235,
+    "dataset_split": 0.175,
+    "corpus_checksum": 0.177,
 }
 
 
