@@ -235,8 +235,15 @@ def decode_png(payload: bytes):
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG geometry {w}x{h}")
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    need = h * (stride + 1)
+    # BOUNDED inflate: a hostile kilobyte IDAT can declare a tiny
+    # IHDR yet inflate to gigabytes — zlib.decompress would allocate
+    # it all before any size check, and an OOM kill is not an
+    # exception the fallback can catch. Cap at need+1 so an oversized
+    # stream is detected after at most one extra byte.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), need + 1)
+    if len(raw) != need or not dec.eof or dec.unconsumed_tail:
         raise ValueError("inflated size disagrees with IHDR geometry")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     return _png_unfilter(rows, w, ch)
@@ -245,9 +252,13 @@ def decode_png(payload: bytes):
 def _png_unfilter(rows, w: int, ch: int):
     """Reverse the per-scanline PNG filters. `rows` is (h, 1+w*ch)
     uint8 — filter byte then filtered bytes. uint8 arithmetic IS the
-    spec's mod-256; the left-neighbor dependency is at lag ch bytes,
-    so Sub is a cumsum over the (w, ch) view and Average/Paeth walk
-    pixels (w steps of ch-lane vector ops), never single bytes."""
+    spec's mod-256; the left-neighbor dependency is at lag ch bytes.
+    None/Up are whole-row vector ops and Sub is a cumsum over the
+    (w, ch) view; Average/Paeth are inherently sequential, and their
+    inner loop runs on plain Python ints over byte lists — tiny
+    per-element numpy temporaries cost ~10× more than int arithmetic
+    at this grain (a photo-sized Paeth-heavy PNG would otherwise take
+    tens of seconds)."""
     import numpy as np
 
     h, stride = rows.shape[0], rows.shape[1] - 1
@@ -263,29 +274,29 @@ def _png_unfilter(rows, w: int, ch: int):
             ).astype(np.uint8).reshape(stride)
         elif f == 2:  # Up
             cur += prev
-        elif f == 3:  # Average: + floor((left + up) / 2)
-            rec = cur.reshape(w, ch).astype(np.int32)
-            up = prev.reshape(w, ch).astype(np.int32)
-            left = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                left = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
-                rec[x] = left
-            cur = rec.astype(np.uint8).reshape(stride)
-        elif f == 4:  # Paeth predictor
-            rec = cur.reshape(w, ch).astype(np.int32)
-            up = prev.reshape(w, ch).astype(np.int32)
-            left = np.zeros(ch, dtype=np.int32)
-            ul = np.zeros(ch, dtype=np.int32)
-            for x in range(w):
-                p = left + up[x] - ul
-                pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
-                )
-                left = (rec[x] + pred) & 0xFF
-                rec[x] = left
-                ul = up[x]
-            cur = rec.astype(np.uint8).reshape(stride)
+        elif f in (3, 4):  # Average / Paeth: sequential, scalar ints
+            c = cur.tolist()
+            p = prev.tolist()
+            if f == 3:
+                for i in range(stride):
+                    left = c[i - ch] if i >= ch else 0
+                    c[i] = (c[i] + ((left + p[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    left = c[i - ch] if i >= ch else 0
+                    up = p[i]
+                    ul = p[i - ch] if i >= ch else 0
+                    pa = abs(up - ul)          # |p - left| = |up - ul|
+                    pb = abs(left - ul)        # |p - up|   = |left - ul|
+                    pc = abs(left + up - 2 * ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    c[i] = (c[i] + pred) & 0xFF
+            cur = np.array(c, dtype=np.uint8)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
         out[y] = cur
@@ -527,8 +538,10 @@ def extract_features(df: DataFrame) -> DataFrame:
             if w < 1 or h < 1:
                 raise ValueError("bad geometry")
             stride = w * ch
-            raw = zlib.decompress(bytes(idat))
-            if len(raw) != h * (stride + 1):
+            need = h * (stride + 1)
+            dec = zlib.decompressobj()  # bounded: zip-bomb guard
+            raw = dec.decompress(bytes(idat), need + 1)
+            if len(raw) != need or not dec.eof or dec.unconsumed_tail:
                 raise ValueError("inflated size mismatch")
             rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
             out = _np.zeros((h, stride), dtype=_np.uint8)
@@ -543,31 +556,29 @@ def extract_features(df: DataFrame) -> DataFrame:
                     ).astype(_np.uint8).reshape(stride)
                 elif f == 2:
                     cur += prev
-                elif f == 3:
-                    rec = cur.reshape(w, ch).astype(_np.int32)
-                    up = prev.reshape(w, ch).astype(_np.int32)
-                    left = _np.zeros(ch, dtype=_np.int32)
-                    for x in range(w):
-                        left = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
-                        rec[x] = left
-                    cur = rec.astype(_np.uint8).reshape(stride)
-                elif f == 4:
-                    rec = cur.reshape(w, ch).astype(_np.int32)
-                    up = prev.reshape(w, ch).astype(_np.int32)
-                    left = _np.zeros(ch, dtype=_np.int32)
-                    ul = _np.zeros(ch, dtype=_np.int32)
-                    for x in range(w):
-                        p = left + up[x] - ul
-                        pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
-                        pred = _np.where(
-                            (pa <= pb) & (pa <= pc),
-                            left,
-                            _np.where(pb <= pc, up[x], ul),
-                        )
-                        left = (rec[x] + pred) & 0xFF
-                        rec[x] = left
-                        ul = up[x]
-                    cur = rec.astype(_np.uint8).reshape(stride)
+                elif f in (3, 4):  # sequential: scalar-int byte loop
+                    cl = cur.tolist()
+                    pl = prev.tolist()
+                    if f == 3:
+                        for i in range(stride):
+                            left = cl[i - ch] if i >= ch else 0
+                            cl[i] = (cl[i] + ((left + pl[i]) >> 1)) & 0xFF
+                    else:
+                        for i in range(stride):
+                            left = cl[i - ch] if i >= ch else 0
+                            up = pl[i]
+                            ul = pl[i - ch] if i >= ch else 0
+                            pa = abs(up - ul)
+                            pb = abs(left - ul)
+                            pc = abs(left + up - 2 * ul)
+                            if pa <= pb and pa <= pc:
+                                pred = left
+                            elif pb <= pc:
+                                pred = up
+                            else:
+                                pred = ul
+                            cl[i] = (cl[i] + pred) & 0xFF
+                    cur = _np.array(cl, dtype=_np.uint8)
                 else:
                     raise ValueError("unknown filter")
                 out[y] = cur
@@ -694,8 +705,10 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             if w < 1 or h < 1:
                 raise ValueError("bad geometry")
             stride = w * ch
-            raw = zlib.decompress(bytes(idat))
-            if len(raw) != h * (stride + 1):
+            need = h * (stride + 1)
+            dec = zlib.decompressobj()  # bounded: zip-bomb guard
+            raw = dec.decompress(bytes(idat), need + 1)
+            if len(raw) != need or not dec.eof or dec.unconsumed_tail:
                 raise ValueError("inflated size mismatch")
             rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
             out = _np.zeros((h, stride), dtype=_np.uint8)
@@ -710,31 +723,29 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
                     ).astype(_np.uint8).reshape(stride)
                 elif f == 2:
                     cur += prev
-                elif f == 3:
-                    rec = cur.reshape(w, ch).astype(_np.int32)
-                    up = prev.reshape(w, ch).astype(_np.int32)
-                    left = _np.zeros(ch, dtype=_np.int32)
-                    for x in range(w):
-                        left = (rec[x] + ((left + up[x]) >> 1)) & 0xFF
-                        rec[x] = left
-                    cur = rec.astype(_np.uint8).reshape(stride)
-                elif f == 4:
-                    rec = cur.reshape(w, ch).astype(_np.int32)
-                    up = prev.reshape(w, ch).astype(_np.int32)
-                    left = _np.zeros(ch, dtype=_np.int32)
-                    ul = _np.zeros(ch, dtype=_np.int32)
-                    for x in range(w):
-                        p = left + up[x] - ul
-                        pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - ul)
-                        pred = _np.where(
-                            (pa <= pb) & (pa <= pc),
-                            left,
-                            _np.where(pb <= pc, up[x], ul),
-                        )
-                        left = (rec[x] + pred) & 0xFF
-                        rec[x] = left
-                        ul = up[x]
-                    cur = rec.astype(_np.uint8).reshape(stride)
+                elif f in (3, 4):  # sequential: scalar-int byte loop
+                    cl = cur.tolist()
+                    pl = prev.tolist()
+                    if f == 3:
+                        for i in range(stride):
+                            left = cl[i - ch] if i >= ch else 0
+                            cl[i] = (cl[i] + ((left + pl[i]) >> 1)) & 0xFF
+                    else:
+                        for i in range(stride):
+                            left = cl[i - ch] if i >= ch else 0
+                            up = pl[i]
+                            ul = pl[i - ch] if i >= ch else 0
+                            pa = abs(up - ul)
+                            pb = abs(left - ul)
+                            pc = abs(left + up - 2 * ul)
+                            if pa <= pb and pa <= pc:
+                                pred = left
+                            elif pb <= pc:
+                                pred = up
+                            else:
+                                pred = ul
+                            cl[i] = (cl[i] + pred) & 0xFF
+                    cur = _np.array(cl, dtype=_np.uint8)
                 else:
                     raise ValueError("unknown filter")
                 out[y] = cur

@@ -31,10 +31,26 @@ straddle splits with its standing near-dup, so split assignment
 hashes the connected-component id over all link edges
 (batch<->corpus and batch<->batch). Under the monotone-id contract
 (new docs get ids above the standing corpus) a linked component's
-min id is a STANDING doc, so the batch doc inherits exactly the
-split the standing doc was assigned by the same salted hash —
-no standing assignment is ever touched. Unlinked docs hash their own
-id, bit-identical to plain ``dataset_split``.
+min id is a STANDING id, so the batch doc inherits exactly the split
+the standing doc was assigned by the same salted hash — no standing
+assignment is ever touched. Unlinked docs hash their own id,
+bit-identical to plain ``dataset_split``.
+
+Which standing id gets hashed depends on how the NIGHTLY build split
+the standing corpus, and the refresh must match it:
+
+- plain ``dataset_split`` (per-doc salted hash — what
+  ``corpus_build`` ships): the default is exact as-is, the standing
+  doc's own id IS its split hash input;
+- ``cluster_safe_split`` (cluster-hashed): a standing doc that
+  belonged to a multi-doc nightly cluster was assigned
+  hash(cluster_id), NOT hash(its own id) — pass the nightly
+  ``standing_clusters`` frame (doc_id, cluster_id) and the refresh
+  routes link edges to the standing doc's CLUSTER id, so the batch
+  doc lands in the cluster's split exactly. Omitting it under a
+  cluster-split nightly would re-open the straddle for clustered
+  standing docs (caught in the r14 review; pinned by
+  tests/test_incremental_refresh.py).
 
 Scale shape (the whole point): the standing corpus is touched by
 exactly ONE pass — ``incremental_minhash_dedup``'s signature build —
@@ -109,6 +125,7 @@ def corpus_refresh(
     chunk_words: int = 50,
     overlap: int = 10,
     shingles_col: str | None = None,
+    standing_clusters: DataFrame | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Run one ingest batch against the standing corpus; see module
     docstring for semantics. All three inputs are (doc_id, text)
@@ -127,6 +144,11 @@ def corpus_refresh(
     chunking only. Results are identical by construction (same 3-gram
     definition; equality pinned in tests/test_incremental_refresh.py).
 
+    ``standing_clusters``: the nightly build's (doc_id, cluster_id)
+    frame, REQUIRED for split parity when the standing corpus was
+    split with ``cluster_safe_split`` (see module docstring); omit for
+    a plain-``dataset_split`` nightly (corpus_build's convention).
+
     Gate rules are corpus_build's exactly (same thresholds, same
     operators), so a doc accepted by the nightly rebuild and the same
     doc arriving in a batch face one policy. Every decision is
@@ -137,6 +159,13 @@ def corpus_refresh(
         raise ValueError(
             f"need 0 <= link_jaccard <= drop_jaccard, got "
             f"link={link_jaccard}, drop={drop_jaccard}"
+        )
+    if standing_clusters is not None and not {"doc_id", "cluster_id"} <= set(
+        standing_clusters.columns
+    ):
+        raise ValueError(
+            "standing_clusters needs (doc_id, cluster_id) columns, got "
+            f"{standing_clusters.columns}"
         )
     _stale = _stash_caches()
     try:
@@ -154,6 +183,7 @@ def corpus_refresh(
             chunk_words=chunk_words,
             overlap=overlap,
             shingles_col=shingles_col,
+            standing_clusters=standing_clusters,
             _stale=_stale,
         )
     except BaseException:
@@ -178,6 +208,7 @@ def _refresh_body(
     chunk_words: int,
     overlap: int,
     shingles_col: str | None,
+    standing_clusters: DataFrame | None,
     _stale: list[DataFrame],
 ) -> tuple[DataFrame, dict[str, Observation]]:
     obs = {
@@ -291,6 +322,16 @@ def _refresh_body(
         )
         .select(F.col("batch_doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b"))
     )
+    if standing_clusters is not None:
+        # route the edge to the standing doc's NIGHTLY cluster id —
+        # that id is what the nightly cluster_safe_split hashed, so
+        # the component min reproduces the standing doc's actual split
+        sc = standing_clusters.select(
+            F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("_sc")
+        )
+        link_bc = link_bc.join(sc, "doc_b", "left").select(
+            "doc_a", F.coalesce(F.col("_sc"), F.col("doc_b")).alias("doc_b")
+        )
     link_bb = (
         batch_pairs.filter(F.col("jaccard") < drop_jaccard)
         .join(accepted_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")

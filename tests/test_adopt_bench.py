@@ -59,5 +59,7 @@ def test_committed_artifact_is_quiet():
     was bypassed."""
     import json
 
-    with open("/root/repo/BENCH_FULL_latest.json") as f:
+    from tools.adopt_bench import BINDING
+
+    with open(BINDING) as f:
         assert check(json.load(f)) == []

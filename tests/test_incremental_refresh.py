@@ -121,6 +121,42 @@ def test_corpus_refresh_funnel_observations(spark):
     }
 
 
+def test_corpus_refresh_standing_clusters_route_inheritance(spark):
+    """A CLUSTER-SPLIT nightly: standing doc 101 belonged to nightly
+    cluster 77, so its split is hash('split:77'), not hash of its own
+    id. Passing the nightly (doc_id, cluster_id) frame routes the
+    link edge to the cluster id — batch doc 201 lands in exactly the
+    standing doc's actual split (the r14 review's straddle scenario,
+    closed). Without the frame the refresh reproduces the PLAIN
+    dataset_split nightly (corpus_build's convention), covered by
+    test_corpus_refresh_link_band_inherits_standing_split."""
+    from analytics_etl_spark.operators.sampling import dataset_split
+
+    standing, batch, bench = _fixture(spark)
+    nightly = spark.createDataFrame(
+        [(100, 77), (101, 77)], "doc_id long, cluster_id long"
+    )
+    out, _ = corpus_refresh(standing, batch, bench, standing_clusters=nightly)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[201].cluster_id == 77
+    cluster_split = {
+        r.doc_id: r.split
+        for r in dataset_split(
+            spark.createDataFrame([(77,)], "doc_id long")
+        ).collect()
+    }
+    assert rows[201].split == cluster_split[77]
+    # docs with no standing link are untouched by the mapping
+    assert rows[205].cluster_id == 205 and rows[207].cluster_id == 207
+    import pytest
+
+    with pytest.raises(ValueError, match="standing_clusters"):
+        corpus_refresh(
+            standing, batch, bench,
+            standing_clusters=nightly.withColumnRenamed("cluster_id", "cid"),
+        )
+
+
 def test_corpus_refresh_validates_thresholds(spark):
     standing, batch, bench = _fixture(spark)
     with pytest.raises(ValueError, match="link_jaccard"):

@@ -593,6 +593,44 @@ def test_decode_png_rejects_malformed():
     assert mm.dispatch_features(bytes(bad)) == mm.decode_stub(bytes(bad))
 
 
+def test_decode_png_bounds_inflation_zip_bomb():
+    """A hostile IDAT declaring a tiny IHDR but inflating to hundreds
+    of MB must raise (→ fallback) WITHOUT materializing the inflated
+    stream — an OOM kill is not an exception the total-fallback stance
+    could catch, so the inflate is capped at expected+1 bytes."""
+    import tracemalloc
+    import zlib
+
+    import pytest
+
+    from analytics_etl_spark.operators import multimodal as mm
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(200 * 1024 * 1024), 9))  # ~200 KB -> 200 MB
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 1024 * 1024  # the payload itself is small
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="size"):
+        mm.decode_png(bomb)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 16 * 1024 * 1024, peak  # nowhere near the 200 MB
+    # and through dispatch it lands on the deterministic fallback
+    assert mm.dispatch_features(bomb) == mm.decode_stub(bomb)
+
+
 def test_image_features_png_matches_ppm_and_ignores_alpha():
     """The same pixels through PPM and PNG payloads must yield the
     SAME feature vector (codec-independent stats), and an RGBA PNG's

@@ -333,10 +333,13 @@ def knee(scratch: str, reps: int = 3) -> None:
     self_q = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
+    # labels are structurally distinct even when the planner lands on
+    # 10 bits (small corpora): a duplicate dict key would silently
+    # collapse the scaled arm into the fixed arm
     variants = {
-        "bits10": dict(bucket_bits=10),
-        f"bits{scaled}": dict(bucket_bits=scaled),
-        f"bits{scaled}_probes4": dict(bucket_bits=scaled, n_probes=4),
+        "fixed_bits10": dict(bucket_bits=10),
+        f"planned_bits{scaled}": dict(bucket_bits=scaled),
+        f"planned_bits{scaled}_probes4": dict(bucket_bits=scaled, n_probes=4),
     }
 
     def edges_of(kw):
@@ -358,14 +361,14 @@ def knee(scratch: str, reps: int = 3) -> None:
             "spread": [round(min(runs), 3), round(max(runs), 3)],
             "n_mutual_edges": n_edges,
         }
-    ref = edge_sets["bits10"]
+    ref = edge_sets["fixed_bits10"]
     for name in variants:
-        if name == "bits10":
+        if name == "fixed_bits10":
             out[name]["retained_vs_bits10"] = 1.0
             continue
         kept = edge_sets[name].join(ref, ["u", "v"], "left_semi").count()
         out[name]["retained_vs_bits10"] = round(
-            kept / max(out["bits10"]["n_mutual_edges"], 1), 3
+            kept / max(out["fixed_bits10"]["n_mutual_edges"], 1), 3
         )
     print(
         json.dumps(
