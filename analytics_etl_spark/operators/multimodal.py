@@ -12,11 +12,16 @@ without external libraries:
 - **P6 PPM** images (header token parse → (h, w, 3) uint8 array →
   channel/luma statistics and nearest-neighbor resize, ``decode_ppm``
   / ``image_features`` / ``encode_ppm``);
-- **8-bit RGB/RGBA PNG** (since round 14): CRC-verified chunk walk →
-  stdlib ``zlib`` IDAT inflate → numpy scanline unfilter (all five
-  RFC 2083 filters), ``decode_png`` / ``encode_png`` — PNG's only
-  "compression" is DEFLATE, which the stdlib covers, so no external
-  codec is needed.
+- **8-bit RGB/RGBA/paletted PNG, interlace 0 or Adam7** (RGB/RGBA
+  since round 14; palette + Adam7 since round 15): CRC-verified chunk
+  walk → pre-inflate geometry guard (``PNG_MAX_RASTER`` + DEFLATE
+  max-ratio plausibility, so a hostile valid-CRC IHDR can never force
+  a multi-GB allocation) → stdlib ``zlib`` IDAT inflate (bounded) →
+  numpy scanline unfilter (all five RFC 2083 filters) per Adam7 pass
+  → PLTE lookup, ``decode_png`` / ``encode_png`` — PNG's only
+  "compression" is DEFLATE, which the stdlib covers; palette indexing
+  and Adam7 are pure lookup/reordering, so no external codec is
+  needed.
 
 Entropy-coded codecs (JPEG/MP3/H.264) still require PIL/ffmpeg,
 which are not in this container — payloads whose magic bytes match no
@@ -70,6 +75,43 @@ FEATURE_SCHEMA = T.StructType(
 BUILTIN_DECODERS = ("audio/wav-pcm16", "image/ppm-p6", "image/png-rgb8")
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Geometry guard (round 15): cap on the FILTERED raster size a PNG may
+# declare before any inflate happens. A valid-CRC IHDR is attacker
+# writable — e.g. 40000x20000 RGB is a ~2.4 GB raster from a ~2.4 MB
+# compressed-zeros IDAT, and zlib would allocate it all inside one
+# decompress() call, so the bounded-inflate cap alone guards too late
+# (OOM kill precedes the ValueError the fallback could catch). 64 MiB
+# covers any plausible screening-pipeline image; bigger rasters fall
+# back like every other unsupported flavor.
+PNG_MAX_RASTER = 64 << 20
+
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per
+# pass, RFC 2083 §8.2 — a pure pixel reordering, no extra codec.
+PNG_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_passes(w: int, h: int, interlace: int):
+    """Decode pass list as (x0, y0, dx, dy, pass_w, pass_h): one
+    full-frame pass when non-interlaced, the non-empty Adam7 passes
+    otherwise (empty passes contribute zero scanlines per spec)."""
+    if not interlace:
+        return [(0, 0, 1, 1, w, h)]
+    out = []
+    for x0, y0, dx, dy in PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 
 def decode_stub(payload: bytes, kind: str = "") -> list[float]:
@@ -183,19 +225,31 @@ def decode_ppm(payload: bytes):
 
 
 def decode_png(payload: bytes):
-    """Non-interlaced 8-bit truecolor PNG (color types 2 RGB / 6 RGBA)
-    parse → uint8 array (h, w, ch). PNG is "compressed" only by
+    """8-bit PNG (color types 2 RGB / 6 RGBA / 3 paletted, interlace
+    0 or Adam7) parse → uint8 array (h, w, ch) — paletted images come
+    back already looked up as (h, w, 3). PNG is "compressed" only by
     stdlib-covered parts — DEFLATE (``zlib``) plus five per-scanline
-    byte filters (RFC 2083 §6) — so unlike JPEG it needs no external
-    codec: a CRC-verified chunk walk, one inflate, and a numpy
-    unfilter pass.
+    byte filters (RFC 2083 §6); palette indexing (§4.1.2) and Adam7
+    (§8.2) are pure lookup/reordering — so unlike JPEG it needs no
+    external codec: a CRC-verified chunk walk, one inflate, and a
+    numpy unfilter pass per (non-empty) pass.
 
     Strictness stance mirrors ``decode_wav``: CRC mismatches,
-    truncated chunks, palette/grayscale/16-bit/interlaced images, and
-    inflate-size disagreements all raise ValueError, which callers
-    treat as "fall back". The unfilter is cross-checked against an
-    independent per-spec byte-at-a-time reference in
+    truncated chunks, grayscale/16-bit/sub-byte-palette images,
+    out-of-range palette indexes, rasters over ``PNG_MAX_RASTER``,
+    and inflate-size disagreements all raise ValueError, which
+    callers treat as "fall back". The unfilter is cross-checked
+    against an independent per-spec byte-at-a-time reference in
     tests/test_text_multimodal.py (the §16 golden-evidence pattern).
+
+    Hostile-input posture (round 15): the declared geometry is
+    sanity-checked BEFORE any inflate — a valid-CRC IHDR claiming a
+    multi-GB raster is rejected up front (``PNG_MAX_RASTER``), and a
+    raster no DEFLATE stream of this IDAT's size could produce
+    (max expansion ~1032x) is rejected without touching zlib; only
+    then does the bounded inflate (cap need+1) run. tRNS is ignored
+    (palette output is opaque RGB), matching image_features' stance
+    of not leaking alpha into color stats.
     """
     import zlib
 
@@ -203,7 +257,7 @@ def decode_png(payload: bytes):
 
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    pos, ihdr, plte, idat, ended = 8, None, None, bytearray(), False
     while pos + 12 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -215,6 +269,8 @@ def decode_png(payload: bytes):
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -226,27 +282,48 @@ def decode_png(payload: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+    if depth != 8 or color not in (2, 3, 6) or comp or filt or interlace > 1:
         raise ValueError(
-            f"only 8-bit non-interlaced RGB/RGBA supported "
+            f"only 8-bit RGB/RGBA/palette supported "
             f"(depth={depth}, color={color}, interlace={interlace})"
         )
-    ch = 3 if color == 2 else 4
+    if color == 3 and (plte is None or len(plte) < 3 or len(plte) % 3):
+        raise ValueError("palette PNG missing or malformed PLTE")
+    ch = 1 if color == 3 else (3 if color == 2 else 4)
     if w < 1 or h < 1:
         raise ValueError(f"bad PNG geometry {w}x{h}")
-    stride = w * ch
-    need = h * (stride + 1)
-    # BOUNDED inflate: a hostile kilobyte IDAT can declare a tiny
-    # IHDR yet inflate to gigabytes — zlib.decompress would allocate
-    # it all before any size check, and an OOM kill is not an
-    # exception the fallback can catch. Cap at need+1 so an oversized
-    # stream is detected after at most one extra byte.
+    passes = _png_passes(w, h, interlace)
+    need = sum(ph * (pw * ch + 1) for _, _, _, _, pw, ph in passes)
+    # Geometry guard BEFORE any allocation: the IHDR is attacker
+    # controlled, and zlib materializes the whole output inside one
+    # decompress() call — an OOM kill is not an exception the
+    # fallback can catch, so implausible rasters must never reach it.
+    if need > PNG_MAX_RASTER:
+        raise ValueError(f"PNG raster {need} B exceeds decode cap")
+    if need > 1100 * len(idat):  # DEFLATE max expansion ~1032x
+        raise ValueError("PNG geometry implausible for IDAT size")
+    # BOUNDED inflate: cap at need+1 so an oversized stream is
+    # detected after at most one extra byte.
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), need + 1)
     if len(raw) != need or not dec.eof or dec.unconsumed_tail:
         raise ValueError("inflated size disagrees with IHDR geometry")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    return _png_unfilter(rows, w, ch)
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        sz = ph * (pw * ch + 1)
+        rows = np.frombuffer(raw[off : off + sz], dtype=np.uint8).reshape(
+            ph, pw * ch + 1
+        )
+        img[y0:h:dy, x0:w:dx] = _png_unfilter(rows, pw, ch)
+        off += sz
+    if color == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        img = pal[idx]
+    return img
 
 
 def _png_unfilter(rows, w: int, ch: int):
@@ -506,44 +583,9 @@ def extract_features(df: DataFrame) -> DataFrame:
                 raise ValueError("truncated raster")
             return img_feats(_np.frombuffer(raw, dtype=_np.uint8).reshape(h, w, 3))
 
-        def png_arr(b: bytes):
-            import zlib
-
-            pos, ihdr, idat, ended = 8, None, bytearray(), False
-            while pos + 12 <= len(b):
-                ln = int.from_bytes(b[pos : pos + 4], "big")
-                ctype = b[pos + 4 : pos + 8]
-                body = b[pos + 8 : pos + 8 + ln]
-                crc = b[pos + 8 + ln : pos + 12 + ln]
-                if len(body) < ln or len(crc) < 4:
-                    raise ValueError("truncated chunk")
-                if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
-                    raise ValueError("CRC mismatch")
-                if ctype == b"IHDR":
-                    ihdr = body
-                elif ctype == b"IDAT":
-                    idat += body
-                elif ctype == b"IEND":
-                    ended = True
-                    break
-                pos += 12 + ln
-            if ihdr is None or len(ihdr) < 13 or not idat or not ended:
-                raise ValueError("missing IHDR/IDAT/IEND")
-            w = int.from_bytes(ihdr[0:4], "big")
-            h = int.from_bytes(ihdr[4:8], "big")
-            depth, color, comp, filt, interlace = ihdr[8:13]
-            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
-                raise ValueError("unsupported PNG flavor")
-            ch = 3 if color == 2 else 4
-            if w < 1 or h < 1:
-                raise ValueError("bad geometry")
-            stride = w * ch
-            need = h * (stride + 1)
-            dec = zlib.decompressobj()  # bounded: zip-bomb guard
-            raw = dec.decompress(bytes(idat), need + 1)
-            if len(raw) != need or not dec.eof or dec.unconsumed_tail:
-                raise ValueError("inflated size mismatch")
-            rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
+        def png_unfilt(rows, w, ch):
+            # mirrors _png_unfilter (sync-pinned)
+            h, stride = rows.shape[0], rows.shape[1] - 1
             out = _np.zeros((h, stride), dtype=_np.uint8)
             prev = _np.zeros(stride, dtype=_np.uint8)
             for y in range(h):
@@ -584,6 +626,81 @@ def extract_features(df: DataFrame) -> DataFrame:
                 out[y] = cur
                 prev = cur
             return out.reshape(h, w, ch)
+
+        def png_arr(b: bytes):
+            # mirrors decode_png (sync-pinned): palette + Adam7 +
+            # pre-inflate geometry guard + bounded inflate
+            import zlib
+
+            pos, ihdr, plte, idat, ended = 8, None, None, bytearray(), False
+            while pos + 12 <= len(b):
+                ln = int.from_bytes(b[pos : pos + 4], "big")
+                ctype = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + ln]
+                crc = b[pos + 8 + ln : pos + 12 + ln]
+                if len(body) < ln or len(crc) < 4:
+                    raise ValueError("truncated chunk")
+                if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = body
+                elif ctype == b"PLTE":
+                    plte = body
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if ihdr is None or len(ihdr) < 13 or not idat or not ended:
+                raise ValueError("missing IHDR/IDAT/IEND")
+            w = int.from_bytes(ihdr[0:4], "big")
+            h = int.from_bytes(ihdr[4:8], "big")
+            depth, color, comp, filt, interlace = ihdr[8:13]
+            if depth != 8 or color not in (2, 3, 6) or comp or filt or interlace > 1:
+                raise ValueError("unsupported PNG flavor")
+            if color == 3 and (plte is None or len(plte) < 3 or len(plte) % 3):
+                raise ValueError("palette PNG missing or malformed PLTE")
+            ch = 1 if color == 3 else (3 if color == 2 else 4)
+            if w < 1 or h < 1:
+                raise ValueError("bad geometry")
+            if not interlace:
+                passes = [(0, 0, 1, 1, w, h)]
+            else:
+                passes = []
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                ):
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw > 0 and ph > 0:
+                        passes.append((x0, y0, dx, dy, pw, ph))
+            need = sum(ph * (pw * ch + 1) for _, _, _, _, pw, ph in passes)
+            if need > 64 << 20:  # geometry guard BEFORE inflate
+                raise ValueError("raster exceeds decode cap")
+            if need > 1100 * len(idat):  # DEFLATE max expansion ~1032x
+                raise ValueError("geometry implausible for IDAT size")
+            dec = zlib.decompressobj()  # bounded: zip-bomb guard
+            raw = dec.decompress(bytes(idat), need + 1)
+            if len(raw) != need or not dec.eof or dec.unconsumed_tail:
+                raise ValueError("inflated size mismatch")
+            img = _np.zeros((h, w, ch), dtype=_np.uint8)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                sz = ph * (pw * ch + 1)
+                rows = _np.frombuffer(
+                    raw[off : off + sz], dtype=_np.uint8
+                ).reshape(ph, pw * ch + 1)
+                img[y0:h:dy, x0:w:dx] = png_unfilt(rows, pw, ch)
+                off += sz
+            if color == 3:
+                pal = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+                idx = img[:, :, 0]
+                if int(idx.max()) >= pal.shape[0]:
+                    raise ValueError("palette index out of range")
+                img = pal[idx]
+            return img
 
         def decode(payload: bytes) -> list[float]:
             try:
@@ -672,45 +789,9 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
             out = arr[yi][:, xi]
             return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
 
-        def png_resize(b: bytes) -> bytes:
-            import zlib
-
-            # decode: mirrors decode_png (sync-pinned)
-            pos, ihdr, idat, ended = 8, None, bytearray(), False
-            while pos + 12 <= len(b):
-                ln = int.from_bytes(b[pos : pos + 4], "big")
-                ctype = b[pos + 4 : pos + 8]
-                body = b[pos + 8 : pos + 8 + ln]
-                crc = b[pos + 8 + ln : pos + 12 + ln]
-                if len(body) < ln or len(crc) < 4:
-                    raise ValueError("truncated chunk")
-                if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
-                    raise ValueError("CRC mismatch")
-                if ctype == b"IHDR":
-                    ihdr = body
-                elif ctype == b"IDAT":
-                    idat += body
-                elif ctype == b"IEND":
-                    ended = True
-                    break
-                pos += 12 + ln
-            if ihdr is None or len(ihdr) < 13 or not idat or not ended:
-                raise ValueError("missing IHDR/IDAT/IEND")
-            w = int.from_bytes(ihdr[0:4], "big")
-            h = int.from_bytes(ihdr[4:8], "big")
-            depth, color, comp, filt, interlace = ihdr[8:13]
-            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
-                raise ValueError("unsupported PNG flavor")
-            ch = 3 if color == 2 else 4
-            if w < 1 or h < 1:
-                raise ValueError("bad geometry")
-            stride = w * ch
-            need = h * (stride + 1)
-            dec = zlib.decompressobj()  # bounded: zip-bomb guard
-            raw = dec.decompress(bytes(idat), need + 1)
-            if len(raw) != need or not dec.eof or dec.unconsumed_tail:
-                raise ValueError("inflated size mismatch")
-            rows = _np.frombuffer(raw, dtype=_np.uint8).reshape(h, stride + 1)
+        def png_unfilt(rows, w, ch):
+            # mirrors _png_unfilter (sync-pinned)
+            h, stride = rows.shape[0], rows.shape[1] - 1
             out = _np.zeros((h, stride), dtype=_np.uint8)
             prev = _np.zeros(stride, dtype=_np.uint8)
             for y in range(h):
@@ -750,7 +831,82 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
                     raise ValueError("unknown filter")
                 out[y] = cur
                 prev = cur
-            arr = out.reshape(h, w, ch)
+            return out.reshape(h, w, ch)
+
+        def png_resize(b: bytes) -> bytes:
+            import zlib
+
+            # decode: mirrors decode_png (sync-pinned): palette +
+            # Adam7 + pre-inflate geometry guard + bounded inflate
+            pos, ihdr, plte, idat, ended = 8, None, None, bytearray(), False
+            while pos + 12 <= len(b):
+                ln = int.from_bytes(b[pos : pos + 4], "big")
+                ctype = b[pos + 4 : pos + 8]
+                body = b[pos + 8 : pos + 8 + ln]
+                crc = b[pos + 8 + ln : pos + 12 + ln]
+                if len(body) < ln or len(crc) < 4:
+                    raise ValueError("truncated chunk")
+                if int.from_bytes(crc, "big") != zlib.crc32(ctype + body):
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = body
+                elif ctype == b"PLTE":
+                    plte = body
+                elif ctype == b"IDAT":
+                    idat += body
+                elif ctype == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if ihdr is None or len(ihdr) < 13 or not idat or not ended:
+                raise ValueError("missing IHDR/IDAT/IEND")
+            w = int.from_bytes(ihdr[0:4], "big")
+            h = int.from_bytes(ihdr[4:8], "big")
+            depth, color, comp, filt, interlace = ihdr[8:13]
+            if depth != 8 or color not in (2, 3, 6) or comp or filt or interlace > 1:
+                raise ValueError("unsupported PNG flavor")
+            if color == 3 and (plte is None or len(plte) < 3 or len(plte) % 3):
+                raise ValueError("palette PNG missing or malformed PLTE")
+            ch = 1 if color == 3 else (3 if color == 2 else 4)
+            if w < 1 or h < 1:
+                raise ValueError("bad geometry")
+            if not interlace:
+                passes = [(0, 0, 1, 1, w, h)]
+            else:
+                passes = []
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                ):
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw > 0 and ph > 0:
+                        passes.append((x0, y0, dx, dy, pw, ph))
+            need = sum(ph * (pw * ch + 1) for _, _, _, _, pw, ph in passes)
+            if need > 64 << 20:  # geometry guard BEFORE inflate
+                raise ValueError("raster exceeds decode cap")
+            if need > 1100 * len(idat):  # DEFLATE max expansion ~1032x
+                raise ValueError("geometry implausible for IDAT size")
+            dec = zlib.decompressobj()  # bounded: zip-bomb guard
+            raw = dec.decompress(bytes(idat), need + 1)
+            if len(raw) != need or not dec.eof or dec.unconsumed_tail:
+                raise ValueError("inflated size mismatch")
+            arr = _np.zeros((h, w, ch), dtype=_np.uint8)
+            off = 0
+            for x0, y0, dx, dy, pw, ph in passes:
+                sz = ph * (pw * ch + 1)
+                rows = _np.frombuffer(
+                    raw[off : off + sz], dtype=_np.uint8
+                ).reshape(ph, pw * ch + 1)
+                arr[y0:h:dy, x0:w:dx] = png_unfilt(rows, pw, ch)
+                off += sz
+            if color == 3:
+                pal = _np.frombuffer(plte, dtype=_np.uint8).reshape(-1, 3)
+                idx = arr[:, :, 0]
+                if int(idx.max()) >= pal.shape[0]:
+                    raise ValueError("palette index out of range")
+                arr = pal[idx]
+                ch = 3  # re-encode palette output as truecolor RGB
             # nearest-neighbor sample, re-encode filter-0 (same integer
             # index arithmetic as ppm_resize; mirrors encode_png)
             yi = (_np.arange(height) * h) // height

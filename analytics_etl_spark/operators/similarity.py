@@ -765,14 +765,26 @@ def plan_bucket_bits(
     preferred production path for whole-corpus clustering at this
     size. Clamped to [1, max_bits] (signature cost is linear in
     bits; beyond ~24 the bucket key exceeds any realistic occupancy
-    win)."""
-    import math
+    win).
 
+    INTEGER-EXACT since r15 (the module's determinism stance,
+    cf. the odds-ratio idf and fixed-point perplexity): the sizing
+    rule is round(log2(n/target)), evaluated as "bits >= b iff
+    n² >= target²·2^(2b-1)" in plain integer arithmetic — no float
+    log2 whose banker's-rounding at a boundary representation could
+    disagree with the DuckDB replica that the planner-sized
+    registered queries (knn_graph_clusters) carry in their oracle
+    SQL. The b-0.5 boundary is irrational, so >= is exact."""
     if n_vectors < 1:
         raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
     if target_occupancy < 1:
         raise ValueError(f"target_occupancy must be >= 1, got {target_occupancy}")
-    return max(1, min(max_bits, round(math.log2(max(n_vectors / target_occupancy, 2)))))
+    n2 = n_vectors * n_vectors
+    t2 = target_occupancy * target_occupancy
+    bits = 1
+    while bits < max_bits and n2 >= t2 << (2 * (bits + 1) - 1):
+        bits += 1
+    return bits
 
 
 def knn_join(
@@ -783,7 +795,7 @@ def knn_join(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     qvec_col: str = "qv",
-    bucket_bits: int | None = None,
+    bucket_bits: int | str | None = None,
     exclude_self: bool = True,
     n_probes: int = 1,
     max_bucket_size: int | None = None,
@@ -808,6 +820,20 @@ def knn_join(
       single-probe LSH trade measured for the ANN family in
       tests/test_ann_recall.py. With the corpus written partitioned
       by bucket this is the persisted-index layout.
+    - ``bucket_bits="auto"`` (SCALE, planner-sized — the r15 default
+      for the registered kNN-graph family): bits come from
+      ``plan_bucket_bits(corpus.count())``, holding expected bucket
+      occupancy constant so candidate volume stays LINEAR in corpus
+      size at any SF. The r14 100x rehearsal measured exactly why a
+      FIXED b is a scale knee: self-join candidates grow ~N²/2^b
+      (exp 1.31, 5.1 s → 103.7 s over the second decade at b=10).
+      The count is one deterministic corpus-sized action at plan
+      time (the bounded-collect stance: a single long), and the
+      sizing rule is integer-exact, so oracle parity survives —
+      DuckDB replays the same bits from the same count. Fixed
+      ``bucket_bits=b`` remains the documented small-SF parity arm
+      and the knob for callers who pre-partitioned a persisted index
+      at a known b.
     - ``n_probes>1`` (RECALL, with bucket_bits): each query probes
       its own bucket AND its (n_probes-1) lowest-margin neighbor
       buckets (multiprobe_bucket_set — the flip-the-closest-
@@ -861,6 +887,13 @@ def knn_join(
             "anti_affinity columns must have DISTINCT names on the two "
             f"frames (got {anti_affinity!r}) — alias one side"
         )
+    if isinstance(bucket_bits, str):
+        if bucket_bits != "auto":
+            raise ValueError(
+                f"bucket_bits must be an int, None (exact), or 'auto' "
+                f"(planner-sized); got {bucket_bits!r}"
+            )
+        bucket_bits = plan_bucket_bits(corpus.count())
     e = as_double_array(vec_col)
     q = as_double_array(qvec_col)
     if bucket_bits is None:

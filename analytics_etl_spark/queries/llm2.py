@@ -1828,16 +1828,47 @@ _KNN_SELF_COS = """
     END
 """
 
+# Planner-sized bucket bits (r15, VERDICT r14 item 1): the DuckDB
+# replica of similarity.plan_bucket_bits(count, target=4, max_bits=24)
+# — the integer-exact rule "bits >= b iff n^2 >= 16*2^(2b-1) =
+# 2^(2b+3)", so the oracle derives the SAME bits the Spark plan got
+# from corpus.count() at ANY scale factor (cross-checked value-by-
+# value against the Python planner in tests/test_properties.py).
+_KNN_NB_CTE = """
+    nb AS (
+      SELECT GREATEST(1, COALESCE(MAX(b), 1)) AS nbits
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM e) t,
+           (SELECT unnest(range(1, 25)) AS b) bs
+      WHERE t.n * t.n >= CAST(1 AS BIGINT) << (2*b + 3)
+    )
+"""
 
-@query(
-    "knn_graph_clusters",
-    oracle=f"""
-    WITH RECURSIVE {_KNN_E_CTE},
+
+def _bucket_sql_dyn(col: str, max_bits: int = 24) -> str:
+    """sign_bucket at RUNTIME-VARIABLE bits: the fixed-bits
+    _bucket_sql with each term gated on i < nb.nbits (the planner
+    CTE), so one static SQL string replays the planner-sized bucket
+    at every SF."""
+    terms = [
+        f"(CASE WHEN {i} < nb.nbits AND {col}[{i + 1}] > 0 "
+        f"THEN {2**i} ELSE 0 END)"
+        for i in range(max_bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+# Shared planner-sized self-kNN candidate stages (both graph queries)
+_KNN_GRAPH_STAGES = f"""
+    {_KNN_NB_CTE},
+    eb AS (
+      SELECT e.vec_id, e.embedding,
+             {_bucket_sql_dyn("e.embedding")} AS bkt
+      FROM e, nb
+    ),
     s AS (
       SELECT a.vec_id AS qid, b.vec_id AS nid, {_KNN_SELF_COS} AS score
-      FROM e a JOIN e b
-        ON {_bucket_sql("a.embedding", 10)} = {_bucket_sql("b.embedding", 10)}
-       AND a.vec_id <> b.vec_id
+      FROM eb a JOIN eb b
+        ON a.bkt = b.bkt AND a.vec_id <> b.vec_id
     ),
     r AS (
       SELECT qid, nid, ROW_NUMBER() OVER (
@@ -1856,6 +1887,14 @@ _KNN_SELF_COS = """
       UNION SELECT u, v FROM edges
       UNION SELECT r2.u, e2.v FROM reach r2 JOIN edges e2 ON r2.v = e2.u
     )
+"""
+
+
+@query(
+    "knn_graph_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_KNN_E_CTE},
+    {_KNN_GRAPH_STAGES}
     SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u
     """,
 )
@@ -1863,19 +1902,25 @@ def knn_graph_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The kNN-GRAPH CLUSTERING pipeline end-to-end (VERDICT r11
     item 3) — the SemDeDup/cluster-dedup shape built from this
     round's primitives: bucketed SELF-kNN join over the whole corpus
-    (sign-bucket equi-join at 10 bits — candidate volume ~N²/1024,
-    never all-pairs) → mutual-kNN edges (u<v kept iff each is in the
-    other's top-5 — degree bounded by k, edge set ≤ N·k/2) → min-label
-    connected components (operators/graph.py, the iterative fixpoint
-    already oracle-matched against recursive transitive closure in
-    dedup_cluster_canonical). Every stage is deterministic (bucket =
-    sign pattern, ranking tie-broken on id, CC fixpoint unique), so
-    the full composition is hash-checked: DuckDB replays self-kNN +
-    mutuality + recursive closure. exclude_self=True is the CORRECT
-    usage here — queries ARE the corpus (shared id space). Output:
-    (vec_id, cluster_id) for every node with ≥1 mutual edge;
-    singletons absent by the documented CC contract. Planted-cluster
-    recovery is pinned in tests/test_ann_recall.py."""
+    (sign-bucket equi-join, PLANNER-SIZED bits since r15 — the r14
+    100x rehearsal measured fixed bits=10 going superlinear, exp
+    1.31, because candidates grow ~N²/1024; bucket_bits="auto" holds
+    expected occupancy constant so candidate volume stays linear,
+    and the integer-exact sizing rule is replayed by the oracle's
+    nb CTE from the same corpus count) → mutual-kNN edges (u<v kept
+    iff each is in the other's top-5 — degree bounded by k, edge set
+    ≤ N·k/2) → min-label connected components (operators/graph.py,
+    the iterative fixpoint already oracle-matched against recursive
+    transitive closure in dedup_cluster_canonical). Every stage is
+    deterministic (bucket = sign pattern, planner bits = integer
+    rule on a deterministic count, ranking tie-broken on id, CC
+    fixpoint unique), so the full composition is hash-checked:
+    DuckDB replays planner + self-kNN + mutuality + recursive
+    closure. exclude_self=True is the CORRECT usage here — queries
+    ARE the corpus (shared id space). Output: (vec_id, cluster_id)
+    for every node with ≥1 mutual edge; singletons absent by the
+    documented CC contract. Planted-cluster recovery is pinned in
+    tests/test_ann_recall.py."""
     from analytics_etl_spark.operators.graph import connected_components
     from analytics_etl_spark.operators.similarity import (
         knn_join,
@@ -1887,7 +1932,7 @@ def knn_graph_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     self_q = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    knn = knn_join(emb, self_q, k=5, bucket_bits=10)
+    knn = knn_join(emb, self_q, k=5, bucket_bits="auto")
     edges = mutual_knn_edges(knn)
     return connected_components(edges, src="u", dst="v").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -1898,29 +1943,7 @@ def knn_graph_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic_knn_graph",
     oracle=f"""
     WITH RECURSIVE {_KNN_E_CTE},
-    s AS (
-      SELECT a.vec_id AS qid, b.vec_id AS nid, {_KNN_SELF_COS} AS score
-      FROM e a JOIN e b
-        ON {_bucket_sql("a.embedding", 10)} = {_bucket_sql("b.embedding", 10)}
-       AND a.vec_id <> b.vec_id
-    ),
-    r AS (
-      SELECT qid, nid, ROW_NUMBER() OVER (
-        PARTITION BY qid ORDER BY score DESC, nid) AS rn
-      FROM s
-    ),
-    knn AS (SELECT qid, nid FROM r WHERE rn <= 5),
-    mutual AS (
-      SELECT x.qid AS u, x.nid AS v
-      FROM knn x JOIN knn y ON y.qid = x.nid AND y.nid = x.qid
-      WHERE x.qid < x.nid
-    ),
-    edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
-    reach(u, v) AS (
-      SELECT u, u FROM edges
-      UNION SELECT u, v FROM edges
-      UNION SELECT r2.u, e2.v FROM reach r2 JOIN edges e2 ON r2.v = e2.u
-    ),
+    {_KNN_GRAPH_STAGES},
     comp AS (SELECT u AS vec_id, MIN(v) AS cluster_id FROM reach GROUP BY u)
     SELECT vec_id, cluster_id FROM comp WHERE vec_id <> cluster_id
     """,
@@ -1935,9 +1958,10 @@ def dedup_semantic_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph's stages are all integer/tie-broken-deterministic, so the
     SAME 'drop all but one per tight cluster' decision becomes fully
     oracle-replayable. Shares knn_graph_clusters' plan (the filter
-    is the only addition), so its scale story is that row in
-    SCALING.md; a corpus build would anti-join these ids exactly
-    like the near-dup drop stage."""
+    is the only addition) including the r15 planner-sized bucket
+    bits (bucket_bits="auto" — scale-safe as registered), so its
+    scale story is that row in SCALING.md; a corpus build would
+    anti-join these ids exactly like the near-dup drop stage."""
     from analytics_etl_spark.operators.graph import connected_components
     from analytics_etl_spark.operators.similarity import (
         knn_join,
@@ -1950,7 +1974,7 @@ def dedup_semantic_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     comp = connected_components(
-        mutual_knn_edges(knn_join(emb, self_q, k=5, bucket_bits=10)),
+        mutual_knn_edges(knn_join(emb, self_q, k=5, bucket_bits="auto")),
         src="u",
         dst="v",
     )

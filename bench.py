@@ -798,10 +798,13 @@ _MEDIA_PNG_PATH: str | None = None
 
 
 def _setup_media_png(spark, sf_dir: str) -> None:
-    """Synthetic PNG corpus (untimed): one REAL 8-bit RGB PNG per
-    document — deterministic gradient-plus-texture pixels, filter-0
-    scanlines, stdlib zlib DEFLATE — the input for the PNG
-    real-decode throughput entry (~24x24 px, ~1-2 KB per row)."""
+    """Synthetic PNG corpus (untimed): one REAL 8-bit PNG per
+    document — deterministic gradient-plus-texture pixels, stdlib
+    zlib DEFLATE — the input for the PNG real-decode throughput
+    entry (~24x24 px, ~1-2 KB per row). Since r15 the corpus cycles
+    the full supported flavor surface so none of it falls back:
+    doc_id%3==0 truecolor RGB, ==1 paletted (color type 3, PLTE
+    lookup), ==2 Adam7-interlaced RGB (7-pass reassembly)."""
     global _MEDIA_PNG_PATH
     from analytics_etl_spark.tables import load_table
 
@@ -813,32 +816,61 @@ def _setup_media_png(spark, sf_dir: str) -> None:
         import numpy as _np
         import pandas as _pd
 
+        def chunk(ctype: bytes, body: bytes) -> bytes:
+            return (
+                len(body).to_bytes(4, "big")
+                + ctype
+                + body
+                + zlib.crc32(ctype + body).to_bytes(4, "big")
+            )
+
+        def wrap(w, h, color, interlace, raw, plte=None):
+            ihdr = (
+                w.to_bytes(4, "big")
+                + h.to_bytes(4, "big")
+                + bytes([8, color, 0, 0, interlace])
+            )
+            out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            if plte is not None:
+                out += chunk(b"PLTE", plte)
+            return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+        def scanlines(plane2d):
+            # filter-0 scanlines for one (rows, stride) byte plane
+            s = _np.zeros((plane2d.shape[0], 1 + plane2d.shape[1]), dtype=_np.uint8)
+            s[:, 1:] = plane2d
+            return s.tobytes()
+
         def png(doc_id: int) -> bytes:
             h = w = 16 + (doc_id % 3) * 8
+            variant = doc_id % 3
+            if variant == 1:  # paletted
+                idx = ((_np.arange(h * w) * (7 + doc_id % 5) + doc_id) % 64).astype(
+                    _np.uint8
+                ).reshape(h, w)
+                plte = bytes(
+                    ((_np.arange(192) * (13 + doc_id % 11) + doc_id) % 256).astype(
+                        _np.uint8
+                    )
+                )
+                return wrap(w, h, 3, 0, scanlines(idx), plte)
             n = h * w * 3
             arr = ((_np.arange(n) * (31 + doc_id % 17) + doc_id) % 256).astype(
                 _np.uint8
-            )
-            scan = _np.zeros((h, 1 + w * 3), dtype=_np.uint8)
-            scan[:, 1:] = arr.reshape(h, w * 3)
-
-            def chunk(ctype: bytes, body: bytes) -> bytes:
-                return (
-                    len(body).to_bytes(4, "big")
-                    + ctype
-                    + body
-                    + zlib.crc32(ctype + body).to_bytes(4, "big")
-                )
-
-            ihdr = (
-                w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
-            )
-            return (
-                b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(scan.tobytes()))
-                + chunk(b"IEND", b"")
-            )
+            ).reshape(h, w, 3)
+            if variant == 2:  # Adam7-interlaced truecolor
+                raw = b""
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                ):
+                    sub = arr[y0:h:dy, x0:w:dx]
+                    if sub.shape[0] and sub.shape[1]:
+                        raw += scanlines(
+                            sub.reshape(sub.shape[0], sub.shape[1] * 3)
+                        )
+                return wrap(w, h, 2, 1, raw)
+            return wrap(w, h, 2, 0, scanlines(arr.reshape(h, w * 3)))
 
         for pdf in batches:
             yield _pd.DataFrame(

@@ -782,3 +782,42 @@ def test_knn_join_anti_affinity_contract(spark):
     assert len(by_q[3]) == 3 and all(r["vec_id"] != 4 for r in out if r["query_id"] == 3)
     with pytest.raises(ValueError, match="DISTINCT names"):
         knn_join(df, q.withColumnRenamed("qsrc", "src"), k=2, anti_affinity=("src", "src"))
+
+
+def test_knn_join_auto_bits_planner_sized(spark):
+    """bucket_bits='auto' (r15): the join must behave EXACTLY like
+    bucket_bits=plan_bucket_bits(corpus.count()) — same rows, same
+    ranks — so the planner default is a pure sizing change, never a
+    semantic one; an unknown string raises (the raise-instead-of-
+    silently-misbehave stance)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.operators.similarity import (
+        knn_join,
+        plan_bucket_bits,
+    )
+
+    import random
+
+    rng = random.Random(1507)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    auto = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in knn_join(df, q, k=3, bucket_bits="auto").collect()
+    }
+    bits = plan_bucket_bits(df.count())
+    assert bits == plan_bucket_bits(120)  # deterministic count -> bits
+    explicit = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in knn_join(df, q, k=3, bucket_bits=bits).collect()
+    }
+    assert auto == explicit and len(auto) > 0
+    with pytest.raises(ValueError, match="auto"):
+        knn_join(df, q, k=3, bucket_bits="planned")

@@ -1074,3 +1074,46 @@ def test_plan_bucket_bits_monotone_and_validates():
         plan_bucket_bits(0)
     with pytest.raises(ValueError, match="target_occupancy"):
         plan_bucket_bits(100, 0)
+
+
+def test_plan_bucket_bits_matches_oracle_nb_cte():
+    """Cross-engine parity for the r15 planner-sized kNN family: the
+    DuckDB nb CTE the registered knn_graph_clusters oracle carries
+    must derive EXACTLY the bits plan_bucket_bits derives, for every
+    count — checked densely over small n plus every power-of-2
+    boundary up to 2^40 ± 1 (the half-bit rounding boundaries are
+    irrational, so the integer-exact rule has no ties to disagree
+    on). This is the contract that lets bucket_bits='auto' stay
+    hash-checked at any SF."""
+    import duckdb
+
+    from analytics_etl_spark.operators.similarity import plan_bucket_bits
+    from analytics_etl_spark.queries.llm2 import _KNN_NB_CTE
+
+    con = duckdb.connect()
+    # the REGISTERED CTE string over a stand-in `e` of n rows (dense
+    # small n + every 2^k boundary a local corpus can actually reach)
+    for n in list(range(1, 600)) + [2**k + d for k in range(10, 21) for d in (-1, 0, 1)]:
+        got = con.execute(
+            f"WITH e AS (SELECT * FROM range({n})), {_KNN_NB_CTE} "
+            f"SELECT nbits FROM nb"
+        ).fetchone()[0]
+        assert got == plan_bucket_bits(n), n
+    # the arithmetic core at counts too big to materialize: swap the
+    # COUNT(*) subquery for a literal, keep the comparison verbatim
+    import re
+
+    core = re.sub(
+        r"\(SELECT CAST\(COUNT\(\*\) AS HUGEINT\) AS n FROM e\)",
+        "(SELECT CAST({n} AS HUGEINT) AS n)",
+        _KNN_NB_CTE,
+    )
+    assert "{n}" in core  # the substitution must have matched
+    for n in [2**k + d for k in range(21, 41) for d in (-1, 0, 1)] + [
+        10**9,
+        3 * 10**9,
+    ]:
+        got = con.execute(
+            f"WITH {core.format(n=n)} SELECT nbits FROM nb"
+        ).fetchone()[0]
+        assert got == plan_bucket_bits(n), n

@@ -451,16 +451,12 @@ def test_decode_ppm_roundtrip_and_features():
 # --- real PNG decoder (round 14): stdlib zlib + numpy unfilter ------------
 
 
-def _filter_png(arr, ftypes):
-    """INDEPENDENT per-spec PNG builder: forward-filters `arr` with
-    the given per-row filter types using the RFC 2083 §6 equations
-    byte-at-a-time in pure Python — the reference the engine's
-    vectorized unfilter must invert. CRC-correct chunks via zlib."""
-    import zlib
-
-    h, w, ch = arr.shape
-    stride = w * ch
-    flat = arr.reshape(h, stride)
+def _ff_scanlines(flat, ch, ftypes):
+    """INDEPENDENT per-spec forward filter: applies the RFC 2083 §6
+    equations byte-at-a-time in pure Python over a (h, stride) int
+    array — the reference the engine's vectorized unfilter must
+    invert. `ch` is the filter byte-lag (bytes per pixel)."""
+    h, stride = flat.shape
     raw = bytearray()
     for y in range(h):
         f = ftypes[y % len(ftypes)]
@@ -483,25 +479,90 @@ def _filter_png(arr, ftypes):
                 pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                 pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
             raw.append((x - pred) % 256)
+    return raw
 
-    def chunk(ctype, body):
-        return (
-            len(body).to_bytes(4, "big")
-            + ctype
-            + body
-            + zlib.crc32(ctype + body).to_bytes(4, "big")
+
+def _png_chunk(ctype, body):
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _build_png(arr, ftypes, interlace=0, plte=None):
+    """INDEPENDENT per-spec PNG builder: truecolor (arr is (h, w,
+    3|4)) or paletted (arr is (h, w) indices with `plte` bytes),
+    interlace 0 or Adam7 — passes split per §8.2, each forward
+    filtered byte-at-a-time by the §6 reference equations."""
+    import zlib
+
+    if plte is not None:
+        h, w = arr.shape[:2]
+        ch, color = 1, 3
+        planes = arr.reshape(h, w, 1)
+    else:
+        h, w, ch = arr.shape
+        color = 2 if ch == 3 else 6
+        planes = arr
+    raw = bytearray()
+    passes = (
+        [(0, 0, 1, 1)] if not interlace else list(_ADAM7)
+    )
+    for x0, y0, dx, dy in passes:
+        sub = planes[y0:h:dy, x0:w:dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        raw += _ff_scanlines(
+            sub.reshape(sub.shape[0], sub.shape[1] * ch), ch, ftypes
         )
-
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
-        + bytes([8, 2 if ch == 3 else 6, 0, 0, 0])
+        + bytes([8, color, 0, 0, interlace])
     )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    return (
+        out
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _filter_png(arr, ftypes):
+    """Truecolor non-interlaced shorthand for _build_png (the round-14
+    helper's original surface — many tests use it)."""
+    return _build_png(arr, ftypes, interlace=0, plte=None)
+
+
+def _huge_ihdr_png(w=40000, h=20000, idat_plain=bytes(4096)):
+    """The ADVICE r14 attack shape: valid-CRC IHDR declaring a multi-
+    GB raster over a small compressed-zeros IDAT — every decode site
+    must reject it on declared geometry BEFORE any inflate."""
+    import zlib
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(idat_plain, 9))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -559,7 +620,7 @@ def test_decode_png_rejects_malformed():
     bad[len(good) // 2] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad))
-    # unsupported flavors: grayscale(0), palette(3), 16-bit, interlaced
+    # unsupported flavors: grayscale(0), 16-bit, interlace value > 1
     def mutate(depth=8, color=2, interlace=0):
         ihdr = (
             (4).to_bytes(4, "big")
@@ -574,9 +635,16 @@ def test_decode_png_rejects_malformed():
         )
         return good[:8] + body + good[8 + len(body) :]
 
-    for kw in ({"color": 0}, {"color": 3}, {"depth": 16}, {"interlace": 1}):
+    for kw in ({"color": 0}, {"depth": 16}, {"interlace": 2}):
         with pytest.raises(ValueError, match="supported"):
             decode_png(mutate(**kw))
+    # palette (3) is SUPPORTED since r15 — but only with a PLTE chunk
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(mutate(color=3))
+    # Adam7 flag over non-interlaced data: pass layout disagrees (55
+    # filtered bytes expected for 4x4 RGB Adam7 vs the 52 present)
+    with pytest.raises(ValueError, match="size"):
+        decode_png(mutate(interlace=1))
     # inflated size disagreeing with IHDR geometry
     arr = _demo_rgb(4, 4, 3)
     truncated = np.zeros((3, 1 + 4 * 3), dtype=np.uint8)  # one row short
@@ -631,6 +699,91 @@ def test_decode_png_bounds_inflation_zip_bomb():
     assert mm.dispatch_features(bomb) == mm.decode_stub(bomb)
 
 
+def test_decode_png_huge_ihdr_rejected_before_inflate():
+    """r15 advice close: the bounded-inflate cap alone guards too
+    late — need = h*(stride+1) comes from the attacker-controlled
+    IHDR, and zlib materializes up to that cap inside ONE
+    decompress() call, so a valid-CRC 40000x20000 IHDR (a ~2.4 GB
+    raster) must be rejected BEFORE any inflate, on declared
+    geometry alone. Also covers the under-cap variant: a raster no
+    DEFLATE stream of this IDAT's size could produce (max ~1032x)
+    is rejected without touching zlib."""
+    import tracemalloc
+
+    import pytest
+
+    from analytics_etl_spark.operators import multimodal as mm
+
+    # the ADVICE attack shape: huge valid-CRC IHDR, small IDAT — the
+    # old guard would have asked zlib for 2.4 GB before any check
+    huge = _huge_ihdr_png()
+    assert len(huge) < 8192
+    # sane geometry but an IDAT far too small to ever inflate to it
+    implausible = _huge_ihdr_png(1000, 1000, bytes(64))
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="cap"):
+        mm.decode_png(huge)
+    with pytest.raises(ValueError, match="implausible"):
+        mm.decode_png(implausible)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 * 1024 * 1024, peak
+    # both land on the deterministic fallback through dispatch
+    assert mm.dispatch_features(huge) == mm.decode_stub(huge)
+    assert mm.dispatch_features(implausible) == mm.decode_stub(implausible)
+    # ... and through the worker closures (extract_features/resize
+    # mirror the guard; behavioral sync is pinned separately)
+
+
+def test_decode_png_palette_per_spec():
+    """Color type 3 (r15): indices forward-filtered by the
+    independent byte-at-a-time reference (filter byte-lag 1), PLTE
+    lookup must yield exactly pal[idx] as (h, w, 3)."""
+    import numpy as np
+    import pytest
+
+    from analytics_etl_spark.operators.multimodal import decode_png
+
+    h, w = 9, 7
+    idx = ((np.arange(h * w) * 13 + 5) % 16).astype(np.uint8).reshape(h, w)
+    pal = bytes(((np.arange(48) * 37 + 11) % 256).astype(np.uint8))
+    pal_arr = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)
+    for ftypes in ([0, 1, 2, 3, 4], [4], [3, 1]):
+        got = decode_png(_build_png(idx, ftypes, plte=pal))
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got, pal_arr[idx]), ftypes
+    # malformed PLTE (not a multiple of 3) and out-of-range index
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_build_png(idx, [0], plte=pal[:-1]))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_build_png(idx, [0], plte=pal[:9]))  # 3 entries < max 15
+
+
+def test_decode_png_adam7_inverts_per_spec_reference():
+    """Adam7 (r15): the independent builder splits the image into §8.2
+    passes and forward-filters EACH pass with the byte-at-a-time
+    reference; the engine must reassemble the exact pixels. Geometries
+    cover w/h below the 8x8 grid (empty passes), odd sizes, and the
+    1x1 corner (only pass 1 non-empty); filters cycle per scanline."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import decode_png
+
+    for (h, w) in [(11, 6), (8, 8), (5, 3), (1, 1), (2, 9), (16, 16), (7, 1)]:
+        for ch in (3, 4):
+            arr = _demo_rgb(h, w, ch)
+            for ftypes in ([0, 1, 2, 3, 4], [4], [2, 3]):
+                got = decode_png(_build_png(arr, ftypes, interlace=1))
+                assert np.array_equal(got, arr), (h, w, ch, ftypes)
+    # paletted + interlaced combined: both r15 features in one payload
+    idx = ((np.arange(10 * 9) * 7 + 3) % 8).astype(np.uint8).reshape(10, 9)
+    pal = bytes(((np.arange(24) * 53 + 29) % 256).astype(np.uint8))
+    got = decode_png(_build_png(idx, [1, 4, 0], interlace=1, plte=pal))
+    assert np.array_equal(
+        got, np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    )
+
+
 def test_image_features_png_matches_ppm_and_ignores_alpha():
     """The same pixels through PPM and PNG payloads must yield the
     SAME feature vector (codec-independent stats), and an RGBA PNG's
@@ -656,14 +809,26 @@ def test_resize_images_real_png(spark):
     arr = _demo_rgb(8, 8, 3)
     # multi-filter payload: the worker's inline unfilter runs for real
     payload = _filter_png(arr, [0, 1, 2, 3, 4])
+    # r15: paletted Adam7 input — worker must decode (lookup to RGB)
+    idx = (np.arange(64, dtype=np.uint8) % 11).reshape(8, 8)
+    pal = bytes(((np.arange(33) * 41 + 7) % 256).astype(np.uint8))
+    pal_payload = _build_png(idx, [1, 4, 2], interlace=1, plte=pal)
     df = spark.createDataFrame(
-        [(1, "image", payload), (2, "image", b"\x89PNG\r\n\x1a\njunk")],
+        [
+            (1, "image", payload),
+            (2, "image", b"\x89PNG\r\n\x1a\njunk"),
+            (3, "image", pal_payload),
+            (4, "image", _huge_ihdr_png()),  # guard -> byte-fold
+        ],
         "media_id long, kind string, payload binary",
     )
     got = {r.media_id: r.payload for r in resize_images(df, 4, 4).collect()}
     yi, xi = (np.arange(4) * 8) // 4, (np.arange(4) * 8) // 4
     assert np.array_equal(decode_png(bytes(got[1])), arr[yi][:, xi])
     assert len(got[2]) == 16  # corrupt -> byte-fold fallback
+    rgb = np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+    assert np.array_equal(decode_png(bytes(got[3])), rgb[yi][:, xi])
+    assert len(got[4]) == 16  # geometry bomb -> byte-fold fallback
 
 
 def test_dispatch_falls_back_on_unknown_or_corrupt():
@@ -719,6 +884,17 @@ def test_real_decoders_closure_in_sync(spark):
         5: _filter_png(_demo_rgb(6, 4, 3), [0, 1, 2, 3, 4]),  # all filters
         6: _filter_png(_demo_rgb(5, 3, 4), [4, 3]),  # RGBA
         7: b"\x89PNG\r\n\x1a\njunk",  # corrupt PNG -> fallback
+        # r15 surface: paletted, Adam7-interlaced, and the huge-IHDR
+        # geometry bomb (must hit the worker's pre-inflate guard and
+        # land on the fallback, matching the module dispatch)
+        8: _build_png(
+            (np.arange(42, dtype=np.uint8) % 7).reshape(6, 7),
+            [1, 4],
+            plte=bytes(range(21)),
+        ),
+        9: _build_png(_demo_rgb(9, 6, 3), [0, 1, 2, 3, 4], interlace=1),
+        10: _build_png(_demo_rgb(5, 5, 4), [4, 2], interlace=1),
+        11: _huge_ihdr_png(),
     }
     df = spark.createDataFrame(
         [(k, "audio" if k == 1 else "image", v, None) for k, v in payloads.items()],
