@@ -104,3 +104,41 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 50) -> DataFrame:
         .select("item", (F.col("est") - F.lit(d)).alias("est"))
         .orderBy(F.desc("est"), F.asc("item"))
     )
+
+
+def heavy_hitters_guaranteed(df: DataFrame, col: str, k: int = 50) -> DataFrame:
+    """The MG COMPLETENESS guarantee made hash-checkable (VERDICT r14
+    item 4): the items the sketch contract says MUST survive — exact
+    frequency strictly above n/(k+1) over the non-null stream —
+    emitted with their exact counts, LEFT-SEMI-joined against the
+    sketch's actual survivors.
+
+    Why this projection and not a sketch-side one: the raw counters
+    are irreducibly order-dependent, and ANY est-threshold cut is
+    ambiguous for items whose true frequency sits in the
+    (n/(k+1), 2n/(k+1)] band — there est ranges over
+    [f - n/(k+1), f], which straddles every fixed threshold — so the
+    one DECISION surface that IS deterministic is exact-threshold
+    membership. The semi-join makes the guarantee itself the thing
+    under test: if the sketch ever drops a guaranteed item (a
+    completeness bug in the partition pass, the merge, or the trim),
+    the row disappears and the driver's hash check goes red; the
+    order-dependent tail survivors never appear on either side.
+
+    The exact counts make this the AUDIT arm — run it on a golden
+    slice or a bounded column, not the trillion-key stream; the
+    sketch arm (``heavy_hitters``) remains the fixed-memory
+    production path. Cost: the sketch pass plus one map-side-combined
+    groupBy on the audited column, both counter-sized outputs; the
+    total-count frame is one row, broadcast."""
+    survivors = heavy_hitters(df, col, k).select("item")
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("item"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    guaranteed = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("cnt") * (k + 1) > F.col("n")
+    )
+    return guaranteed.join(survivors, "item", "left_semi").select("item", "cnt")

@@ -36,6 +36,22 @@ the standing doc was assigned by the same salted hash — no standing
 assignment is ever touched. Unlinked docs hash their own id,
 bit-identical to plain ``dataset_split``.
 
+KNOWN BOUNDARY — the multi-split link component (ADVICE r14): a
+batch doc whose link edges reach standing docs in TWO OR MORE
+different splits inherits only the component-min standing split, so
+its near-dup pair with the other standing doc(s) still straddles
+train/test. This is inherent to any refresh that never reassigns
+standing docs — the two standing docs were themselves split apart by
+the nightly (their mutual Jaccard was below the nightly's link
+threshold; the batch doc is the first bridge between them) — and is
+resolved only by the next nightly rebuild, whose cluster pass merges
+the bridged component and re-hashes it as one unit. Operators who
+need the strict no-straddle invariant BETWEEN rebuilds should audit
+accepted docs with ``multi_split_link_flags`` (below) and hold the
+flagged handful out of eval sets until the rebuild lands; the flag
+frame is link-edge-sized, never corpus-sized. The boundary and the
+audit are pinned by tests/test_incremental_refresh.py.
+
 Which standing id gets hashed depends on how the NIGHTLY build split
 the standing corpus, and the refresh must match it:
 
@@ -378,3 +394,44 @@ def _refresh_body(
     )
     _drop_stale(_stale)
     return out, obs
+
+
+def multi_split_link_flags(
+    corpus_pairs: DataFrame,
+    standing_splits: DataFrame,
+    drop_jaccard: float = 0.5,
+) -> DataFrame:
+    """Audit for the KNOWN BOUNDARY in the module docstring (ADVICE
+    r14): batch docs whose LINK-band edges reach standing docs in
+    more than one distinct split. Such a doc inherits only the
+    component-min standing split, so its near-dup pair with the
+    other standing doc(s) still straddles splits until the next
+    nightly rebuild merges the bridged component.
+
+    ``corpus_pairs``: incremental_minhash_dedup output
+    (batch_doc, corpus_doc, jaccard) — the deployment already has
+    this frame from the refresh run. ``standing_splits``: the
+    nightly's (doc_id, split) assignment. Returns one row per
+    flagged batch doc: (batch_doc, n_link_splits, link_splits) with
+    link_splits sorted for determinism. Link-edge-sized throughout
+    (one keyed join + one counter-sized groupBy), never corpus-sized.
+    Under a cluster_safe_split nightly, pass the CLUSTER-routed
+    splits — standing docs of one nightly cluster share a split by
+    construction, so routing cannot create false flags."""
+    link = corpus_pairs.filter(F.col("jaccard") < drop_jaccard).select(
+        "batch_doc", "corpus_doc"
+    )
+    sp = standing_splits.select(
+        F.col("doc_id").alias("corpus_doc"), "split"
+    )
+    return (
+        link.join(sp, "corpus_doc")
+        .groupBy("batch_doc")
+        .agg(F.array_sort(F.collect_set("split")).alias("link_splits"))
+        .filter(F.size("link_splits") > 1)
+        .select(
+            "batch_doc",
+            F.size("link_splits").cast("int").alias("n_link_splits"),
+            "link_splits",
+        )
+    )

@@ -2600,6 +2600,49 @@ def heavy_hitters_parts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(li, "l_partkey", k=50)
 
 
+# The MG guarantee itself, hash-checked (VERDICT r14 item 4): the
+# r14 audit confirmed the raw counters CANNOT be oracle-paired — any
+# sketch-side est-threshold is ambiguous for items in the
+# (n/(k+1), 2n/(k+1)] band — so the family's deterministic decision
+# surface is exact-threshold membership: items with exact freq >
+# n/(k+1), which the guarantee says must ALL be among the sketch's
+# survivors. The Spark side semi-joins the exact guaranteed set
+# against the real MG output, so a completeness bug in the sketch
+# (partition pass, merge, or trim) surfaces as a missing row = red
+# driver hash. Two streams keep it non-vacuous at every SF: document
+# language (en ~39-44% > the k=2 threshold of 1/3 everywhere) and
+# l_returnflag (whichever flags sit above n/3 — near the boundary,
+# but BOTH engines decide by exact count, so membership matches by
+# construction). k=2 < the distinct count on both streams, so the
+# sketch genuinely evicts.
+@query(
+    "heavy_hitters_guaranteed",
+    oracle="""
+    WITH lc AS (SELECT lang AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+    lt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lc),
+    rc AS (SELECT l_returnflag AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1),
+    rt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM rc)
+    SELECT 'doc_lang' AS stream, item, cnt FROM lc, lt WHERE cnt * 3 > n
+    UNION ALL
+    SELECT 'returnflag' AS stream, item, cnt FROM rc, rt WHERE cnt * 3 > n
+    """,
+)
+def heavy_hitters_guaranteed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.freq import heavy_hitters_guaranteed
+
+    docs = t(spark, sf_dir, "documents")
+    li = t(spark, sf_dir, "lineitem")
+    a = heavy_hitters_guaranteed(docs, "lang", k=2).select(
+        F.lit("doc_lang").alias("stream"), "item", "cnt"
+    )
+    b = heavy_hitters_guaranteed(li, "l_returnflag", k=2).select(
+        F.lit("returnflag").alias("stream"), "item", "cnt"
+    )
+    return a.unionByName(b)
+
+
 # The heavy-hitter family's hash-checked DECISION arm (VERDICT r12
 # item 4, following the dedup_semantic_knn_graph precedent): the MG
 # sketch above answers the one-pass/mergeable/streaming case and is

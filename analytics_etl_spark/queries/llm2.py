@@ -2110,21 +2110,107 @@ def histogram_quantile_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side-combined groupBy is the only corpus-sized work; 8
 # multiplicative-weights rounds run on K=|langs| driver-side integers
 # with Hamilton re-normalization (weights sum to the ppm budget
-# EXACTLY every round). Rows-only: iterative fixpoint, the
-# bpe_learned_merges class — each round's weights feed the next
-# round's mixture rate; evidence is exact parity with an independent
-# pure-Python DoReMi reference plus exact-sum and monotone-response
-# properties, all in tests/test_properties.py.
+# EXACTLY every round).
+#
+# ORACLE-PAIRED since r15 (VERDICT r14 item 4): with a STATIC loss
+# table and a FIXED round count the loop is not a fixpoint (the
+# bpe_learned_merges class) but a fixed-depth composition — every
+# round is exact integer arithmetic over K rows, so the 8 rounds
+# UNROLL into one SQL chain: per-round mixture rate (scalar CTE),
+# multiplicative masses, Hamilton largest-remainder re-normalization
+# (window: remainder rank vs leftover), uniform smoothing, repeated
+# 8x, then the across-round-average Hamilton. Every CTE is
+# MATERIALIZED — each Hamilton pass reads its input twice, and 17
+# chained passes would otherwise inline 2^17 subtrees. Parity with
+# the pure-Python reference is fuzz-pinned over randomized stats
+# (incl. NULL domains and all-zero-loss rounds) in
+# tests/test_properties.py::test_doremi_oracle_sql_matches_reference.
+
+
+def _hamilton_cte(inp: str, out: str, carry: list[str], budget: int) -> str:
+    """One Hamilton (largest-remainder) apportionment pass as a
+    MATERIALIZED CTE: ``inp`` carries (``carry``..., m) non-negative
+    HUGEINT masses; ``out`` carries (``carry``..., w) with w summing
+    to ``budget`` exactly. Remainder ties break by (domain IS NOT
+    NULL, domain) — the operator's _dkey total order (None first)."""
+    cols = ", ".join(carry)
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT {cols},
+             flo + CASE WHEN rn <= {budget} - tot THEN 1 ELSE 0 END AS w
+      FROM (
+        SELECT {cols}, flo, rem, SUM(flo) OVER () AS tot,
+               ROW_NUMBER() OVER (
+                 ORDER BY rem DESC, (domain IS NOT NULL), domain) AS rn
+        FROM (
+          SELECT {cols},
+                 CAST({budget} AS HUGEINT) * m // tt AS flo,
+                 CAST({budget} AS HUGEINT) * m % tt AS rem
+          FROM {inp}, (SELECT SUM(m) AS tt FROM {inp}) t
+        ) f1
+      ) f2
+    )"""
+
+
+def _doremi_rounds_sql(rounds: int, budget: int = 1_000_000) -> str:
+    """The unrolled DoReMi chain from a ``dstats (domain, n, s)`` CTE
+    (n = docs, s = integer loss sum) to the final SELECT — eta=(1,1),
+    smooth=(1,50), mirroring doremi_reweight's defaults: masses
+    w*(mix + max(0, rate-mix)) when mix > 0 (else unchanged), then
+    smoothing masses 49*w*k + budget, each Hamilton-renormalized."""
+    parts = [f"""
+    k1 AS MATERIALIZED (SELECT CAST(COUNT(*) AS HUGEINT) AS k FROM dstats),
+    base AS MATERIALIZED (
+      SELECT domain, n, (CAST(s AS HUGEINT) * 1000000) // n AS rate,
+             CAST(n AS HUGEINT) AS m
+      FROM dstats
+    ),{_hamilton_cte("base", "w0t", ["domain", "n", "rate"], budget)},
+    st0 AS MATERIALIZED (
+      SELECT domain, n, rate, w AS w0, w, CAST(0 AS HUGEINT) AS hsum
+      FROM w0t
+    )"""]
+    carry = ["domain", "n", "rate", "w0", "hsum"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""",
+    mix{i} AS MATERIALIZED (
+      SELECT SUM(CAST(w AS HUGEINT) * rate) // {budget} AS mix FROM st{p}
+    ),
+    ma{i} AS MATERIALIZED (
+      SELECT domain, n, rate, w0, hsum,
+             CAST(w AS HUGEINT) * (CASE WHEN mix > 0
+               THEN mix + GREATEST(rate - mix, 0) ELSE 1 END) AS m
+      FROM st{p}, mix{i}
+    ),{_hamilton_cte(f"ma{i}", f"ha{i}", carry, budget)},
+    mb{i} AS MATERIALIZED (
+      SELECT domain, n, rate, w0, hsum,
+             49 * CAST(w AS HUGEINT) * k + {budget} AS m
+      FROM ha{i}, k1
+    ),{_hamilton_cte(f"mb{i}", f"hb{i}", carry, budget)},
+    st{i} AS MATERIALIZED (
+      SELECT domain, n, rate, w0, hsum + w AS hsum, w FROM hb{i}
+    )""")
+    parts.append(f""",
+    fm AS MATERIALIZED (SELECT domain, n, w0, hsum AS m FROM st{rounds}),
+    {_hamilton_cte("fm", "fin", ["domain", "n", "w0"], budget)}
+    SELECT domain, CAST(n AS BIGINT) AS n_docs,
+           CAST(w0 AS BIGINT) AS weight0_ppm, CAST(w AS BIGINT) AS weight_ppm
+    FROM fin ORDER BY domain NULLS FIRST""")
+    return "".join(parts)
+
+
 @query(
     "doremi_domain_weights",
-    rows_only=(
-        "iterative multiplicative-weights fixpoint (the "
-        "bpe_learned_merges reason — each round depends on the "
-        "previous round's weights, not expressible in DuckDB SQL); "
-        "exact parity with an independent pure-Python DoReMi "
-        "reference and Hamilton exact-sum / monotone-response "
-        "properties pinned in tests/test_properties.py"
+    oracle=f"""
+    WITH {_ppl_cte_chain()},
+    dstats AS MATERIALIZED (
+      SELECT d.lang AS domain, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.surprisal_q // a.n_grams) AS BIGINT) AS s
+      FROM pp_agg a JOIN documents d ON d.doc_id = a.doc_id
+      GROUP BY 1
     ),
+    {_doremi_rounds_sql(8)}
+    """,
 )
 def doremi_domain_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from analytics_etl_spark.operators.doremi import (

@@ -294,7 +294,7 @@ def dedup_substring_remove_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standing corpus. Every decision is integer/md5/exact-double
 # arithmetic; the oracle unrolls the same pipeline in SQL, with the
 # split-linkage components via a recursive transitive closure.
-def _refresh_oracle() -> str:
+def _refresh_oracle(clustered: bool = False) -> str:
     from analytics_etl_spark.queries.llm import _minhash_params_sql
 
     tok3 = (
@@ -317,6 +317,43 @@ def _refresh_oracle() -> str:
       JOIN sizes sb ON sb.doc_id = c.v
       WHERE CAST(cm.cm AS DOUBLE) / (sa.sz + sb.sz - cm.cm) >= 0.3
     )"""
+    if clustered:
+        # the cluster-split nightly (VERDICT r14 item 5): standing-
+        # standing LSH pairs at the drop threshold -> connected
+        # components = the nightly cluster table; every standing doc
+        # maps to its nightly cluster id (own id when unclustered),
+        # and batch->corpus link edges route to THAT id, reproducing
+        # the split the nightly cluster_safe_split actually hashed.
+        ss_cands = f""",
+    cand_ss AS (
+      SELECT DISTINCT x.doc_id AS u, y.doc_id AS v
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+      JOIN standing s1 ON s1.doc_id = x.doc_id
+      JOIN standing s2 ON s2.doc_id = y.doc_id
+    ),
+    {ver.format(s="ss")},
+    sdup AS (SELECT u, v FROM ver_ss WHERE j >= 0.5),
+    se2 AS (SELECT u, v FROM sdup UNION SELECT v, u FROM sdup),
+    sreach(u, v) AS (
+      SELECT u, u FROM se2
+      UNION SELECT u, v FROM se2
+      UNION SELECT sr.u, se.v FROM sreach sr JOIN se2 se ON sr.v = se.u
+    ),
+    scc AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM sreach GROUP BY u),
+    snightly AS (
+      SELECT s.doc_id, COALESCE(scc.cluster_id, s.doc_id) AS cluster_id
+      FROM standing s LEFT JOIN scc ON scc.doc_id = s.doc_id
+    )"""
+        bc_edge = """
+      SELECT v.u, COALESCE(sn.cluster_id, v.v) AS v
+      FROM ver_bc v JOIN acc ON acc.doc_id = v.u
+      LEFT JOIN snightly sn ON sn.doc_id = v.v
+      WHERE v.j < 0.5"""
+    else:
+        ss_cands = ""
+        bc_edge = """
+      SELECT v.u, v.v FROM ver_bc v JOIN acc ON acc.doc_id = v.u WHERE v.j < 0.5"""
     return f"""
     WITH RECURSIVE
     cut AS (SELECT (8 * MAX(doc_id)) // 10 AS c FROM documents),
@@ -399,7 +436,7 @@ def _refresh_oracle() -> str:
       JOIN batch b2 ON b2.doc_id = y.doc_id
     ),
     {ver.format(s="bc")},
-    {ver.format(s="bb")},
+    {ver.format(s="bb")}{ss_cands},
     -- gate combine (pipeline order; dispositions attribute the FIRST cut)
     dc AS (SELECT DISTINCT u AS doc_id FROM ver_bc WHERE j >= 0.5),
     s2 AS (
@@ -415,8 +452,7 @@ def _refresh_oracle() -> str:
     ),
     acc AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM db)),
     -- split-linkage components over the [0.3, 0.5) link band
-    e_raw AS (
-      SELECT v.u, v.v FROM ver_bc v JOIN acc ON acc.doc_id = v.u WHERE v.j < 0.5
+    e_raw AS ({bc_edge}
       UNION ALL
       SELECT v.u, v.v FROM ver_bb v
       JOIN acc xa ON xa.doc_id = v.u
@@ -498,4 +534,43 @@ def corpus_refresh_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text")
     batch = base.filter(F.col("doc_id") > F.col("c")).select("doc_id", "text")
     result, _ = corpus_refresh(standing, batch, bench)
+    return result
+
+
+@query("corpus_refresh_clustered", oracle=_refresh_oracle(clustered=True))
+def corpus_refresh_clustered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLUSTER-SPLIT nightly end-to-end (VERDICT r14 item 5): the
+    standing corpus was split by cluster_safe_split (so a standing
+    doc in a multi-doc near-dup cluster was assigned
+    hash(cluster_id), not hash(own id)), and the refresh receives the
+    nightly's (doc_id, cluster_id) table so batch->corpus link edges
+    route to the standing doc's CLUSTER id — the inheritance routing
+    the r14 review fixed, previously pinned only by unit tests, now
+    hash-checked as a full pipeline: the oracle replays the nightly
+    clustering (standing-standing LSH pairs -> recursive-closure
+    components) AND the routed refresh, so an accepted batch doc
+    linked to a clustered standing doc must land in exactly the split
+    the nightly hashed for that cluster. Same slicing and gates as
+    corpus_refresh_pipeline; the only delta is standing_clusters."""
+    from analytics_etl_spark.operators.dedup import minhash_lsh_dedup
+    from analytics_etl_spark.operators.sampling import cluster_safe_split
+    from analytics_etl_spark.plans.incremental_refresh import corpus_refresh
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("(8 * max(doc_id)) div 10").alias("c"))
+    base = docs.crossJoin(F.broadcast(cut))
+    bench = base.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    standing = base.filter(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") <= F.col("c"))
+    ).select("doc_id", "text")
+    batch = base.filter(F.col("doc_id") > F.col("c")).select("doc_id", "text")
+    nightly = cluster_safe_split(
+        standing.select("doc_id"),
+        minhash_lsh_dedup(
+            standing, num_hashes=12, rows_per_band=3, shingle_n=3, min_jaccard=0.5
+        ),
+    ).select("doc_id", "cluster_id")
+    result, _ = corpus_refresh(
+        standing, batch, bench, standing_clusters=nightly
+    )
     return result

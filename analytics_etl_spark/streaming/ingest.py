@@ -119,6 +119,75 @@ def streaming_corpus_ingest(
     )
 
 
+def refresh_attribution_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    standing: DataFrame,
+    bench: DataFrame,
+    attribution_path: str,
+    **refresh_kwargs,
+) -> None:
+    """foreachBatch maintenance of the corpus-refresh ATTRIBUTION
+    table (VERDICT r14 item 8): run one ``corpus_refresh``
+    (plans/incremental_refresh.py) over the micro-batch against the
+    standing corpus, then merge the per-doc attribution rows —
+    (doc_id, disposition, cluster_id, split, n_chunks, epoch) — into
+    the accumulated table under the sketch/bloom crash-recovery
+    protocol (_merge_swap_table: entry recovery of an interrupted
+    swap, temp-write, old-aside → tmp-in → delete-old-last).
+
+    Idempotence under at-least-once delivery: the merge REPLACES the
+    stored rows of this epoch with the re-computed ones. corpus_refresh
+    is deterministic given (standing, batch, bench) — every decision is
+    integer/md5/exact-double arithmetic — so a re-delivered epoch
+    rewrites value-identical rows and the table is unchanged; other
+    epochs are never touched. This is the row-data sibling of the
+    sketch table's register-max idempotence (there the ALGEBRA dedups;
+    here determinism + epoch-replace does). Pinned by
+    tests/test_incremental_refresh.py (replay no-op, interrupted-swap
+    recovery, equality with per-batch direct recompute)."""
+    from analytics_etl_spark.plans.incremental_refresh import corpus_refresh
+
+    result, _ = corpus_refresh(standing, batch_df, bench, **refresh_kwargs)
+    fresh = result.withColumn("epoch", F.lit(int(epoch_id)))
+
+    def replace_epoch(stored: DataFrame) -> DataFrame:
+        return stored.filter(F.col("epoch") != int(epoch_id)).unionByName(fresh)
+
+    _merge_swap_table(batch_df.sparkSession, attribution_path, fresh, replace_epoch)
+
+
+def streaming_corpus_refresh(
+    docs_stream: DataFrame,
+    standing: DataFrame,
+    bench: DataFrame,
+    attribution_path: str,
+    checkpoint: str,
+    **refresh_kwargs,
+):
+    """Wire the daily-ingest attribution pipeline into a streaming
+    writer: each micro-batch of arriving docs is one corpus_refresh
+    against the (fixed) standing corpus, and its attribution record
+    lands in the maintained table. Returns the DataStreamWriter
+    (caller .start()s it)."""
+
+    def _refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        refresh_attribution_batch(
+            batch_df,
+            epoch_id,
+            standing,
+            bench,
+            attribution_path,
+            **refresh_kwargs,
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(_refresh)
+        .option("checkpointLocation", checkpoint)
+    )
+
+
 def _recover_interrupted_swap(path: str) -> None:
     """Entry recovery for the temp-write+swap tables (ADVICE r6,
     medium): a crash between old-aside and tmp-in leaves NO live

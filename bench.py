@@ -187,19 +187,37 @@ REPS_OVERRIDE = {
 }
 
 
-# The three CODE-STABLE control entries (plans unchanged since r8)
-# and the prior round's BINDING quiet-host medians for them — the
-# adoption gate (below, and tools/adopt_bench.py) refuses to let a
-# run whose controls exceed 110% of these overwrite the committed
-# baseline. Update the values when a round adopts a new binding
-# battery (r13: aec7190, ROUND13.md §20); the driver's loaded-host
-# re-runs are exactly what this constant exists to keep out.
+# The three sub-second CODE-STABLE control entries (plans unchanged
+# since r8). These are the NORMALIZATION basis: every entry's
+# `normalized` value is median ÷ the median of these three, so this
+# tuple must stay fixed for cross-round normalized comparisons to
+# mean anything.
 CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
-CONTROLS_PREV_ROUND = {
+
+# CONTROLS_BINDING (renamed from CONTROLS_PREV_ROUND, ADVICE r14):
+# the control medians OF THE BATTERY CURRENTLY COMMITTED as
+# BENCH_FULL_latest.json — i.e. the values below are copied VERBATIM
+# from that artifact's own `queries` map, so the gating reference is
+# always reconstructible from the stamp. The adoption gate (below,
+# and tools/adopt_bench.py) refuses to let a run whose controls
+# exceed 110% of these overwrite the committed baseline. Update these
+# values IN THE SAME COMMIT that adopts a new binding battery (step 4
+# of the round-close sequence) — never mid-round; the driver's
+# loaded-host re-runs are exactly what this constant exists to keep
+# out. r15 (VERDICT r14 item 2) adds one MULTI-SECOND control
+# (dedup_minhash_lsh, ~2 s): the three sub-second controls are
+# dominated by fixed per-query overhead and under-detect ambient load
+# that inflates multi-second entries (r14's uniform 1.155x drift
+# passed them); a ~2 s control rides the same 32-core contention the
+# heavy entries do. It gates adoption but is NOT in the
+# normalization basis (CONTROLS above), so `normalized` stays
+# comparable across rounds.
+CONTROLS_BINDING = {
     "round": 14,
     "dedup_exact": 0.235,
     "dataset_split": 0.175,
     "corpus_checksum": 0.177,
+    "dedup_minhash_lsh": 2.029,
 }
 
 
@@ -1167,9 +1185,10 @@ def main() -> None:
     control_median = statistics.median(
         timings[c] for c in _CONTROLS if c in timings
     )
+    gate_names = [c for c in CONTROLS_BINDING if c != "round"]
     noise_floor = {
-        "controls": {c: timings[c] for c in _CONTROLS if c in timings},
-        "controls_prev_round": dict(CONTROLS_PREV_ROUND),
+        "controls": {c: timings[c] for c in gate_names if c in timings},
+        "controls_binding": dict(CONTROLS_BINDING),
         "control_median": round(control_median, 3),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
@@ -1205,10 +1224,10 @@ def main() -> None:
             f.write("\n")
     except OSError as e:  # never let the artifact write kill the bench
         print(f"# BENCH_CANDIDATE.json write failed: {e}", file=sys.stderr)
-    prev = CONTROLS_PREV_ROUND
+    prev = CONTROLS_BINDING
     noisy = [
         f"{c}: {timings[c]:.3f} > 1.10 x {prev[c]:.3f}"
-        for c in _CONTROLS
+        for c in gate_names
         if c in timings and timings[c] > 1.10 * prev[c]
     ]
     if sf != 0.1:

@@ -6,8 +6,10 @@ tree."""
 
 from __future__ import annotations
 
-from bench import CONTROLS, CONTROLS_PREV_ROUND
+from bench import CONTROLS, CONTROLS_BINDING
 from tools.adopt_bench import TOLERANCE, check
+
+GATE = [c for c in CONTROLS_BINDING if c != "round"]
 
 
 def _artifact(scale: float, sf: float = 0.1) -> dict:
@@ -17,7 +19,7 @@ def _artifact(scale: float, sf: float = 0.1) -> dict:
         "sf": sf,
         "noise_floor": {
             "controls": {
-                c: round(CONTROLS_PREV_ROUND[c] * scale, 3) for c in CONTROLS
+                c: round(CONTROLS_BINDING[c] * scale, 3) for c in GATE
             },
         },
     }
@@ -30,9 +32,45 @@ def test_quiet_run_passes():
 
 def test_loaded_run_refused_per_control():
     problems = check(_artifact(1.25))  # the documented contention signature
-    assert len(problems) == len(CONTROLS)
-    for c in CONTROLS:
+    assert len(problems) == len(GATE)
+    for c in GATE:
         assert any(c in p for p in problems)
+
+
+def test_gate_includes_a_multisecond_control():
+    """VERDICT r14 item 2: the r14 battery passed the gate with a
+    uniform 1.155x drift because all three controls were ~0.2 s
+    queries dominated by fixed overhead. The envelope must include at
+    least one multi-second entry that rides the same 32-core
+    contention the heavy entries do — while the NORMALIZATION basis
+    (CONTROLS) stays the fixed sub-second trio."""
+    heavy = [c for c in GATE if CONTROLS_BINDING[c] >= 1.0]
+    assert "dedup_minhash_lsh" in heavy
+    assert set(CONTROLS) < set(GATE)  # gate strictly wider than basis
+    assert "dedup_minhash_lsh" not in CONTROLS  # basis unchanged
+
+
+def test_uniform_15pct_drift_refused():
+    """The exact r14 blind spot, synthesized: every control (including
+    the multi-second one) inflated by a uniform 15% — the gate must
+    refuse it."""
+    problems = check(_artifact(1.15))
+    assert problems, "a 15%-inflated battery must not adopt"
+    assert any("dedup_minhash_lsh" in p for p in problems)
+
+
+def test_control_falls_back_to_queries_map():
+    """Batteries adopted before a control was promoted carry the
+    timing only in `queries` — the gate reads it from there instead
+    of calling the artifact malformed."""
+    art = _artifact(1.0)
+    del art["noise_floor"]["controls"]["dedup_minhash_lsh"]
+    art["queries"]["dedup_minhash_lsh"] = CONTROLS_BINDING["dedup_minhash_lsh"]
+    assert check(art) == []
+    art["queries"]["dedup_minhash_lsh"] = round(
+        CONTROLS_BINDING["dedup_minhash_lsh"] * 1.2, 3
+    )
+    assert any("dedup_minhash_lsh" in p for p in check(art))
 
 
 def test_wrong_sf_refused_even_when_quiet():

@@ -866,6 +866,50 @@ _domain_stats = st.lists(
 )
 
 
+def test_doremi_oracle_sql_matches_reference():
+    """r15 oracle-pairing pin: the UNROLLED DuckDB chain the
+    registered doremi_domain_weights oracle is built from
+    (_doremi_rounds_sql — per-round mixture rate, multiplicative
+    masses, two Hamilton window passes, 8 rounds, across-round
+    average) must match the operator core bit-for-bit on randomized
+    stats tables, including a NULL domain (crawl data's real bucket)
+    and all-zero-loss rounds (the mix == 0 leave-unchanged branch)."""
+    import random
+
+    import duckdb
+
+    from analytics_etl_spark.operators.doremi import (
+        doremi_mixture,
+        hamilton_allocate,
+    )
+    from analytics_etl_spark.queries.llm2 import _doremi_rounds_sql
+
+    con = duckdb.connect()
+    rng = random.Random(1509)
+    chain = _doremi_rounds_sql(8)
+    for trial in range(60):
+        k = rng.randint(1, 9)
+        doms = ([None] if rng.random() < 0.3 else []) + [
+            f"d{i}" for i in range(k)
+        ]
+        stats = [
+            (d, rng.randint(1, 10**6), 0 if rng.random() < 0.15 else rng.randint(0, 10**10))
+            for d in doms
+        ]
+        final, _ = doremi_mixture(stats, rounds=8)
+        w0 = hamilton_allocate({d: n for d, n, _ in stats}, 1_000_000)
+        vals = ", ".join(
+            f"({'NULL' if d is None else repr(d)}, {n}, {s})"
+            for d, n, s in stats
+        )
+        rows = con.execute(
+            f"WITH dstats(domain, n, s) AS (VALUES {vals}), {chain}"
+        ).fetchall()
+        got = {r[0]: (r[1], r[2], r[3]) for r in rows}
+        want = {d: (n, w0[d], final[d]) for d, n, _ in stats}
+        assert got == want, (trial, stats)
+
+
 @given(stats=_domain_stats, rounds=st.integers(min_value=1, max_value=12))
 @settings(max_examples=60, deadline=None)
 def test_doremi_exact_sum_and_reference_parity(stats, rounds):

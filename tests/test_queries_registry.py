@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 205, f"registry count changed: {len(qs)}"
+    assert len(qs) == 207, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set, pinned BY NAME with its declared reason
     # category (VERDICT r12 item 4) — the set cannot silently grow,
@@ -29,7 +29,13 @@ def test_registry_shape():
     # bpe_apply_tokens in r9; exact greedy packing left in r10
     # (recursive-CTE oracle); semantic dedup gained the hash-checked
     # dedup_semantic_knn_graph arm in r12; heavy hitters gained the
-    # exact oracle-paired sibling heavy_hitters_parts_exact in r13.
+    # exact oracle-paired sibling heavy_hitters_parts_exact in r13;
+    # r15 CONVERTED doremi_domain_weights to oracle-paired (fixed
+    # round count + static stats = unrollable, not a fixpoint) and
+    # gave the heavy-hitter family the hash-checked guarantee arm
+    # (heavy_hitters_guaranteed) — the raw MG counters stay rows-only
+    # because ANY est-threshold projection is ambiguous for items in
+    # the (n/(k+1), 2n/(k+1)] band (r15 audit, ROUND15.md).
     ROWS_ONLY_REASONS = {
         # engine-specific sketch estimates (no cross-engine exact value)
         "approx_distinct_buyers": "sketch",
@@ -38,12 +44,12 @@ def test_registry_shape():
         # decision arm: quantiles_exact, oracle-paired on the same
         # frame/grouping (the r13 heavy-hitters pattern)
         "quantiles_approx": "sketch",
-        # partition/stream-order dependent counters (decision arm:
-        # heavy_hitters_parts_exact, oracle-paired)
+        # partition/stream-order dependent counters (decision arms:
+        # heavy_hitters_parts_exact + heavy_hitters_guaranteed, both
+        # oracle-paired)
         "heavy_hitters_parts": "partition/stream-order",
         # iterative fixpoints DuckDB SQL cannot express
         "bpe_learned_merges": "fixpoint",
-        "doremi_domain_weights": "fixpoint",
         # k-means float means are not bit-stable across engines
         # (decision arm: dedup_semantic_knn_graph, oracle-paired)
         "dedup_semantic": "k-means",

@@ -213,6 +213,41 @@ def test_misra_gries_guarantees(spark):
     assert len(got) <= k
 
 
+def test_heavy_hitters_guaranteed_projection(spark):
+    """The r15 hash-checkable MG arm: (1) the projection equals the
+    exact guaranteed set {item: freq > n/(k+1)} with exact counts on
+    a planted stream (the semi-join must not drop a guaranteed item
+    — MG completeness holds, so nothing disappears); (2) the
+    order-dependent tail never appears (items at/below the threshold
+    are excluded even when the sketch happens to keep them); (3)
+    nulls don't count toward n or appear as items."""
+    from analytics_etl_spark.operators.freq import heavy_hitters_guaranteed
+
+    # hot_a 40%, hot_b 30%, tail 30% over 100 items, plus nulls
+    rows = (
+        [(i, "hot_a") for i in range(4000)]
+        + [(4000 + i, "hot_b") for i in range(3000)]
+        + [(7000 + i, f"t{i % 100}") for i in range(3000)]
+        + [(10000 + i, None) for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "row_id long, item string").repartition(8)
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters_guaranteed(df, "item", k=3).collect()
+    }
+    # threshold n/(k+1) = 10000/4 = 2500: exactly the two hot items
+    assert got == {"hot_a": 4000, "hot_b": 3000}
+    # k large enough that MG keeps everything exactly: projection
+    # still returns ONLY the guaranteed set, not all survivors
+    got_k200 = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters_guaranteed(df, "item", k=200).collect()
+    }
+    # threshold n/201 ≈ 49.75: hot items plus the 30-count tail is
+    # below it — tail items each appear 30 times < 49.75
+    assert got_k200 == {"hot_a": 4000, "hot_b": 3000}
+
+
 def test_misra_gries_k_bounds_summary(spark):
     """State never exceeds k items per partition summary, and a
     uniform stream (no heavy hitter) yields a small, bounded result."""

@@ -1,12 +1,16 @@
 """Bench-battery adoption gate (VERDICT r13 item 4), standalone form.
 
 ``bench.py`` self-adopts a run into ``BENCH_FULL_latest.json`` only
-when its three code-stable controls (dedup_exact, dataset_split,
-corpus_checksum) sit within 110% of the prior round's binding
-medians — the documented host-contention signature is controls and
-heavy entries inflating TOGETHER under ambient load, so quiet
-controls certify a comparable battery and noisy controls convict the
-host, not the code. This tool re-runs the same check standalone:
+when its code-stable controls — three sub-second (dedup_exact,
+dataset_split, corpus_checksum) plus, since r15, one multi-second
+(dedup_minhash_lsh, which rides the same 32-core contention the
+heavy entries do and closes the sub-second envelope's blind spot to
+uniform ambient drift) — sit within 110% of the committed binding
+battery's medians (bench.CONTROLS_BINDING). The documented
+host-contention signature is controls and heavy entries inflating
+TOGETHER under ambient load, so quiet controls certify a comparable
+battery and noisy controls convict the host, not the code. This tool
+re-runs the same check standalone:
 
     python tools/adopt_bench.py                    # validate the tree's artifact
     python tools/adopt_bench.py BENCH_CANDIDATE.json          # adopt if quiet
@@ -31,29 +35,33 @@ TOLERANCE = 1.10
 
 
 def check(artifact: dict) -> list[str]:
-    """Controls vs the CURRENT binding reference (bench.CONTROLS_PREV_
-    ROUND — the code constant, not the artifact's own stamp, so
+    """Controls vs the CURRENT binding reference (bench.CONTROLS_
+    BINDING — the code constant, not the artifact's own stamp, so
     validating a legitimately-adopted prior battery doesn't re-litigate
-    the round that adopted it). Returns the violations, empty = quiet."""
+    the round that adopted it). A control absent from the artifact's
+    noise_floor stamp falls back to its `queries` median (batteries
+    adopted before a control was promoted still carry the timing).
+    Returns the violations, empty = quiet."""
     sys.path.insert(0, REPO)
-    from bench import CONTROLS_PREV_ROUND
+    from bench import CONTROLS_BINDING
 
     controls = artifact.get("noise_floor", {}).get("controls", {})
+    queries = artifact.get("queries", {})
     problems = []
     if artifact.get("sf") != 0.1:
         # control medians are only comparable at the binding SF — a
         # quiet sf0.001 run would pass the 110% rule trivially
         problems.append(f"sf={artifact.get('sf')} != 0.1 (binding batteries are sf0.1)")
-    for name, prev_median in CONTROLS_PREV_ROUND.items():
+    for name, prev_median in CONTROLS_BINDING.items():
         if name == "round":
             continue
-        got = controls.get(name)
+        got = controls.get(name, queries.get(name))
         if got is None:
             problems.append(f"{name}: missing from candidate controls")
         elif got > TOLERANCE * prev_median:
             problems.append(
                 f"{name}: {got:.3f} > {TOLERANCE:.2f} x {prev_median:.3f} "
-                f"(r{CONTROLS_PREV_ROUND.get('round', '?')} binding)"
+                f"(r{CONTROLS_BINDING.get('round', '?')} binding)"
             )
     return problems
 
