@@ -68,19 +68,26 @@ FAMILIES = (
 )
 
 
-def get_spark():
+def get_spark(memory: str = "24g", event_log_dir: str | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", memory)
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
     )
+    if event_log_dir is not None:
+        os.makedirs(event_log_dir, exist_ok=True)
+        b = (
+            b.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.dir", event_log_dir)
+        )
+    return b.getOrCreate()
 
 
 def build(scratch: str, copies: int) -> None:
@@ -246,20 +253,27 @@ def assert_plans(spark, scratch: str) -> dict:
     return checks
 
 
-def run(tiers: list[tuple[str, str]], reps: int = 3) -> None:
+def run(
+    tiers: list[tuple[str, str]],
+    reps: int = 3,
+    families: tuple[str, ...] = FAMILIES,
+) -> None:
     """Interleaved A/B/C across all tiers in ONE session (the
-    bench-host-variance rule: only same-run ratios are trustworthy)."""
+    bench-host-variance rule: only same-run ratios are trustworthy).
+    ``families`` narrows the sweep — e.g. re-measuring one family
+    after a fix (the r15 planner-default exponent row) without paying
+    for the other eight."""
     from analytics_etl_spark.queries import REGISTRY
 
     spark = get_spark()
     times: dict[str, dict[str, list[float]]] = {
-        f: {label: [] for label, _ in tiers} for f in FAMILIES
+        f: {label: [] for label, _ in tiers} for f in families
     }
-    for f in FAMILIES:
+    for f in families:
         for _, sf in tiers:
             REGISTRY[f].fn(spark, sf).count()  # warm-up, untimed
     for rep in range(reps):
-        for f in FAMILIES:
+        for f in families:
             for label, sf in tiers:
                 t0 = time.monotonic()
                 REGISTRY[f].fn(spark, sf).count()
@@ -268,7 +282,7 @@ def run(tiers: list[tuple[str, str]], reps: int = 3) -> None:
 
     summary = {}
     labels = [label for label, _ in tiers]
-    for f in FAMILIES:
+    for f in families:
         med = {lb: statistics.median(times[f][lb]) for lb in labels}
         entry = {f"{lb}_s": round(med[lb], 3) for lb in labels}
         for a, b in zip(labels, labels[1:]):
@@ -280,7 +294,7 @@ def run(tiers: list[tuple[str, str]], reps: int = 3) -> None:
         }
         summary[f] = entry
         print(json.dumps({f: entry}), flush=True)
-    checks = assert_plans(spark, tiers[-1][1])
+    checks = assert_plans(spark, tiers[-1][1]) if families == FAMILIES else {}
     print(
         json.dumps(
             {
@@ -383,6 +397,85 @@ def knee(scratch: str, reps: int = 3) -> None:
     )
 
 
+def spill(family: str, scratch: str, memory: str, reps: int = 2) -> None:
+    """Memory-pressure probe (VERDICT r14 item 3): run ONE registered
+    family over the x100 tier in a session whose driver JVM is capped
+    at ``memory`` (the r14 rehearsal sat in 128 GiB comfort — this
+    finds where the spill knee actually is), and report wall times
+    plus the run's total shuffle/agg/sort spill from the event log.
+
+    One family per PROCESS on purpose: spark.driver.memory binds at
+    JVM launch, so memory tiers cannot share a session; and parsing
+    our own (uncompressed, stopped) event log sidesteps the flush
+    races a live statusStore read would have. An OOM-killed or
+    aborted run is itself a finding — the wrapper records the
+    exception instead of dying (exit stays 0 so the sweep continues;
+    the JSON carries completed=false)."""
+    import glob
+
+    from analytics_etl_spark.queries import REGISTRY
+
+    ev_dir = f"/tmp/aes_spill_events_{os.getpid()}"
+    spark = get_spark(memory=memory, event_log_dir=ev_dir)
+    app_id = spark.sparkContext.applicationId
+    jvm_max = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    runs: list[float] = []
+    err = None
+    try:
+        REGISTRY[family].fn(spark, scratch).count()  # warm-up, untimed
+        for _ in range(reps):
+            t0 = time.monotonic()
+            REGISTRY[family].fn(spark, scratch).count()
+            runs.append(time.monotonic() - t0)
+    except BaseException as e:  # noqa: BLE001 — an OOM/abort IS the datum
+        err = f"{type(e).__name__}: {str(e)[:200]}"
+    finally:
+        try:
+            spark.stop()
+        except BaseException as e:  # noqa: BLE001 — a heap-OOM'd JVM
+            # drops the py4j socket, so stop() itself raises; the
+            # probe must still report (first observed: paradedup @2g)
+            err = err or f"stop after JVM death: {type(e).__name__}"
+    mem_spill = disk_spill = 0
+    for f in glob.glob(f"{ev_dir}/*{app_id}*/events_*") + glob.glob(
+        f"{ev_dir}/*{app_id}*"
+    ):
+        if os.path.isdir(f):
+            continue
+        with open(f, errors="ignore") as fh:
+            for line in fh:
+                try:
+                    ev = json.loads(line)
+                except Exception:  # noqa: BLE001 — partial tail line
+                    continue
+                if ev.get("Event") == "SparkListenerTaskEnd":
+                    m = ev.get("Task Metrics") or {}
+                    mem_spill += m.get("Memory Bytes Spilled", 0)
+                    disk_spill += m.get("Disk Bytes Spilled", 0)
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "spill_probe": {
+                    "family": family,
+                    "memory": memory,
+                    "jvm_max_mb": jvm_max // 2**20,
+                    "median_s": round(statistics.median(runs), 3) if runs else None,
+                    "runs_s": [round(r, 3) for r in runs],
+                    "mem_spill_mb": mem_spill // 2**20,
+                    "disk_spill_mb": disk_spill // 2**20,
+                    "completed": err is None,
+                    "error": err,
+                    "load_avg": [round(x, 2) for x in os.getloadavg()],
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode == "build10":
@@ -392,9 +485,16 @@ def main() -> None:
     elif mode == "run":
         ten = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
         hundred = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale100x"
-        run([("sf0.1", SF1), ("x10", ten), ("x100", hundred)])
+        fams = tuple(sys.argv[4].split(",")) if len(sys.argv) > 4 else FAMILIES
+        run([("sf0.1", SF1), ("x10", ten), ("x100", hundred)], families=fams)
     elif mode == "knee":
         knee(sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale100x")
+    elif mode == "spill":
+        spill(
+            sys.argv[2],
+            sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale100x",
+            sys.argv[4] if len(sys.argv) > 4 else "8g",
+        )
     elif mode == "all":
         build("/tmp/scale10x", 10)
         build("/tmp/scale100x", 100)
