@@ -65,51 +65,53 @@ FIXED_CORE: tuple[str, ...] = (
     "token_budget_packing",
 )
 
-# Round-14 rotation (output of tools/rotate_window.py, run after the
-# round's last registry-touching commit): the ONE never-driver-checked
-# query leads (the r14 addition: the incremental corpus refresh), then
-# pure LRU — the full r9 remainder and the stalest r10 rows.
+# Round-15 rotation (output of tools/rotate_window.py, run after the
+# round's last registry-touching commit): the THREE never-driver-
+# checked queries lead (the r15 additions/conversion: the cluster-
+# split nightly refresh, the oracle-paired DoReMi, the hash-checked
+# MG guarantee arm), then pure LRU — the r10 remainder and the
+# stalest r11 rows.
 ROTATION: tuple[str, ...] = (
-    "corpus_refresh_pipeline",  # last driver row: never
-    "embedding_norms",  # last driver row: r9
-    "funnel_conversion",  # last driver row: r9
-    "grouping_sets_revenue",  # last driver row: r9
-    "pricing_summary",  # last driver row: r9
-    "quantiles_exact",  # last driver row: r9
-    "rollup_revenue",  # last driver row: r9
-    "sessionize_events",  # last driver row: r9
-    "shipping_priority",  # last driver row: r9
-    "sql_api_revenue_by_status",  # last driver row: r9
-    "string_functions_pack",  # last driver row: r9
-    "text_langid",  # last driver row: r9
-    "text_pii_redact",  # last driver row: r9
-    "text_repetition_metrics",  # last driver row: r9
-    "time_bucket_15min",  # last driver row: r9
-    "top_similar_pairs",  # last driver row: r9
-    "tumbling_window_agg",  # last driver row: r9
-    "unpivot_event_counts",  # last driver row: r9
-    "window_running_revenue",  # last driver row: r9
-    "binational_volume",  # last driver row: r10
-    "bpe_apply_tokens",  # last driver row: r10
-    "cheapest_supplier_per_part",  # last driver row: r10
-    "contrastive_triplets",  # last driver row: r10
-    "corpus_build_bucket_gated",  # last driver row: r10
-    "corpus_build_ppl_gated",  # last driver row: r10
-    "corpus_checksum",  # last driver row: r10
-    "dedup_exact_canonical",  # last driver row: r10
-    "dedup_substring_spans",  # last driver row: r10
-    "deterministic_shuffle",  # last driver row: r10
-    "disjunctive_filter_revenue",  # last driver row: r10
-    "embedding_random_projection",  # last driver row: r10
-    "equi_depth_histogram",  # last driver row: r10
-    "events_dau",  # last driver row: r10
-    "events_props_variant_stats",  # last driver row: r10
-    "explode_words",  # last driver row: r10
-    "hypertable_rollup",  # last driver row: r10
-    "json_extract_props",  # last driver row: r10
-    "latest_order_per_customer",  # last driver row: r10
-    "multimodal_binary_meta",  # last driver row: r10
-    "pivot_event_counts",  # last driver row: r10
+    "corpus_refresh_clustered",  # last driver row: never
+    "doremi_domain_weights",  # last driver row: never
+    "heavy_hitters_guaranteed",  # last driver row: never
+    "range_join_price_bands",  # last driver row: r10
+    "regional_revenue",  # last driver row: r10
+    "revenue_denylist_filter",  # last driver row: r10
+    "sales_count_by_location",  # last driver row: r10
+    "sales_date_range",  # last driver row: r10
+    "semi_join_active_customers",  # last driver row: r10
+    "similarity_ann_bucketed",  # last driver row: r10
+    "similarity_ann_hyperplane",  # last driver row: r10
+    "similarity_ann_multiprobe",  # last driver row: r10
+    "similarity_topk_int8",  # last driver row: r10
+    "text_perplexity_buckets",  # last driver row: r10
+    "text_perplexity_gate",  # last driver row: r10
+    "text_quality_score",  # last driver row: r10
+    "text_token_count",  # last driver row: r10
+    "topk_per_group",  # last driver row: r10
+    "tz_convert",  # last driver row: r10
+    "union_all_accumulate",  # last driver row: r10
+    "vocab_coverage_topk",  # last driver row: r10
+    "window_function_family",  # last driver row: r10
+    "cms_frequency_estimate",  # last driver row: r11
+    "cms_join_size_estimate",  # last driver row: r11
+    "corpus_build_classifier_gated",  # last driver row: r11
+    "corpus_build_paradedup",  # last driver row: r11
+    "decontaminate_paragraphs",  # last driver row: r11
+    "dedup_minhash_persisted",  # last driver row: r11
+    "dedup_ngram_containment",  # last driver row: r11
+    "dedup_paragraph_corpus",  # last driver row: r11
+    "dedup_paragraph_intradoc",  # last driver row: r11
+    "dedup_substring_persisted",  # last driver row: r11
+    "docs_priority_sample",  # last driver row: r11
+    "docs_priority_sample_stratified",  # last driver row: r11
+    "excess_quantity_suppliers",  # last driver row: r11
+    "fk_integrity_audit",  # last driver row: r11
+    "forecast_revenue_change",  # last driver row: r11
+    "fuzzy_name_match",  # last driver row: r11
+    "histogram_quantile_sketch",  # last driver row: r11
+    "k_anonymity_audit",  # last driver row: r11
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
