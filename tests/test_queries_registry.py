@@ -186,6 +186,7 @@ PYTHON_KERNEL_OK = {
     "corpus_build_paradedup",  # composes corpus_build's declared kernels
     "corpus_filter_pipeline",
     "corpus_refresh_pipeline",  # composes the same declared shingle kernels
+    "corpus_refresh_clustered",  # same kernels + the nightly LSH shingling
     "dedup_incremental_batch",
     "dedup_minhash_lsh",
     "dedup_ngram_containment",
