@@ -190,6 +190,7 @@ def merge_upsert(
     target_path: str,
     updates: DataFrame,
     key_cols: tuple[str, ...],
+    partition_keys: tuple[str, ...] | None = None,
 ) -> None:
     """MERGE (upsert) for plain parquet — keyed row replacement where
     no transaction-log format is available (this environment has no
@@ -207,10 +208,10 @@ def merge_upsert(
     Swap via rename is atomic on a real filesystem; object stores /
     HDFS deployments do the same dance through their commit protocol
     or a table format's log. This is also the honest cost statement:
-    without a log, MERGE IS a full-table rewrite — when the key maps
-    to partitions, prefer ``overwrite_partitions`` (rewrites only the
-    touched partitions); a table format turns it into a file-level
-    operation. Documented trade, not a hidden one.
+    without a log, MERGE IS a full-table rewrite — when the partition
+    columns are part of the key, use ``merge_upsert_partitioned``
+    below (rewrites only the touched partitions); a table format turns
+    it into a file-level operation. Documented trade, not a hidden one.
     """
     import os
     import shutil
@@ -220,6 +221,96 @@ def merge_upsert(
     keep = target.join(updates.select(*keys).distinct(), keys, "left_anti")
     merged = keep.unionByName(updates)
     tmp = target_path.rstrip("/") + ".__merge_tmp__"
-    merged.write.mode("overwrite").parquet(tmp)
+    # partition_keys preserves a partitioned target's layout across
+    # the rewrite (a layout-destroying MERGE would silently kill every
+    # downstream query's partition pruning); it does NOT scope the
+    # rewrite — that's merge_upsert_partitioned below
+    writer = merged.repartition(*partition_keys) if partition_keys else merged
+    w = writer.write.mode("overwrite")
+    if partition_keys:
+        w = w.partitionBy(*partition_keys)
+    w.parquet(tmp)
     shutil.rmtree(target_path)
     os.rename(tmp, target_path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...],
+    partition_keys: tuple[str, ...] = DEFAULT_PARTITION_KEYS,
+) -> int:
+    """Partition-scoped MERGE — the daily keyed-upsert path at scale.
+
+    ``merge_upsert`` above is an honest full-table rewrite; at 100 TB
+    a daily upsert that touches 2 of 10,000 partitions cannot afford
+    to rewrite the other 9,998. When the partition columns are part of
+    the merge key, the touched partitions are derivable from the
+    updates alone, and MERGE becomes: scan ONLY those partitions,
+    anti-join against the update keys, dynamic-overwrite the same
+    partitions. Untouched partition files are never opened, let alone
+    rewritten — pinned byte-identical in tests/test_pipeline.py. The
+    reference's own idempotency op deletes by (location_id, month) —
+    partition values — for exactly this reason
+    (database_service.py:415-475).
+
+    Contract: ``partition_keys ⊆ key_cols`` (partition-stable upsert).
+    A key's partition columns locate every prior version of that row,
+    so no partition outside the updates' own tuples can hold a matched
+    row. Without this, an update could silently leave a stale twin in
+    a partition the merge never looked at — that shape needs the
+    full-table ``merge_upsert`` (documented fallback).
+
+    Safety of overwrite-what-you-read: the terminal
+    ``repartition(*partition_keys)`` is a shuffle, so every input row
+    (target scan included) is materialized map-side before the write
+    stage replaces any file — the same stage-barrier argument as
+    ``compact_partitions``; it also lands each rewritten partition as
+    one file. The touched-partition list is collected driver-side but
+    is bounded by the table's partition count (locations × months),
+    not row count.
+
+    Returns the number of partitions rewritten.
+    """
+    from functools import reduce
+
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    missing = [k for k in partition_keys if k not in key_cols]
+    if missing:
+        raise ValueError(
+            f"partition-scoped MERGE requires partition_keys ⊆ key_cols; "
+            f"{missing} not in {list(key_cols)} — rows could move partitions "
+            f"and leave stale twins. Use merge_upsert (full rewrite) instead."
+        )
+    pkeys = list(partition_keys)
+    touched = [tuple(r) for r in updates.select(*pkeys).distinct().collect()]
+    if not touched:
+        return 0
+    try:
+        target = spark.read.parquet(target_path)
+    except AnalysisException as e:
+        if not any(
+            code in str(e) for code in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+        ):
+            raise
+        # first load: nothing to merge against
+        append_partitioned(updates, target_path, partition_keys)
+        return len(touched)
+    # partition-pruned scan: OR of per-tuple AND predicates on the
+    # partition columns only — Catalyst turns this into directory
+    # pruning, so the 9,998 untouched partitions are never read
+    pred = reduce(
+        lambda a, b: a | b,
+        [
+            reduce(lambda a, b: a & b, [F.col(k) == v for k, v in zip(pkeys, t)])
+            for t in touched
+        ],
+    )
+    scoped = target.filter(pred)
+    keep = scoped.join(updates.select(*key_cols).distinct(), list(key_cols), "left_anti")
+    merged = keep.unionByName(updates).repartition(*pkeys)
+    overwrite_partitions(merged, target_path, partition_keys)
+    return len(touched)

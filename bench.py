@@ -1089,6 +1089,68 @@ def _rollup_full_rebuild(spark, sf_dir: str):
     return spark.range(1)
 
 
+def _setup_merge(spark, sf_dir: str) -> None:
+    """Two identical month-partitioned sales tables (one per MERGE
+    arm, so neither contaminates the other's layout) + a cached
+    one-month daily delta. Untimed: table bootstrap is ingest work."""
+    global _MERGE_SCOPED_PATH, _MERGE_FULL_PATH, _MERGE_UPDATES
+    from pyspark.sql import functions as F
+
+    from analytics_etl_spark.tables import load_table
+
+    base = _mkdtemp(prefix="aes_bench_merge_")
+    _MERGE_SCOPED_PATH = os.path.join(base, "scoped")
+    _MERGE_FULL_PATH = os.path.join(base, "full")
+    sales = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sale_id"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("total"),
+    )
+    w = sales.repartition("month")
+    w.write.partitionBy("month").parquet(_MERGE_SCOPED_PATH)
+    w.write.partitionBy("month").parquet(_MERGE_FULL_PATH)
+    target_month = sales.agg(F.max("month")).first()[0]
+    # replayed delta: every sale in the latest month (replace) — the
+    # same frame every rep, so both arms do identical, idempotent work
+    _MERGE_UPDATES = sales.filter(F.col("month") == target_month).cache()
+    _MERGE_UPDATES.count()
+
+
+def _merge_partition_scoped(spark, sf_dir: str):
+    """Daily keyed upsert, scale path: partition-scoped MERGE reads
+    and rewrites ONLY the one touched month (~1/80th of the table);
+    untouched partition files are byte-identical (pinned in
+    tests/test_pipeline.py). Contrast arm: _merge_full_rewrite."""
+    from analytics_etl_spark.sinks.writer import merge_upsert_partitioned
+
+    n = merge_upsert_partitioned(
+        spark,
+        _MERGE_SCOPED_PATH,
+        _MERGE_UPDATES,
+        key_cols=("sale_id", "month"),
+        partition_keys=("month",),
+    )
+    return spark.range(max(n, 1))
+
+
+def _merge_full_rewrite(spark, sf_dir: str):
+    """The same MERGE as an honest layout-preserving full-table
+    rewrite (no partition scoping) — the cost every upsert pays
+    without a partition-stable key or a table format; the gap vs the
+    scoped arm grows linearly with partition count."""
+    from analytics_etl_spark.sinks.writer import merge_upsert
+
+    merge_upsert(
+        spark,
+        _MERGE_FULL_PATH,
+        _MERGE_UPDATES,
+        key_cols=("sale_id",),
+        partition_keys=("month",),
+    )
+    return spark.range(1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
@@ -1117,6 +1179,7 @@ def main() -> None:
     _setup_hotcell(spark, sf_dir)  # untimed: synthetic template-heavy vectors
     _setup_media_wav(spark, sf_dir)  # untimed: synthetic PCM16 WAV corpus
     _setup_media_png(spark, sf_dir)  # untimed: synthetic RGB PNG corpus
+    _setup_merge(spark, sf_dir)  # untimed: MERGE contrast target tables
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -1148,6 +1211,8 @@ def main() -> None:
     plans["multimodal_wav_decode"] = _multimodal_wav_decode
     plans["multimodal_png_decode"] = _multimodal_png_decode
     plans["corpus_refresh_persisted"] = _corpus_refresh_persisted
+    plans["merge_upsert_scoped"] = _merge_partition_scoped
+    plans["merge_upsert_full_rewrite"] = _merge_full_rewrite
 
     # warm-up pass (untimed)
     for fn in plans.values():

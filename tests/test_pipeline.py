@@ -176,3 +176,136 @@ def test_merge_upsert_replaces_keyed_rows(spark, tmp_path):
         (r["id"], r["name"], r["v"]) for r in spark.read.parquet(path).collect()
     }
     assert again == got
+
+
+def _partition_file_state(path):
+    """(relative_path -> bytes) for every parquet data file under a
+    partitioned table root."""
+    import glob
+    import os
+
+    state = {}
+    for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+        if os.path.isfile(f):
+            with open(f, "rb") as fh:
+                state[os.path.relpath(f, path)] = fh.read()
+    return state
+
+
+def test_merge_upsert_partitioned_scopes_the_rewrite(spark, tmp_path):
+    """Partition-scoped MERGE: matched keys replaced, new keys
+    inserted, AND every data file in an untouched partition is
+    byte-identical afterwards — the 100TB contract (a daily upsert
+    touching 2 partitions must not rewrite the other 9,998)."""
+    from analytics_etl_spark.sinks.writer import merge_upsert_partitioned
+
+    path = str(tmp_path / "sales")
+    base = spark.createDataFrame(
+        [
+            (1, 10, "2024-01", 100),
+            (2, 10, "2024-01", 200),
+            (3, 10, "2024-02", 300),
+            (4, 20, "2024-01", 400),
+            (5, 20, "2024-02", 500),
+        ],
+        "sale_id long, location_id long, month string, cents long",
+    )
+    base.write.partitionBy("location_id", "month").parquet(path)
+    before = _partition_file_state(path)
+
+    # touch ONE partition: replace sale 1, insert sale 6, both in
+    # (location_id=10, month=2024-01)
+    updates = spark.createDataFrame(
+        [(1, 10, "2024-01", 101), (6, 10, "2024-01", 600)],
+        "sale_id long, location_id long, month string, cents long",
+    )
+    n = merge_upsert_partitioned(
+        spark, path, updates, key_cols=("sale_id", "location_id", "month")
+    )
+    assert n == 1
+
+    got = {
+        (r["sale_id"], r["cents"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, 101), (2, 200), (3, 300), (4, 400), (5, 500), (6, 600)}
+
+    after = _partition_file_state(path)
+    untouched_before = {
+        k: v for k, v in before.items() if "location_id=10/month=2024-01" not in k
+    }
+    untouched_after = {
+        k: v for k, v in after.items() if "location_id=10/month=2024-01" not in k
+    }
+    assert untouched_before == untouched_after  # byte-identical, same names
+
+    # idempotent re-run
+    merge_upsert_partitioned(
+        spark, path, updates, key_cols=("sale_id", "location_id", "month")
+    )
+    again = {
+        (r["sale_id"], r["cents"]) for r in spark.read.parquet(path).collect()
+    }
+    assert again == got
+
+
+def test_merge_upsert_partitioned_contract_and_first_load(spark, tmp_path):
+    """partition_keys ⊄ key_cols must be refused (rows could move
+    partitions and leave stale twins); a merge into a nonexistent
+    target is the first load."""
+    import pytest
+
+    from analytics_etl_spark.sinks.writer import merge_upsert_partitioned
+
+    updates = spark.createDataFrame(
+        [(1, 10, "2024-01", 100)],
+        "sale_id long, location_id long, month string, cents long",
+    )
+    with pytest.raises(ValueError, match="partition_keys"):
+        merge_upsert_partitioned(
+            spark, str(tmp_path / "x"), updates, key_cols=("sale_id",)
+        )
+
+    path = str(tmp_path / "fresh")
+    n = merge_upsert_partitioned(
+        spark, path, updates, key_cols=("sale_id", "location_id", "month")
+    )
+    assert n == 1
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_scoped_vs_full_gap_grows_with_partition_count(spark, tmp_path):
+    """The scale argument, pinned deterministically on rewritten-file
+    counts (not wall clock): a 1-partition delta makes the scoped
+    MERGE rewrite O(1) partitions while the layout-preserving full
+    rewrite touches all P — so the rewritten fraction falls as 1/P."""
+    from analytics_etl_spark.sinks.writer import merge_upsert, merge_upsert_partitioned
+
+    def build(path, months):
+        rows = [(m * 100 + i, f"2024-{m:02d}", i) for m in range(1, months + 1) for i in range(5)]
+        spark.createDataFrame(rows, "sale_id long, month string, v long").repartition(
+            "month"
+        ).write.partitionBy("month").parquet(path)
+
+    def rewritten(before, after):
+        return sum(1 for k, v in after.items() if before.get(k) != v)
+
+    fractions = []
+    for months in (4, 16):
+        upd = spark.createDataFrame(
+            [(100 + 99, "2024-01", 999)], "sale_id long, month string, v long"
+        )
+        p_scoped = str(tmp_path / f"s{months}")
+        p_full = str(tmp_path / f"f{months}")
+        build(p_scoped, months)
+        build(p_full, months)
+        b_s, b_f = _partition_file_state(p_scoped), _partition_file_state(p_full)
+        merge_upsert_partitioned(
+            spark, p_scoped, upd, key_cols=("sale_id", "month"), partition_keys=("month",)
+        )
+        merge_upsert(spark, p_full, upd, key_cols=("sale_id",), partition_keys=("month",))
+        r_s = rewritten(b_s, _partition_file_state(p_scoped))
+        r_f = rewritten(b_f, _partition_file_state(p_full))
+        assert r_s == 1  # exactly the touched month, at any P
+        assert r_f >= months  # every partition rewritten
+        fractions.append(r_s / r_f)
+    assert fractions[1] < fractions[0]  # gap grows with partition count
