@@ -285,3 +285,39 @@ def cluster_safe_split(
         salt=salt,
         out_col=out_col,
     )
+
+
+def split_straddle_audit(
+    assignment: DataFrame,
+    dup_edges: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    split_col: str = "split",
+) -> DataFrame:
+    """Edge-level leakage audit: the near-dup pairs whose two
+    endpoints were assigned DIFFERENT splits — each returned row is a
+    train/test straddle the eval would silently memorize through.
+
+    ``cluster_safe_split`` guarantees this is empty by construction
+    for the edge set it was given; the audit exists for the seams
+    where that guarantee can't hold — the incremental refresh's
+    multi-split link boundary (a batch doc bridging two standing docs
+    that the nightly split apart; see plans/incremental_refresh.py),
+    or an assignment produced by plain ``dataset_split``. The nightly
+    rebuild heals the bridge (its connected-components pass merges the
+    straddling component and re-hashes it as one unit) — pinned
+    end-to-end in tests/test_incremental_refresh.py.
+
+    Scale shape: two keyed equi-joins of the edge list against the
+    id-sized assignment — edge-list-sized, never corpus-sized.
+    Returns (src, dst, split_a, split_b).
+    """
+    a = assignment.select(F.col(id_col).alias(src), F.col(split_col).alias("split_a"))
+    b = assignment.select(F.col(id_col).alias(dst), F.col(split_col).alias("split_b"))
+    return (
+        dup_edges.select(src, dst)
+        .join(a, src)
+        .join(b, dst)
+        .filter(F.col("split_a") != F.col("split_b"))
+    )

@@ -45,7 +45,10 @@ standing docs — the two standing docs were themselves split apart by
 the nightly (their mutual Jaccard was below the nightly's link
 threshold; the batch doc is the first bridge between them) — and is
 resolved only by the next nightly rebuild, whose cluster pass merges
-the bridged component and re-hashes it as one unit. Operators who
+the bridged component and re-hashes it as one unit (that healing is
+pinned end-to-end in tests/test_incremental_refresh.py: post-nightly,
+the ``split_straddle_audit`` over the rebuilt assignment is empty and
+the refresh-time flag resolves). Operators who
 need the strict no-straddle invariant BETWEEN rebuilds should audit
 accepted docs with ``multi_split_link_flags`` (below) and hold the
 flagged handful out of eval sets until the rebuild lands; the flag
