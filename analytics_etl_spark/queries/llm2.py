@@ -2099,6 +2099,115 @@ def histogram_quantile_grouped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The histogram family's ORACLE-PAIRED guarantee arm (VERDICT r15
+# item 5): the sketch's one-bucket-width exactness contract — the
+# returned lower edge BRACKETS the true order-statistic quantile —
+# restated purely in counts, so it needs no order statistics and no
+# global sort: v_r ∈ [lo, lo+width) ⟺ count(v < lo)·den < num·total
+# AND count(v < lo+width)·den ≥ num·total (r = ⌈num·total/den⌉, all
+# exact int64 cross-multiplies). The Spark side runs the REAL
+# build → SUM-merge → cumulative-walk path (two half-histograms
+# split on o_orderkey parity, merged — so the lossless-merge theorem
+# is inside the hash check too), then two threshold counts via a
+# broadcast of the 2-row quantile frame; the oracle replays the walk
+# AND the counts in SQL. A bucket off-by-one, a lossy merge, or a
+# broken cumulative walk moves lo — and the containment boolean (or
+# lo itself) reds the hash. Scale shape: one extra map-side-combined
+# pass over the gated values; the broadcast side is 2 rows.
+@query(
+    "histogram_quantile_containment",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+      WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+    ),
+    h AS (
+      SELECT CAST(floor(v / 100.0) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    c AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM h),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_n FROM h),
+    qs(q_num, q_den) AS (VALUES (1, 2), (99, 100)),
+    hit AS (
+      SELECT q_num, q_den, total_n, MIN(bucket) AS bucket
+      FROM c, t, qs
+      WHERE cum * q_den >= q_num * total_n
+      GROUP BY 1, 2, 3
+    ),
+    edges AS (
+      SELECT q_num, q_den, bucket, total_n,
+             CAST(bucket * 100.0 AS DOUBLE) AS lo,
+             CAST((bucket + 1) * 100.0 AS DOUBLE) AS hi
+      FROM hit
+    ),
+    counted AS (
+      SELECT e.q_num, e.q_den, e.bucket, e.lo, e.total_n,
+             CAST(SUM(CASE WHEN vals.v < e.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS below_lo,
+             CAST(SUM(CASE WHEN vals.v < e.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS below_hi
+      FROM edges e, vals
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT q_num, q_den, bucket, lo, total_n,
+           CAST(below_lo * q_den < q_num * total_n
+                AND below_hi * q_den >= q_num * total_n AS BOOLEAN) AS contained
+    FROM counted
+    """,
+)
+def histogram_quantile_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.histogram import (
+        histogram_build,
+        histogram_merge,
+        histogram_quantiles,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    # split on o_orderkey parity (never NULL, partitions completely) so
+    # the hash check exercises build + merge, not just build
+    a = histogram_build(o.filter(F.col("o_orderkey") % 2 == 0), "o_totalprice", 100)
+    b = histogram_build(o.filter(F.col("o_orderkey") % 2 != 0), "o_totalprice", 100)
+    hist = histogram_merge(a, b)
+    sk = histogram_quantiles(hist, ((1, 2), (99, 100)), 100)
+    edges = sk.select(
+        "q_num",
+        "q_den",
+        "bucket",
+        "lo",
+        "total_n",
+        (F.col("lo") + F.lit(100.0)).alias("hi"),
+    )
+    c = F.col("o_totalprice")
+    d = c.cast("double")
+    vals = o.filter(
+        c.isNotNull()
+        & ~F.isnan(d)
+        & (d != F.lit(float("inf")))
+        & (d != F.lit(float("-inf")))
+    ).select(d.alias("v"))
+    j = vals.crossJoin(F.broadcast(edges))
+    counted = j.groupBy("q_num", "q_den", "bucket", "lo", "total_n").agg(
+        F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("below_lo"),
+        F.sum(F.when(F.col("v") < F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("below_hi"),
+    )
+    return counted.select(
+        "q_num",
+        "q_den",
+        "bucket",
+        "lo",
+        "total_n",
+        (
+            (F.col("below_lo") * F.col("q_den") < F.col("q_num") * F.col("total_n"))
+            & (F.col("below_hi") * F.col("q_den") >= F.col("q_num") * F.col("total_n"))
+        ).alias("contained"),
+    )
+
+
 # DoReMi-style iterative domain reweighting (operators/doremi.py —
 # Xie et al. 2023 in the engine's exact-integer formulation): the
 # feedback-driven sibling of the static mixers (temperature_mix_rates,
