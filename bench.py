@@ -220,6 +220,19 @@ CONTROLS_BINDING = {
     "dedup_minhash_lsh": 1.946,
 }
 
+# Contention watch (VERDICT r15 item 3, diagnosed in SCALING.md §r16):
+# sub-second shuffle-bearing entries whose r15-binding medians rode a
+# transient host-state inflation the control gate could not see (the
+# controls bound LOAD, not interference concentrated in a few
+# seconds). Values are the r14-binding control-normalized ratios
+# (median ÷ sub-second-control median); a run where an entry exceeds
+# 1.5x its reference ratio gets a stderr warning so a REAL future
+# drift cannot hide behind the r16 "ambient state" diagnosis.
+CONTENTION_WATCH = {
+    "sessionize_events": 1.29,
+    "asof_join_last_click": 1.59,
+}
+
 
 def _flagship_bucketed(spark, sf_dir: str):
     """flagship_monthly_revenue over lineitem/orders bucketed on the
@@ -905,6 +918,201 @@ def _setup_media_png(spark, sf_dir: str) -> None:
     ).parquet(_MEDIA_PNG_PATH)
 
 
+_MEDIA_JPEG_PATH: str | None = None
+
+
+def _setup_media_jpeg(spark, sf_dir: str) -> None:
+    """Synthetic baseline-JPEG corpus (untimed): one REAL SOF0 JPEG
+    per document — deterministic gradient-plus-texture pixels, numpy
+    FDCT + flat-16 quantization + fixed-length canonical Huffman
+    entropy coding (a deliberately simple but fully valid baseline
+    stream; the engine decoder sees real DQT/DHT/SOF0/SOS markers,
+    byte stuffing, and restarts). Cycles the supported flavor
+    surface: doc_id%3==0 4:4:4, ==1 4:2:0, ==2 4:2:0 with a restart
+    interval (RST marker resync + predictor reset)."""
+    global _MEDIA_JPEG_PATH
+    from analytics_etl_spark.tables import load_table
+
+    _MEDIA_JPEG_PATH = os.path.join(_mkdtemp(prefix="aes_bench_jpeg_"), "media")
+
+    def gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        ZIG = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        xs = _np.arange(8).reshape(8, 1)
+        us = _np.arange(8).reshape(1, 8)
+        M = 0.5 * _np.cos((2 * xs + 1) * us * _np.pi / 16)
+        M[:, 0] *= 1 / _np.sqrt(2)
+        # fixed-length canonical tables: DC symbols 0..11 at 8 bits,
+        # the 162 baseline AC symbols at 9 bits (Kraft 162/512,
+        # all-ones never used) — code == rank in the DHT symbol list
+        dc_syms = list(range(12))
+        ac_syms = sorted([0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+        ac_rank = {s: i for i, s in enumerate(ac_syms)}
+        dht = (
+            bytes([0x00]) + bytes([0] * 7 + [12] + [0] * 8) + bytes(dc_syms)
+            + bytes([0x10]) + bytes([0] * 8 + [162] + [0] * 7) + bytes(ac_syms)
+            + bytes([0x01]) + bytes([0] * 7 + [12] + [0] * 8) + bytes(dc_syms)
+            + bytes([0x11]) + bytes([0] * 8 + [162] + [0] * 7) + bytes(ac_syms)
+        )
+        dqt = bytes([0]) + bytes([16] * 64)
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        def jpeg(doc_id: int) -> bytes:
+            h = w = 16 + (doc_id % 3) * 8
+            variant = doc_id % 3
+            n = h * w * 3
+            arr = ((_np.arange(n) * (31 + doc_id % 17) + doc_id) % 256).astype(
+                _np.float64
+            ).reshape(h, w, 3)
+            r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+            if variant == 0:
+                factors = [(1, 1)] * 3
+                planes = [y, cb, cr]
+            else:
+                factors = [(2, 2), (1, 1), (1, 1)]
+                planes = [
+                    y,
+                    cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)),
+                    cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)),
+                ]
+            restart = 1 if variant == 2 else 0
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            blocks = []
+            for (fx, fy), plane in zip(factors, planes):
+                bx, by = mcus_x * fx, mcus_y * fy
+                p = _np.zeros((by * 8, bx * 8))
+                p[: plane.shape[0], : plane.shape[1]] = plane
+                blk = (
+                    p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+                )
+                coef = _np.einsum("xu,nxy,yv->nuv", M, blk - 128.0, M)
+                blocks.append(_np.round(coef / 16.0).astype(_np.int64))
+
+            out_bits = bytearray()
+            acc = nb = 0
+
+            def put(code, k):
+                nonlocal acc, nb
+                if k == 0:
+                    return
+                acc = (acc << k) | (code & ((1 << k) - 1))
+                nb += k
+                while nb >= 8:
+                    byte = (acc >> (nb - 8)) & 0xFF
+                    out_bits.append(byte)
+                    if byte == 0xFF:
+                        out_bits.append(0x00)
+                    nb -= 8
+                acc &= (1 << nb) - 1
+
+            def flush():
+                nonlocal acc, nb
+                if nb:
+                    put((1 << (8 - nb)) - 1, 8 - nb)
+
+            ecs = bytearray()
+            preds = [0, 0, 0]
+            n_mcus = mcus_x * mcus_y
+            for mcu in range(n_mcus):
+                if restart and mcu and mcu % restart == 0:
+                    flush()
+                    ecs += out_bits
+                    ecs += bytes([0xFF, 0xD0 + (mcu // restart - 1) % 8])
+                    out_bits.clear()
+                    preds = [0, 0, 0]
+                my, mx = divmod(mcu, mcus_x)
+                for ci, (fx, fy) in enumerate(factors):
+                    bx = mcus_x * fx
+                    for byy in range(fy):
+                        for bxx in range(fx):
+                            zz = blocks[ci][
+                                (my * fy + byy) * bx + (mx * fx + bxx)
+                            ].reshape(64)[ZIG]
+                            diff = int(zz[0]) - preds[ci]
+                            preds[ci] = int(zz[0])
+                            t = 0 if diff == 0 else int(abs(diff)).bit_length()
+                            put(t, 8)  # DC code = symbol rank, 8 bits
+                            put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                            last = 63
+                            while last >= 1 and zz[last] == 0:
+                                last -= 1
+                            run = 0
+                            for k in range(1, last + 1):
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    put(ac_rank[0xF0], 9)
+                                    run -= 16
+                                s = int(abs(v)).bit_length()
+                                put(ac_rank[(run << 4) | s], 9)
+                                put(v if v >= 0 else v + (1 << s) - 1, s)
+                                run = 0
+                            if last < 63:
+                                put(ac_rank[0x00], 9)
+            flush()
+            ecs += out_bits
+            sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([3])
+            for ci, (fx, fy) in enumerate(factors):
+                sof += bytes([ci + 1, (fx << 4) | fy, 0])
+            sos = bytes([3])
+            for ci in range(3):
+                c = 0 if ci == 0 else 1
+                sos += bytes([ci + 1, (c << 4) | c])
+            sos += bytes([0, 63, 0])
+            out = b"\xff\xd8" + seg(0xDB, dqt) + seg(0xC0, sof) + seg(0xC4, dht)
+            if restart:
+                out += seg(0xDD, restart.to_bytes(2, "big"))
+            return out + seg(0xDA, sos) + bytes(ecs) + b"\xff\xd9"
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": [jpeg(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    # explicit fan-out: the per-symbol Huffman bit walk is the one
+    # genuinely serial-per-image Python cost in the media family, so
+    # the corpus layout must spread images across task slots — a
+    # single-file corpus would decode on one core (measured 13.8s vs
+    # ~1s at sf0.1)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").repartition(64)
+    docs.mapInPandas(gen, "media_id long, kind string, payload binary").write.mode(
+        "overwrite"
+    ).parquet(_MEDIA_JPEG_PATH)
+
+
+def _multimodal_jpeg_decode(spark, sf_dir: str):
+    """REAL baseline-JPEG decode throughput: marker walk + canonical
+    Huffman bit walk + dequantize + einsum IDCT + upsample + color
+    convert (operators/multimodal.extract_features) over the
+    synthetic JPEG corpus — the entropy-coded sibling of
+    multimodal_png_decode, measuring the per-symbol Python bit walk
+    the PNG path doesn't have."""
+    from analytics_etl_spark.operators.multimodal import extract_features
+
+    return extract_features(spark.read.parquet(_MEDIA_JPEG_PATH))
+
+
 def _multimodal_png_decode(spark, sf_dir: str):
     """REAL PNG decode throughput: CRC-verified chunk walk + zlib
     inflate + scanline unfilter + luma stats
@@ -1179,6 +1387,7 @@ def main() -> None:
     _setup_hotcell(spark, sf_dir)  # untimed: synthetic template-heavy vectors
     _setup_media_wav(spark, sf_dir)  # untimed: synthetic PCM16 WAV corpus
     _setup_media_png(spark, sf_dir)  # untimed: synthetic RGB PNG corpus
+    _setup_media_jpeg(spark, sf_dir)  # untimed: synthetic baseline-JPEG corpus
     _setup_merge(spark, sf_dir)  # untimed: MERGE contrast target tables
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
@@ -1210,6 +1419,7 @@ def main() -> None:
     plans["knn_hyperplane_selfjoin_capped"] = _knn_hyperplane_selfjoin_capped
     plans["multimodal_wav_decode"] = _multimodal_wav_decode
     plans["multimodal_png_decode"] = _multimodal_png_decode
+    plans["multimodal_jpeg_decode"] = _multimodal_jpeg_decode
     plans["corpus_refresh_persisted"] = _corpus_refresh_persisted
     plans["merge_upsert_scoped"] = _merge_partition_scoped
     plans["merge_upsert_full_rewrite"] = _merge_full_rewrite
@@ -1289,6 +1499,15 @@ def main() -> None:
             f.write("\n")
     except OSError as e:  # never let the artifact write kill the bench
         print(f"# BENCH_CANDIDATE.json write failed: {e}", file=sys.stderr)
+    for name, ref_ratio in CONTENTION_WATCH.items():
+        got = full["normalized"].get(name)
+        if got is not None and got > 1.5 * ref_ratio:
+            print(
+                f"# CONTENTION_WATCH: {name} normalized {got:.2f} > "
+                f"1.5 x {ref_ratio:.2f} (r14 reference) — diagnose before "
+                "adopting (SCALING.md, round-16 drift section)",
+                file=sys.stderr,
+            )
     prev = CONTROLS_BINDING
     noisy = [
         f"{c}: {timings[c]:.3f} > 1.10 x {prev[c]:.3f}"

@@ -895,6 +895,14 @@ def test_real_decoders_closure_in_sync(spark):
         9: _build_png(_demo_rgb(9, 6, 3), [0, 1, 2, 3, 4], interlace=1),
         10: _build_png(_demo_rgb(5, 5, 4), [4, 2], interlace=1),
         11: _huge_ihdr_png(),
+        # r16 surface: baseline JPEG (4:4:4, 4:2:0 with restart,
+        # grayscale), a corrupt JPEG (-> fallback), and the huge-SOF
+        # geometry bomb (must hit the worker's pre-alloc guard)
+        12: _encode_jpeg(_demo_rgb(17, 13, 3)),
+        13: _encode_jpeg(_demo_rgb(32, 32, 3), subsampling="420", restart=2),
+        14: _encode_jpeg(_demo_rgb(9, 9, 3)[:, :, 0], gray=True),
+        15: b"\xff\xd8\xffgarbage",
+        16: _huge_sof_jpeg(),
     }
     df = spark.createDataFrame(
         [(k, "audio" if k == 1 else "image", v, None) for k, v in payloads.items()],
@@ -927,3 +935,473 @@ def test_resize_images_real_ppm_nearest_neighbor(spark):
     assert (out[1].width, out[1].height) == (2, 2)
     # non-PPM payload still yields the deterministic fold of w*h bytes
     assert len(bytes(out[2].payload)) == 4
+
+
+# --- baseline JPEG: independent per-spec encoder + goldens (r16) ------
+#
+# The §16 golden-evidence pattern, JPEG edition: the forward pipeline
+# below (BT.601 transform, box-mean subsampling, FDCT, quantization,
+# zigzag, DC-diff/AC-RLE canonical-Huffman entropy coding, byte
+# stuffing, restart markers) is written per T.81 with no code shared
+# with operators/multimodal.decode_jpeg; the reconstruction the
+# decoder must produce is computed by the same independent module
+# (dequantize -> IDCT -> replicate-upsample -> color convert) and
+# compared BIT-EXACTLY.
+
+_JZIG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jq_tables():
+    import numpy as np
+
+    ql = np.array(  # Annex K luminance
+        [
+            [16, 11, 10, 16, 24, 40, 51, 61],
+            [12, 12, 14, 19, 26, 58, 60, 55],
+            [14, 13, 16, 24, 40, 57, 69, 56],
+            [14, 17, 22, 29, 51, 87, 80, 62],
+            [18, 22, 37, 56, 68, 109, 103, 77],
+            [24, 35, 55, 64, 81, 104, 113, 92],
+            [49, 64, 78, 87, 103, 121, 120, 101],
+            [72, 92, 95, 98, 112, 100, 103, 99],
+        ],
+        dtype=np.int32,
+    )
+    qc = np.array(  # Annex K chrominance
+        [
+            [17, 18, 24, 47, 99, 99, 99, 99],
+            [18, 21, 26, 66, 99, 99, 99, 99],
+            [24, 26, 56, 99, 99, 99, 99, 99],
+            [47, 66, 99, 99, 99, 99, 99, 99],
+            [99, 99, 99, 99, 99, 99, 99, 99],
+            [99, 99, 99, 99, 99, 99, 99, 99],
+            [99, 99, 99, 99, 99, 99, 99, 99],
+            [99, 99, 99, 99, 99, 99, 99, 99],
+        ],
+        dtype=np.int32,
+    )
+    return ql, qc
+
+
+def _jdct_basis():
+    import numpy as np
+
+    xs = np.arange(8).reshape(8, 1)
+    us = np.arange(8).reshape(1, 8)
+    M = 0.5 * np.cos((2 * xs + 1) * us * np.pi / 16)
+    M[:, 0] *= 1 / np.sqrt(2)
+    return M
+
+
+def _jpeg_forward(img, subsampling="444", gray=False):
+    """-> (factors, qsel, per-component quantized int blocks,
+    (mcus_x, mcus_y)) — the shared forward half of encoder and
+    reference reconstruction."""
+    import numpy as np
+
+    ql, qc = _jq_tables()
+    M = _jdct_basis()
+    h, w = img.shape[:2]
+
+    def pad_to(plane, bh, bw):
+        ph, pw = plane.shape
+        return np.pad(plane, ((0, bh - ph), (0, bw - pw)), mode="edge")
+
+    def subsample(plane, fx, fy):
+        if fx == 1 and fy == 1:
+            return plane
+        ph = -(-plane.shape[0] // fy) * fy
+        pw = -(-plane.shape[1] // fx) * fx
+        p = pad_to(plane, ph, pw)
+        return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+    if gray:
+        a = img.astype(np.float64)
+        y = (
+            a
+            if img.ndim == 2
+            else 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+        )
+        factors, planes, qsel = [(1, 1)], [y], [0]
+    else:
+        a = img.astype(np.float64)
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        factors = {
+            "444": [(1, 1), (1, 1), (1, 1)],
+            "420": [(2, 2), (1, 1), (1, 1)],
+            "422": [(2, 1), (1, 1), (1, 1)],
+        }[subsampling]
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+        planes = [
+            y,
+            subsample(cb, hmax // factors[1][0], vmax // factors[1][1]),
+            subsample(cr, hmax // factors[2][0], vmax // factors[2][1]),
+        ]
+        qsel = [0, 1, 1]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    blocks = []
+    for ci, ((fx, fy), plane) in enumerate(zip(factors, planes)):
+        bx, by = mcus_x * fx, mcus_y * fy
+        p = pad_to(plane, by * 8, bx * 8)
+        blk = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8)
+        coef = np.einsum("xu,nxy,yv->nuv", M, blk - 128.0, M)
+        q = (ql, qc)[qsel[ci]]
+        blocks.append(np.round(coef / q[None, :, :]).astype(np.int64))
+    return factors, qsel, blocks, (mcus_x, mcus_y)
+
+
+def _jhuffman(freqs):
+    """Per-stream optimal canonical Huffman; a dummy symbol pinned at
+    max depth reserves the all-ones code (T.81 C.2) and keeps the
+    Kraft sum < 1 so canonical reconstruction from (counts, symbols)
+    is exact."""
+    import heapq
+    import itertools
+
+    f = dict(freqs)
+    f[256] = 0
+    heap = [(max(c, 1), i, [s]) for i, (s, c) in enumerate(f.items())]
+    heapq.heapify(heap)
+    ticket = itertools.count(len(heap))
+    depth = {s: 0 for s in f}
+    while len(heap) > 1:
+        c1, _, s1 = heapq.heappop(heap)
+        c2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            depth[s] += 1
+        heapq.heappush(heap, (c1 + c2, next(ticket), s1 + s2))
+    if max(depth.values()) > 16:
+        depth = {s: 9 for s in f}
+    depth[256] = max(depth.values())
+    order = sorted(f, key=lambda s: (depth[s], s))
+    counts, symbols, codes = [0] * 16, [], {}
+    code, prev = 0, depth[order[0]]
+    for s in order:
+        code <<= depth[s] - prev
+        prev = depth[s]
+        if s != 256:
+            codes[s] = (code, depth[s])
+            counts[depth[s] - 1] += 1
+            symbols.append(s)
+        code += 1
+    return codes, counts, symbols
+
+
+def _encode_jpeg(img, subsampling="444", restart=0, gray=False):
+    """Independent baseline JFIF encoder (per-image optimal tables)."""
+    import numpy as np
+
+    ql, qc = _jq_tables()
+    h, w = img.shape[:2]
+    factors, qsel, comp_blocks, (mcus_x, mcus_y) = _jpeg_forward(
+        img, subsampling, gray
+    )
+    ncomp = len(factors)
+    n_mcus = mcus_x * mcus_y
+
+    def magnitude(v):
+        return 0 if v == 0 else int(abs(v)).bit_length()
+
+    def mag_bits(v, t):
+        return v if v >= 0 else v + (1 << t) - 1
+
+    stream, preds = [], [0] * ncomp
+    for mcu in range(n_mcus):
+        if restart and mcu and mcu % restart == 0:
+            stream.append(("RST", (mcu // restart - 1) % 8))
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (fx, fy) in enumerate(factors):
+            bx = mcus_x * fx
+            for byy in range(fy):
+                for bxx in range(fx):
+                    zz = comp_blocks[ci][
+                        (my * fy + byy) * bx + (mx * fx + bxx)
+                    ].reshape(64)[_JZIG]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    t = magnitude(diff)
+                    acs, run = [], 0
+                    last = 63
+                    while last >= 1 and zz[last] == 0:
+                        last -= 1
+                    for k in range(1, last + 1):
+                        v = int(zz[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            acs.append((0xF0, 0, 0))
+                            run -= 16
+                        s = magnitude(v)
+                        acs.append(((run << 4) | s, mag_bits(v, s), s))
+                        run = 0
+                    if last < 63:
+                        acs.append((0x00, 0, 0))
+                    stream.append(("BLK", ci, (t, mag_bits(diff, t), t), acs))
+
+    fr = {(k, c): {} for k in ("dc", "ac") for c in (0, 1)}
+    for item in stream:
+        if item[0] != "BLK":
+            continue
+        _, ci, dc, acs = item
+        c = 0 if ci == 0 else 1
+        fr[("dc", c)][dc[0]] = fr[("dc", c)].get(dc[0], 0) + 1
+        for sym, _, _ in acs:
+            fr[("ac", c)][sym] = fr[("ac", c)].get(sym, 0) + 1
+
+    tables, dht = {}, b""
+    for cls in (0, 1) if ncomp == 3 else (0,):
+        for kind, tc in (("dc", 0), ("ac", 1)):
+            codes, counts, symbols = _jhuffman(fr[(kind, cls)])
+            tables[(kind, cls)] = codes
+            dht += bytes([(tc << 4) | cls]) + bytes(counts) + bytes(symbols)
+
+    out_bits, acc, nb = bytearray(), 0, 0
+
+    def put(code, n):
+        nonlocal acc, nb
+        if n == 0:
+            return
+        acc = (acc << n) | (code & ((1 << n) - 1))
+        nb += n
+        while nb >= 8:
+            b = (acc >> (nb - 8)) & 0xFF
+            out_bits.append(b)
+            if b == 0xFF:
+                out_bits.append(0x00)
+            nb -= 8
+        acc &= (1 << nb) - 1
+
+    def flush():
+        nonlocal acc, nb
+        if nb:
+            put((1 << (8 - nb)) - 1, 8 - nb)
+
+    ecs = bytearray()
+    for item in stream:
+        if item[0] == "RST":
+            flush()
+            ecs += out_bits
+            ecs += bytes([0xFF, 0xD0 + item[1]])
+            out_bits.clear()
+            continue
+        _, ci, dc, acs = item
+        c = 0 if ci == 0 else 1
+        code, n = tables[("dc", c)][dc[0]]
+        put(code, n)
+        put(dc[1], dc[2])
+        for sym, bits_v, nbits in acs:
+            code, n = tables[("ac", c)][sym]
+            put(code, n)
+            put(bits_v, nbits)
+    flush()
+    ecs += out_bits
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    dqt = bytes([0]) + bytes(int(ql.reshape(64)[_JZIG][k]) for k in range(64))
+    if ncomp == 3:
+        dqt += bytes([1]) + bytes(int(qc.reshape(64)[_JZIG][k]) for k in range(64))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci, (fx, fy) in enumerate(factors):
+        sof += bytes([ci + 1, (fx << 4) | fy, qsel[ci]])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        c = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (c << 4) | c])
+    sos += bytes([0, 63, 0])
+    out = b"\xff\xd8"
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, dqt)
+    out += seg(0xC0, sof)
+    out += seg(0xC4, dht)
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    out += seg(0xDA, sos)
+    return out + bytes(ecs) + b"\xff\xd9"
+
+
+def _jpeg_reference_reconstruct(img, subsampling="444", gray=False):
+    """What the decoder MUST produce: dequantize the independent
+    forward pipeline's coefficients, IDCT, replicate-upsample, color
+    convert — all in this module's own code."""
+    import numpy as np
+
+    ql, qc = _jq_tables()
+    M = _jdct_basis()
+    h, w = img.shape[:2]
+    factors, qsel, comp_blocks, (mcus_x, mcus_y) = _jpeg_forward(
+        img, subsampling, gray
+    )
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    planes = []
+    for ci, (fx, fy) in enumerate(factors):
+        bx, by = mcus_x * fx, mcus_y * fy
+        q = (ql, qc)[qsel[ci]]
+        deq = comp_blocks[ci].astype(np.float64) * q[None, :, :]
+        spatial = np.einsum("xu,nuv,yv->nxy", M, deq, M) + 128.0
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        plane = np.repeat(np.repeat(plane, vmax // fy, axis=0), hmax // fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        yy = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([yy, yy, yy], axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _huge_sof_jpeg():
+    """Valid-marker stream whose SOF0 claims 65500x65500 (~12.9 GB
+    RGB) — the JPEG geometry bomb for the guard tests."""
+    import numpy as np
+
+    good = bytearray(_encode_jpeg(np.full((8, 8, 3), 90, dtype=np.uint8)))
+    sof_at = good.index(b"\xff\xc0", 2)
+    good[sof_at + 5 : sof_at + 7] = (65500).to_bytes(2, "big")
+    good[sof_at + 7 : sof_at + 9] = (65500).to_bytes(2, "big")
+    return bytes(good)
+
+
+def test_decode_jpeg_matches_independent_reference():
+    """Bit-exact golden across geometries (block-aligned, MCU-padded,
+    odd) and every supported subsampling — two independent
+    implementations of the same T.81 reconstruction."""
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(7)
+    for (h, w) in [(8, 8), (24, 24), (17, 23), (33, 31)]:
+        for sub in ("444", "420", "422"):
+            img = (rng.integers(0, 256, (h, w, 3), dtype=np.uint8) // 2 + 64).astype(
+                np.uint8
+            )
+            got = decode_jpeg(_encode_jpeg(img, subsampling=sub))
+            ref = _jpeg_reference_reconstruct(img, subsampling=sub)
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, ref), (h, w, sub)
+
+
+def test_decode_jpeg_restart_grayscale_and_fidelity():
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    # restart intervals: predictors reset per RST, byte-realigned
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    got = decode_jpeg(_encode_jpeg(img, subsampling="420", restart=2))
+    ref = _jpeg_reference_reconstruct(img, subsampling="420")
+    assert np.array_equal(got, ref)
+    # grayscale single-component stream, replicated to 3 channels
+    g = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    got = decode_jpeg(_encode_jpeg(g, gray=True))
+    ref = _jpeg_reference_reconstruct(g, gray=True)
+    assert np.array_equal(got, ref)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    # physical fidelity on a flat image: only DC survives
+    # quantization, so reconstruction error is bounded by one half
+    # quantizer step through the color transform (~ a few codes)
+    flat = np.full((16, 16, 3), (120, 80, 200), dtype=np.uint8)
+    got = decode_jpeg(_encode_jpeg(flat, subsampling="444"))
+    assert int(np.ptp(got[..., 0])) == 0  # flat stays flat per channel
+    assert np.abs(got.astype(int) - flat.astype(int)).max() <= 12
+
+
+def test_decode_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from analytics_etl_spark.operators.multimodal import decode_jpeg
+
+    img = np.full((16, 16, 3), 90, dtype=np.uint8)
+    good = _encode_jpeg(img)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01\x02")
+    # progressive frame: flip SOF0 marker to SOF2
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0", 2) + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg(bytes(prog))
+    # truncated entropy segment
+    with pytest.raises(ValueError, match="truncated|invalid|no SOS"):
+        decode_jpeg(good[: len(good) - (len(good) - good.index(b"\xff\xda")) // 2])
+    # missing Huffman tables: excise the DHT segment
+    i = good.index(b"\xff\xc4")
+    ln = int.from_bytes(good[i + 2 : i + 4], "big")
+    with pytest.raises(ValueError, match="missing"):
+        decode_jpeg(good[:i] + good[i + 2 + ln :])
+    # sampling factor 3 in SOF
+    bad = bytearray(good)
+    sof_at = bad.index(b"\xff\xc0", 2)
+    bad[sof_at + 11] = 0x33  # comp 1 H=3,V=3
+    with pytest.raises(ValueError, match="sampling factors"):
+        decode_jpeg(bytes(bad))
+
+
+def test_decode_jpeg_huge_sof_rejected_before_alloc():
+    """The PNG geometry-bomb stance for JPEG: a valid-marker SOF0
+    claiming 65500x65500 (~12.9 GB of RGB) must be rejected at header
+    parse, before any plane or coefficient allocation."""
+    import tracemalloc
+
+    import numpy as np
+    import pytest
+
+    from analytics_etl_spark.operators.multimodal import decode_jpeg
+
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    good = bytearray(_encode_jpeg(img))
+    sof_at = good.index(b"\xff\xc0", 2)
+    good[sof_at + 5 : sof_at + 7] = (65500).to_bytes(2, "big")
+    good[sof_at + 7 : sof_at + 9] = (65500).to_bytes(2, "big")
+    payload = bytes(good)
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="exceeds decode cap"):
+        decode_jpeg(payload)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 8 << 20, f"allocated {peak} B on a rejected geometry"
+
+
+def test_image_features_jpeg_and_dispatch_fallback():
+    import numpy as np
+
+    from analytics_etl_spark.operators.multimodal import (
+        decode_stub,
+        dispatch_features,
+        image_features,
+    )
+
+    img = np.full((16, 16, 3), (120, 80, 200), dtype=np.uint8)
+    payload = _encode_jpeg(img)
+    feats = image_features(payload)
+    assert feats[0] == 16.0 and feats[1] == 16.0
+    assert abs(feats[2] - 120) <= 12 and abs(feats[4] - 200) <= 12
+    assert dispatch_features(payload) == feats
+    # corrupt JPEG magic -> deterministic fallback, never an abort
+    junk = b"\xff\xd8\xffgarbage"
+    assert dispatch_features(junk) == decode_stub(junk)
