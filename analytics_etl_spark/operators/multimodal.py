@@ -1347,8 +1347,12 @@ def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame
     """Image resize — REAL for P6 PPM and 8-bit RGB/RGBA PNG payloads
     (nearest-neighbor pixel sampling in numpy, output re-encoded in
     the input's own format), deterministic byte-fold for anything
-    else (entropy-coded codecs need PIL — the total-fallback stance
-    of dispatch_features).
+    else. Baseline JPEG is decodable (``decode_jpeg``) but stays on
+    the fallback HERE by design: the contract is same-format output
+    and the engine deliberately carries no JPEG *encoder* (a
+    lossy-recompress step hidden inside a resize would silently
+    degrade payloads); a deployment wanting JPEG-in/PNG-out
+    transcoding composes decode_jpeg + the PNG writer explicitly.
 
     Filters to kind='image' BEFORE the Python boundary (metadata
     pushdown). Nearest-neighbor is the deliberate choice over
