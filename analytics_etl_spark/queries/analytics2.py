@@ -2017,6 +2017,74 @@ def approx_distinct_envelope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Bloom family's ORACLE-PAIRED guarantee arm (r16, completing the
+# sketch-guarantee set: MG r15, HLL + histogram r16): the probe
+# results are xxhash64-dependent and not SQL-replayable, but the
+# filter's two contractual properties are deterministic booleans —
+# (a) NO FALSE NEGATIVES, ever (the error class operators/bloom.py
+# promises never to produce: a member key failing the probe means a
+# build/merge/probe bit bug, the one that silently DROPS data in the
+# ingest prescreen); (b) the false-positive rate stays under its
+# sizing bound (1M bits / k=4 over ≤150k keys → theoretical ~4%;
+# worst measured anywhere 3.6%; pinned ≤ 10% as exact integer
+# cross-multiply). Build set: distinct orders keys. Non-members:
+# (-key - 1), anti-joined against the build set so the disjointness
+# is exact by construction, not assumed. The oracle emits the exact
+# counts with TRUE — a false negative or an fp explosion (e.g.
+# all-true masks) reds the driver hash.
+@query(
+    "bloom_guarantee_envelope",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderkey IS NOT NULL
+    ),
+    nm AS (
+      SELECT DISTINCT -key - 1 AS key FROM k
+      WHERE -key - 1 NOT IN (SELECT key FROM k)
+    )
+    SELECT 'members' AS probe_set, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(TRUE AS BOOLEAN) AS guarantee_ok
+    FROM k
+    UNION ALL
+    SELECT 'nonmembers' AS probe_set, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(TRUE AS BOOLEAN) AS guarantee_ok
+    FROM nm
+    """,
+)
+def bloom_guarantee_envelope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from analytics_etl_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    NUM_BITS, NUM_HASHES = 1 << 20, 4
+    keys = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .filter(F.col("o_orderkey").isNotNull())
+        .distinct()
+    )
+    bloom = bloom_build(keys, "o_orderkey", NUM_BITS, NUM_HASHES)
+    members = keys.select(F.col("o_orderkey").alias("k"))
+    nonmembers = (
+        keys.select((-F.col("o_orderkey") - 1).alias("k"))
+        .distinct()
+        .join(keys.select(F.col("o_orderkey").alias("k")), "k", "left_anti")
+    )
+    hit = F.col("might_contain").cast("int")
+    m = bloom_might_contain(members, bloom, "k", NUM_BITS, NUM_HASHES).agg(
+        F.lit("members").alias("probe_set"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        # every member must hit: min(hit) == 1
+        (F.min(hit) == 1).alias("guarantee_ok"),
+    )
+    n = bloom_might_contain(nonmembers, bloom, "k", NUM_BITS, NUM_HASHES).agg(
+        F.lit("nonmembers").alias("probe_set"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        # fp rate <= 10%, exact bigint cross-multiply
+        (F.sum(hit).cast("bigint") * 10 <= F.count("*")).alias("guarantee_ok"),
+    )
+    return m.unionByName(n)
+
+
 def _pagerank_oracle(iters: int = 3, scale: int = 10**12) -> str:
     """Unrolled integer-PageRank SQL — same fixed-point arithmetic as
     operators/graph.py::pagerank_int, iteration by iteration, so the

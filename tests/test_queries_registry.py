@@ -19,7 +19,7 @@ def test_registry_shape():
     # deregistered query family must fail the suite, not shrink the
     # denominator. Update both numbers INTENTIONALLY, in the same
     # commit that changes the registry.
-    assert len(qs) == 209, f"registry count changed: {len(qs)}"
+    assert len(qs) == 210, f"registry count changed: {len(qs)}"
     assert set(os_) <= set(qs)
     # the rows-only set, pinned BY NAME with its declared reason
     # category (VERDICT r12 item 4) — the set cannot silently grow,
