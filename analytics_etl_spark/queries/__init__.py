@@ -72,46 +72,46 @@ FIXED_CORE: tuple[str, ...] = (
 # MG guarantee arm), then pure LRU — the r10 remainder and the
 # stalest r11 rows.
 ROTATION: tuple[str, ...] = (
-    "corpus_refresh_clustered",  # last driver row: never
-    "doremi_domain_weights",  # last driver row: never
-    "heavy_hitters_guaranteed",  # last driver row: never
-    "range_join_price_bands",  # last driver row: r10
-    "regional_revenue",  # last driver row: r10
-    "revenue_denylist_filter",  # last driver row: r10
-    "sales_count_by_location",  # last driver row: r10
-    "sales_date_range",  # last driver row: r10
-    "semi_join_active_customers",  # last driver row: r10
-    "similarity_ann_bucketed",  # last driver row: r10
-    "similarity_ann_hyperplane",  # last driver row: r10
-    "similarity_ann_multiprobe",  # last driver row: r10
-    "similarity_topk_int8",  # last driver row: r10
-    "text_perplexity_buckets",  # last driver row: r10
-    "text_perplexity_gate",  # last driver row: r10
-    "text_quality_score",  # last driver row: r10
-    "text_token_count",  # last driver row: r10
-    "topk_per_group",  # last driver row: r10
-    "tz_convert",  # last driver row: r10
-    "union_all_accumulate",  # last driver row: r10
-    "vocab_coverage_topk",  # last driver row: r10
-    "window_function_family",  # last driver row: r10
-    "cms_frequency_estimate",  # last driver row: r11
-    "cms_join_size_estimate",  # last driver row: r11
-    "corpus_build_classifier_gated",  # last driver row: r11
-    "corpus_build_paradedup",  # last driver row: r11
-    "decontaminate_paragraphs",  # last driver row: r11
-    "dedup_minhash_persisted",  # last driver row: r11
-    "dedup_ngram_containment",  # last driver row: r11
-    "dedup_paragraph_corpus",  # last driver row: r11
-    "dedup_paragraph_intradoc",  # last driver row: r11
-    "dedup_substring_persisted",  # last driver row: r11
-    "docs_priority_sample",  # last driver row: r11
-    "docs_priority_sample_stratified",  # last driver row: r11
-    "excess_quantity_suppliers",  # last driver row: r11
-    "fk_integrity_audit",  # last driver row: r11
-    "forecast_revenue_change",  # last driver row: r11
-    "fuzzy_name_match",  # last driver row: r11
-    "histogram_quantile_sketch",  # last driver row: r11
-    "k_anonymity_audit",  # last driver row: r11
+    "approx_distinct_envelope",  # last driver row: never
+    "bloom_guarantee_envelope",  # last driver row: never
+    "histogram_quantile_containment",  # last driver row: never
+    "knn_join_bucketed",  # last driver row: r11
+    "knn_join_exact",  # last driver row: r11
+    "large_order_customers",  # last driver row: r11
+    "longest_error_streak",  # last driver row: r11
+    "market_share",  # last driver row: r11
+    "mode_order_priority",  # last driver row: r11
+    "monthly_revenue_mom",  # last driver row: r11
+    "multimodal_frame_index",  # last driver row: r11
+    "order_count_distribution",  # last driver row: r11
+    "orders_above_customer_avg",  # last driver row: r11
+    "orders_with_late_lines",  # last driver row: r11
+    "packed_examples_exact",  # last driver row: r11
+    "parts_supplier_count",  # last driver row: r11
+    "product_type_profit",  # last driver row: r11
+    "promo_revenue_share",  # last driver row: r11
+    "purchase_graph_bfs",  # last driver row: r11
+    "range_frame_revenue",  # last driver row: r11
+    "returned_item_reporting",  # last driver row: r11
+    "source_reputation_rank",  # last driver row: r11
+    "text_gopher_rules",  # last driver row: r11
+    "text_nb_classifier",  # last driver row: r11
+    "unigram_tokenize_viterbi",  # last driver row: r11
+    "array_functions_pack",  # last driver row: r12
+    "avg_stats_per_nation",  # last driver row: r12
+    "cohort_retention",  # last driver row: r12
+    "conditional_pack",  # last driver row: r12
+    "copurchase_triangles",  # last driver row: r12
+    "date_arithmetic_pack",  # last driver row: r12
+    "dedup_bloom_prescreen",  # last driver row: r12
+    "dedup_semantic_knn_graph",  # last driver row: r12
+    "dedup_simhash",  # last driver row: r12
+    "dedup_substring_stride",  # last driver row: r12
+    "distinct_customers",  # last driver row: r12
+    "dsir_importance_topk",  # last driver row: r12
+    "gap_fill_locf",  # last driver row: r12
+    "histogram_quantile_grouped",  # last driver row: r12
+    "hourly_histogram",  # last driver row: r12
 )
 
 DRIVER_WINDOW: tuple[str, ...] = FIXED_CORE + ROTATION
