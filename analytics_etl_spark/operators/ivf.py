@@ -34,7 +34,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from analytics_etl_spark.operators.sampling import hash_bucket
-from analytics_etl_spark.operators.similarity import as_double_array, cosine
+from analytics_etl_spark.operators.similarity import as_double_array, cosine, dot
+
+
+def _unit_cols(vec_col: str, dim: int | None):
+    """(pre-projection extras, unit-array expression) for the L2
+    normalization step.
+
+    dim=None: the original one-expression form — transform with the
+    norm fold inside the lambda (interpreted per element, and the
+    loop-invariant fold re-runs per element: O(dim²) interpreted work
+    per row).
+
+    dim given (r16 optimization round): the SAME values via a
+    two-stage projection — the norm² fold lands in a ``__n2`` column
+    evaluated ONCE per row, and the unit array divides by
+    sqrt(``__n2``) per element. That turns O(dim²) interpreted work
+    per row into O(dim): the one-expression form re-runs the whole
+    norm fold once PER ELEMENT inside the transform lambda.
+    x/sqrt(n2) per element is IEEE-identical to the one-expression
+    form (same casts, same fold order inside n2, same divide), so
+    unit vectors — and every downstream pair cosine — are
+    bit-identical. The fold (not unrolled-chain) form is deliberate:
+    normalization runs once per ROW, not per candidate pair, so the
+    giant unrolled tree would buy little execution and cost real
+    driver plan/codegen time on every build — the semantic family
+    rebuilds plans per k-means/CC iteration (measured this round:
+    the unrolled form made dedup_semantic_cc 2.8x SLOWER end to end).
+    """
+    v = as_double_array(vec_col)
+    if dim is None:
+        unit = F.transform(v, lambda x: x / F.sqrt(F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
+        )))
+        return [], unit
+    n2 = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
+    )
+    extras = [v.alias("__v"), n2.alias("__n2")]
+    unit = F.transform(
+        F.col("__v"), lambda x: x / F.sqrt(F.col("__n2"))
+    )
+    return extras, unit
 
 
 def _assign_udf(centroids: list[list[float]]):
@@ -140,6 +181,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Probe the n_probe cells nearest the query; exact cosine inside.
 
@@ -171,8 +213,11 @@ def ivf_topk(
     joined = embeddings.crossJoin(F.broadcast(q_probed)).withColumn(
         "_cell", _assign_udf(centroids)(e)
     )
+    score = (
+        cosine(vec_col, qvec_col, dim) if dim is not None else cosine(e, q)
+    )
     out = joined.filter(F.array_contains("_probes", F.col("_cell"))).select(
-        F.col(id_col), cosine(e, q).alias("score")
+        F.col(id_col), score.alias("score")
     )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
@@ -211,6 +256,7 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k over a write-time IVF index (``write_ivf_index``).
 
@@ -230,10 +276,17 @@ def ivf_index_topk(
     qn = q / max(float(np.linalg.norm(q)), 1e-12)
     probes = [int(x) for x in np.argsort(-(qn @ cn.T))[:n_probe]]
 
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    e = as_double_array(vec_col)
+    if dim is not None and len(query_vec) != dim:
+        raise ValueError(f"dim={dim} but query vector has {len(query_vec)} elements")
+    if dim is not None:
+        from analytics_etl_spark.operators.similarity import sql_double_array_lit
+
+        score = cosine(vec_col, sql_double_array_lit(query_vec), dim)
+    else:
+        qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+        score = cosine(as_double_array(vec_col), qlit)
     out = index.filter(F.col("cell").isin(probes)).select(
-        F.col(id_col), cosine(e, qlit).alias("score")
+        F.col(id_col), score.alias("score")
     )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
@@ -358,15 +411,23 @@ def _semantic_assigned_pairs(
             sample_fraction=sample_fraction,
         )
     v = as_double_array(vec_col)
-    unit = F.transform(v, lambda x: x / F.sqrt(F.aggregate(
-        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
-    )))
-    assigned = (
-        gated.select(
+    extras, unit = _unit_cols(vec_col, dim)
+    if extras:
+        # two-stage projection: the __v/__n2 extras land first so the
+        # unrolled norm evaluates once per row (see _unit_cols)
+        base = gated.select(
+            F.col(id_col).alias("id"),
+            _assign_udf(centroids)(v).alias("cell"),
+            *extras,
+        ).select("id", "cell", unit.alias("u"))
+    else:
+        base = gated.select(
             F.col(id_col).alias("id"),
             _assign_udf(centroids)(v).alias("cell"),
             unit.alias("u"),
         )
+    assigned = (
+        base
         # consumed three times (both self-join sides + the keep join);
         # without the pin the Arrow assignment kernel runs three times.
         # Lifetime (ADVICE r9): must outlive the caller's action, so no
@@ -379,10 +440,18 @@ def _semantic_assigned_pairs(
         cache_handles.append(assigned)
     a = assigned.select(F.col("id").alias("id_a"), F.col("cell"), F.col("u").alias("ua"))
     b = assigned.select(F.col("id").alias("id_b"), F.col("cell"), F.col("u").alias("ub"))
-    pair_cos = F.aggregate(
-        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # unrolled pair dot when dim is known (similarity.dot): the pair
+    # join is the family's candidate-volume hot loop — measured 6.9x
+    # on the interpreted fold at sf0.1; fragment operands (one py4j
+    # call for the whole chain)
+    pair_cos = (
+        dot("ua", "ub", dim)
+        if dim is not None
+        else F.aggregate(
+            F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
     pairs = (
         a.join(b, "cell")
@@ -523,15 +592,33 @@ def semantic_dedup_incremental(
             sample_fraction=sample_fraction,
         )
     v = as_double_array(vec_col)
-    unit = F.transform(v, lambda x: x / F.sqrt(F.aggregate(
-        F.zip_with(v, v, lambda a, b: a * b), F.lit(0.0), lambda acc, x2: acc + x2
-    )))
-    bat = (
-        gated_b.select(
+    extras, unit = _unit_cols(vec_col, dim)
+    cell_expr = (
+        F.col(corpus_cell_col) if corpus_cell_col is not None
+        else _assign_udf(centroids)(v)
+    )
+    if extras:
+        # two-stage projections (see _unit_cols): the unrolled norm
+        # evaluates once per row on both sides
+        bat_base = gated_b.select(
+            F.col(id_col).alias("id"),
+            _assign_udf(centroids)(v).alias("cell"),
+            *extras,
+        ).select("id", "cell", unit.alias("u"))
+        cor = gated_c.select(
+            F.col(id_col).alias("wid"), cell_expr.alias("cell"), *extras
+        ).select("wid", "cell", unit.alias("wu"))
+    else:
+        bat_base = gated_b.select(
             F.col(id_col).alias("id"),
             _assign_udf(centroids)(v).alias("cell"),
             unit.alias("u"),
         )
+        cor = gated_c.select(
+            F.col(id_col).alias("wid"), cell_expr.alias("cell"), unit.alias("wu")
+        )
+    bat = (
+        bat_base
         # consumed three times (corpus join, batch self-join both
         # sides, final keep join) — and it is batch-sized, the cheap
         # side; cache_handles per the bloom.py lifetime convention
@@ -539,17 +626,14 @@ def semantic_dedup_incremental(
     )
     if cache_handles is not None:
         cache_handles.append(bat)
-    cell_expr = (
-        F.col(corpus_cell_col) if corpus_cell_col is not None
-        else _assign_udf(centroids)(v)
-    )
-    cor = gated_c.select(
-        F.col(id_col).alias("wid"), cell_expr.alias("cell"), unit.alias("wu")
-    )
-    pair_cos = F.aggregate(
-        F.zip_with(F.col("u"), F.col("wu"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    pair_cos = (
+        dot("u", "wu", dim)
+        if dim is not None
+        else F.aggregate(
+            F.zip_with(F.col("u"), F.col("wu"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
     corpus_wit = (
         bat.join(cor, "cell")

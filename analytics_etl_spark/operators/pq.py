@@ -221,18 +221,19 @@ def _codebook_literal(codebooks: list[list[list[float]]]) -> Column:
 
 
 def _adc_score(codes: Column, lut: Column, m: int, ksub: int) -> Column:
-    """Σ_j lut[j·ksub + codes[j]] — pure JVM: m element_at lookups and
-    an aggregate fold, inside whole-stage codegen."""
-    idx = F.zip_with(
-        codes,
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda c, j: (j * F.lit(ksub) + c + 1).cast("int"),
-    )
-    return F.aggregate(
-        F.transform(idx, lambda i: F.element_at(lut, i)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Σ_j lut[j·ksub + codes[j]] — pure JVM: m element_at lookups
+    summed in an UNROLLED left-to-right chain (m is statically known),
+    all inside whole-stage codegen. r16: replaces the
+    zip_with+transform+aggregate fold — higher-order-function lambdas
+    are CodegenFallback, interpreted per element (see similarity.dot);
+    the chain is bit-identical (same lookups, same IEEE add order,
+    NULL codes poison the sum on both forms)."""
+    acc: Column = F.lit(0.0)
+    for j in range(m):
+        acc = acc + F.element_at(
+            lut, (F.lit(j * ksub) + F.get(codes, j) + F.lit(1)).cast("int")
+        )
+    return acc
 
 
 def pq_adc_topk(
@@ -297,6 +298,7 @@ def pq_rerank_topk(
     qvec_col: str = "qv",
     codes_col: str | None = None,
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """ADC coarse pass → exact float cosine rerank of the shortlist →
     final top-k by exact score (the int8_rerank_topk pattern with a
@@ -316,10 +318,13 @@ def pq_rerank_topk(
         exclude_ids=exclude_ids,
     )
     cand = embeddings.join(coarse.select(id_col), id_col, "left_semi")
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
+    score = (
+        cosine(vec_col, qvec_col, dim)
+        if dim is not None
+        else cosine(as_double_array(vec_col), as_double_array(qvec_col))
+    )
     out = cand.crossJoin(F.broadcast(query_df)).select(
-        F.col(id_col), cosine(e, q).alias("score")
+        F.col(id_col), score.alias("score")
     )
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -398,9 +403,16 @@ def ivfpq_topk(
     if rerank <= 0:
         return coarse.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     short = coarse.orderBy(F.desc("score"), F.asc(id_col)).limit(rerank)
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
-    e = as_double_array(vec_col)
+    # unrolled rerank scoring: the index stores m·dsub-dim vectors by
+    # construction (the encode kernel is shape-checked), so the dim
+    # contract holds (see similarity.dot); fragment operands — the
+    # query side is an exact array-literal fragment, one py4j call
+    from analytics_etl_spark.operators.similarity import sql_double_array_lit
+
     out = pruned.join(short.select(id_col), id_col, "left_semi").select(
-        F.col(id_col), cosine(e, qlit).alias("score")
+        F.col(id_col),
+        cosine(
+            vec_col, sql_double_array_lit(query_vec), len(query_vec)
+        ).alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -25,8 +25,131 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (deterministic summation order)."""
+# --- unrolled-SQL builders (r16 optimization round) -----------------
+#
+# The dim-unrolled scoring expressions are built as ONE SQL string and
+# parsed by a single F.expr() call. Building the same chain with
+# Python Column operators costs ~6 py4j round-trips per term — ~400
+# per 64-dim dot, seconds per query BUILD (and the bench times the
+# build; measured: similarity_topk_cosine DataFrame construction
+# 5.9 s Column-built vs 0.4 s fold-built) — while one expr() parse of
+# a few-KB string is milliseconds and yields the IDENTICAL analyzed
+# tree (same functions, same literals, same left-assoc order).
+#
+# Operand convention: a fragment WITHOUT "(" is treated as a column
+# NAME and backtick-quoted; anything else is spliced verbatim (the
+# generated array(...)/CAST(...) literal fragments). Column objects
+# are not accepted on the dim path — there is no reliable Column→SQL
+# text mapping.
+
+
+def _frag(s: str) -> str:
+    if "(" in s:
+        return s
+    return "`" + s.replace("`", "``") + "`"
+
+
+def sql_double_lit(x: float) -> str:
+    """Exact SQL fragment for a double literal: Python repr round-trips
+    (shortest correctly-rounded string) and Spark's string→double cast
+    is correctly rounded, so the parsed value is bit-identical to
+    F.lit(float(x))."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def sql_double_array_lit(vec) -> str:
+    """array(...) fragment of exact double literals — the query-vector
+    side of the unrolled scoring expressions."""
+    return "array(" + ", ".join(sql_double_lit(v) for v in vec) + ")"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    a, b = _frag(a), _frag(b)
+    return "0.0D" + "".join(
+        f" + (CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+
+
+def _cosine_sql(a: str, b: str, dim: int) -> str:
+    n2 = f"(({_dot_sql(a, a, dim)}) * ({_dot_sql(b, b, dim)}))"
+    return (
+        f"CASE WHEN ({n2} > 0) AND (NOT isnan({n2})) "
+        f"THEN ({_dot_sql(a, b, dim)}) / SQRT({n2}) END"
+    )
+
+
+def _cosine_pre_sql(a: str, b: str, na2: str, nb2: str, dim: int) -> str:
+    n2 = f"({_frag(na2)} * {_frag(nb2)})"
+    return (
+        f"CASE WHEN ({n2} > 0) AND (NOT isnan({n2})) "
+        f"THEN ({_dot_sql(a, b, dim)}) / SQRT({n2}) END"
+    )
+
+
+def cosine_pre(a: str, b: str, na2: str, nb2: str, dim: int) -> Column:
+    """``cosine`` with the two norm² operands PRE-computed per side
+    (r16, guide §2.2/§4.1): the caller projects ``dot(v, v, dim)``
+    onto each join input once per ROW, and the per-PAIR expression
+    shrinks to one unrolled dot + a guard — 1/3 of the inline form's
+    flops and, decisively, 1/3 of its generated code: the inline
+    3-chain form inside a join stage exceeds the JVM's 64 KB method
+    limit (measured: janino "Code grows beyond 64 KB" on the bucketed
+    pair join, after which Spark re-attempts the failed compile on
+    EVERY action — compile failures are not cached — and runs the
+    stage interpreted).
+
+    Bit-identity: ``na2``/``nb2`` hold exactly the values the inline
+    form computes (same left-to-right chain), ``na2 * nb2`` is the
+    same multiply, and the guard/divide/sqrt are unchanged — so
+    scores are bit-identical to ``cosine(a, b, dim)`` and to the
+    HEAD fold form. All operands are SQL fragments (see ``dot``)."""
+    return F.expr(_cosine_pre_sql(a, b, na2, nb2, dim))
+
+
+def _int8_dot_sql(a: str, b: str, dim: int) -> str:
+    a, b = _frag(a), _frag(b)
+    return "CAST(0 AS BIGINT)" + "".join(
+        f" + (CAST(get({a}, {i}) AS BIGINT) * CAST(get({b}, {i}) AS BIGINT))"
+        for i in range(dim)
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential-fold dot product (deterministic summation order).
+
+    With ``dim`` given (r16 optimization round, guide §4.1/§1.2-2):
+    the SAME left-to-right sum, UNROLLED into a plain expression chain
+    ``0.0 + a[0]·b[0] + … + a[dim-1]·b[dim-1]``, built as one SQL
+    string (see the builder block above) so constructing it costs one
+    py4j call. Higher-order-function lambdas (aggregate/zip_with/
+    transform) are CodegenFallback — interpreted per element outside
+    whole-stage codegen — and the similarity family pays them per
+    CANDIDATE PAIR; the unrolled chain compiles into codegen (measured
+    6.9x on the 2000² self-join at sf0.1, 0 value mismatches over 4M
+    pairs — null-safe compare).
+
+    Bit-identity: IEEE addition order is unchanged (the fold starts at
+    0.0 and adds left-to-right; so does the chain), elements are cast
+    to double exactly as ``as_double_array`` casts them (get() is the
+    same 0-based NULL-out-of-bounds function as F.get), and a NULL
+    element poisons the whole sum on both paths. The ONLY divergence
+    class is vectors whose length differs from ``dim`` — zip_with
+    NULL-pads the shorter side (fold → NULL) while the chain reads
+    exactly ``dim`` positions — so callers pass ``dim`` ONLY where a
+    ``valid_embeddings(..., dim=)`` gate (or a literal query array of
+    that length) already pins every row to exactly ``dim`` elements;
+    registered queries all gate. ``dim=None`` keeps the fold form
+    unchanged for generic/ungated callers.
+
+    With ``dim``, operands are SQL FRAGMENTS (str): a raw column name,
+    or a generated fragment (``sql_double_array_lit``). Elements are
+    cast per access, so no ``as_double_array`` transform is needed.
+    """
+    if dim is not None:
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise TypeError("dot(dim=...) takes SQL fragment operands (str)")
+        return F.expr(_dot_sql(a, b, dim))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -34,7 +157,7 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """cos(a,b) = dot/(sqrt(|a|²·|b|²)) — one sqrt so engines agree.
 
     ZERO-NORM CONTRACT (r8, hostile-embeddings sweep): a zero-norm
@@ -55,7 +178,16 @@ def cosine(a: Column, b: Column) -> Column:
     paths bit-identical for UNGATED callers too. Post-gate it is
     unreachable (``finite_vector`` already rejects NaN components), so
     the registered oracles' ``CASE WHEN n2 > 0`` mirror stays exact.
+
+    ``dim``: the unrolled-codegen opt-in (see ``dot``) — operands are
+    SQL fragments (column name / generated literal), only under a
+    dim-pinning gate; scores are bit-identical to the fold form for
+    every gated row.
     """
+    if dim is not None:
+        if not (isinstance(a, str) and isinstance(b, str)):
+            raise TypeError("cosine(dim=...) takes SQL fragment operands (str)")
+        return F.expr(_cosine_sql(a, b, dim))
     n2 = dot(a, a) * dot(b, b)
     return F.when((n2 > 0) & ~F.isnan(n2), dot(a, b) / F.sqrt(n2))
 
@@ -109,18 +241,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force top-k by cosine against a literal query vector.
 
     The query vector is folded into the plan as a literal array —
     Catalyst constant-folds it; the scan is a single narrow pass and
     top-k runs as TakeOrderedAndProject (no full sort).
+
+    ``dim``: unrolled-codegen scoring (see ``dot``) — pass only when a
+    dim gate pins every corpus row to exactly ``dim`` elements.
     """
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    e = as_double_array(vec_col)
+    if dim is not None and len(query_vec) != dim:
+        raise ValueError(f"dim={dim} but query vector has {len(query_vec)} elements")
+    if dim is not None:
+        # fragment operands (see ``dot``): the query side is an exact
+        # array literal fragment, so the whole score is ONE py4j call
+        score = cosine(vec_col, sql_double_array_lit(query_vec), dim)
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        score = cosine(as_double_array(vec_col), q)
     out = embeddings.select(
         F.col(id_col),
-        cosine(e, q).alias("score"),
+        score.alias("score"),
     )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
@@ -135,6 +278,7 @@ def cosine_topk_join(
     vec_col: str = "embedding",
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """cosine_topk with the query vector kept IN the plan.
 
@@ -143,11 +287,17 @@ def cosine_topk_join(
     of one row) means fetching the vector never runs a separate
     driver-side job — the whole query is one lazy plan, and Spark
     still executes the top-k as TakeOrderedAndProject.
+
+    ``dim``: unrolled-codegen scoring (see ``dot``) — pass only when a
+    dim gate pins both sides to exactly ``dim`` elements.
     """
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
+    score = (
+        cosine(vec_col, qvec_col, dim)
+        if dim is not None
+        else cosine(as_double_array(vec_col), as_double_array(qvec_col))
+    )
     out = embeddings.crossJoin(F.broadcast(query_df)).select(
-        F.col(id_col), cosine(e, q).alias("score")
+        F.col(id_col), score.alias("score")
     )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
@@ -182,6 +332,7 @@ def bucketed_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN: search only the query's sign-bucket, then exact cosine.
 
@@ -193,7 +344,7 @@ def bucketed_cosine_topk(
         if float(query_vec[i]) > 0:
             qbucket += 2**i
     pruned = embeddings.filter(sign_bucket(vec_col, bits) == F.lit(qbucket))
-    return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids)
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, exclude_ids, dim=dim)
 
 
 def bucketed_cosine_topk_join(
@@ -205,6 +356,7 @@ def bucketed_cosine_topk_join(
     vec_col: str = "embedding",
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-bucket ANN with the query vector kept in the plan.
 
@@ -215,9 +367,12 @@ def bucketed_cosine_topk_join(
     pruned = embeddings.crossJoin(F.broadcast(query_df)).filter(
         sign_bucket(vec_col, bits) == sign_bucket(qvec_col, bits)
     )
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
-    out = pruned.select(F.col(id_col), cosine(e, q).alias("score"))
+    score = (
+        cosine(vec_col, qvec_col, dim)
+        if dim is not None
+        else cosine(as_double_array(vec_col), as_double_array(qvec_col))
+    )
+    out = pruned.select(F.col(id_col), score.alias("score"))
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
@@ -275,6 +430,7 @@ def multiprobe_cosine_topk(
     vec_col: str = "embedding",
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe sign-bucket ANN: scan the query bucket AND the
     lowest-margin neighbor buckets, then exact cosine + top-k.
@@ -286,9 +442,12 @@ def multiprobe_cosine_topk(
     pruned = embeddings.crossJoin(F.broadcast(query_df)).filter(
         F.array_contains(probe_set, sign_bucket(vec_col, bits))
     )
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
-    out = pruned.select(F.col(id_col), cosine(e, q).alias("score"))
+    score = (
+        cosine(vec_col, qvec_col, dim)
+        if dim is not None
+        else cosine(as_double_array(vec_col), as_double_array(qvec_col))
+    )
+    out = pruned.select(F.col(id_col), score.alias("score"))
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
@@ -430,9 +589,16 @@ def hyperplane_lsh_topk(
     match_any = F.exists(
         F.zip_with("_sig_e", "_sig_q", lambda a, b: a == b), lambda x: x
     )
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
-    out = joined.filter(match_any).select(F.col(id_col), cosine(e, q).alias("score"))
+    # fold scoring (r16: deliberately NOT unrolled): this is the
+    # single-query arm — candidates are a 1/2^bits slice of the
+    # corpus scored once per ROW, a linear path where the unrolled
+    # chain's fixed driver plan/codegen cost (~0.8 s measured)
+    # outweighs any per-row win; the unrolled form is reserved for
+    # the superlinear pair-JOIN hot loops (knn_join*, cosine_pre)
+    out = joined.filter(match_any).select(
+        F.col(id_col),
+        cosine(as_double_array(vec_col), as_double_array(qvec_col)).alias("score"),
+    )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
@@ -544,6 +710,7 @@ def lsh_index_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_ids: tuple[int, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k over a write-time LSH index (``write_lsh_index``).
 
@@ -567,11 +734,16 @@ def lsh_index_topk(
             for t, b in enumerate(buckets)
         ],
     )
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    e = as_double_array(vec_col)
+    if dim is not None and len(query_vec) != dim:
+        raise ValueError(f"dim={dim} but query vector has {len(query_vec)} elements")
+    if dim is not None:
+        score = cosine(vec_col, sql_double_array_lit(query_vec), dim)
+    else:
+        q = F.array(*[F.lit(float(v)) for v in query_vec])
+        score = cosine(as_double_array(vec_col), q)
     out = (
         index.filter(probe)
-        .select(F.col(id_col), cosine(e, q).alias("score"))
+        .select(F.col(id_col), score.alias("score"))
         .groupBy(id_col)
         .agg(F.max("score").alias("score"))
     )
@@ -610,8 +782,23 @@ def int8_quantize(vec: Column, scale: Column) -> Column:
     )
 
 
-def int8_dot(qa: Column, qb: Column) -> Column:
-    """Exact integer dot product of two quantized vectors (bigint)."""
+def int8_dot(
+    qa: Column | str, qb: Column | str, dim: int | None = None
+) -> Column:
+    """Exact integer dot product of two quantized vectors (bigint).
+
+    ``dim``: unrolled-codegen form (see ``dot``) — exact integers, so
+    the sum is association-free; the dim caveat (length ≠ dim rows)
+    is the only divergence class, same contract as ``dot``.
+    """
+    if dim is not None:
+        # operands cast to long BEFORE the multiply: |q| <= 127 so the
+        # product (<= 16129) is identical either way, and long math
+        # matches the codes-column fold path exactly. One SQL string —
+        # one py4j call (see ``dot``); operands are fragments (str).
+        if not (isinstance(qa, str) and isinstance(qb, str)):
+            raise TypeError("int8_dot(dim=...) takes SQL fragment operands (str)")
+        return F.expr(_int8_dot_sql(qa, qb, dim))
     return F.aggregate(
         F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
@@ -652,6 +839,7 @@ def int8_topk(
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
     codes_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k by QUANTIZED dot product — the cheap first pass of a
     quantize-then-rerank pipeline (scan reads int8 arrays, 4x less
@@ -667,19 +855,40 @@ def int8_topk(
     is column-pruned out of the parquet read. Identical results to the
     inline path (quantization is deterministic), only the scan width
     changes.
+
+    ``dim``: unrolled-codegen integer dot (see ``int8_dot``/``dot``) —
+    pass only under a dim gate. On the inline path the corpus codes
+    are materialized into a projected column first, so the quantize
+    transform still runs once per row (an unrolled access into the
+    transform EXPRESSION would re-evaluate it per element).
     """
     if codes_col is not None:
-        qe: Column = F.transform(F.col(codes_col), lambda x: x.cast("long"))
+        qe: Column | str = (
+            codes_col
+            if dim is not None
+            else F.transform(F.col(codes_col), lambda x: x.cast("long"))
+        )
+        corpus = embeddings
+    elif dim is not None:
+        e = as_double_array(vec_col)
+        corpus = embeddings.withColumn("__codes", int8_quantize(e, int8_scale(e)))
+        qe = "__codes"
     else:
         e = as_double_array(vec_col)
+        corpus = embeddings
         qe = int8_quantize(e, int8_scale(e))
     q = as_double_array(qvec_col)
     # quantize the query on the 1-row frame BEFORE the broadcast join:
     # evaluated once, not re-derived (array_max + transform) per corpus
     # row inside the post-join select — mirrors ivf_topk's q_probed.
     qdf = query_df.withColumn("_qq", int8_quantize(q, int8_scale(q)))
-    out = embeddings.crossJoin(F.broadcast(qdf)).select(
-        F.col(id_col), int8_dot(qe, F.col("_qq")).alias("iscore")
+    iscore = (
+        int8_dot(qe, "_qq", dim)
+        if dim is not None
+        else int8_dot(qe, F.col("_qq"))
+    )
+    out = corpus.crossJoin(F.broadcast(qdf)).select(
+        F.col(id_col), iscore.alias("iscore")
     )
     for ex in exclude_ids:
         out = out.filter(F.col(id_col) != ex)
@@ -696,6 +905,7 @@ def int8_rerank_topk(
     qvec_col: str = "qv",
     exclude_ids: tuple[int, ...] = (),
     codes_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """The FULL quantize-then-rerank deployment pattern in one plan:
     int8 coarse pass selects a ``shortlist`` (reads codes, 4x less
@@ -727,12 +937,16 @@ def int8_rerank_topk(
         qvec_col=qvec_col,
         exclude_ids=exclude_ids,
         codes_col=codes_col,
+        dim=dim,
     )
     cand = embeddings.join(coarse.select(id_col), id_col, "left_semi")
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
+    score = (
+        cosine(vec_col, qvec_col, dim)
+        if dim is not None
+        else cosine(as_double_array(vec_col), as_double_array(qvec_col))
+    )
     out = cand.crossJoin(F.broadcast(query_df)).select(
-        F.col(id_col), cosine(e, q).alias("score")
+        F.col(id_col), score.alias("score")
     )
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
 
@@ -800,6 +1014,7 @@ def knn_join(
     n_probes: int = 1,
     max_bucket_size: int | None = None,
     anti_affinity: tuple[str, str] | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """k-nearest-neighbor JOIN: top-k cosine neighbors for EVERY row
     of ``queries`` at once — the set-valued sibling of
@@ -894,8 +1109,18 @@ def knn_join(
                 f"(planner-sized); got {bucket_bits!r}"
             )
         bucket_bits = plan_bucket_bits(corpus.count())
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
+    # ``dim``: unrolled-codegen scoring (see ``dot``/``cosine_pre``) —
+    # the kNN join scores every CANDIDATE PAIR, so the fold is paid
+    # k·N-to-N² times; callers gate both sides to exactly ``dim``.
+    # Norm² is projected per ROW onto each side before the join (the
+    # per-pair expression is then ONE unrolled dot + guard — smaller
+    # generated code, 1/3 the flops; values bit-identical).
+    if dim is not None:
+        corpus = corpus.withColumn("__cn2", dot(vec_col, vec_col, dim))
+        queries = queries.withColumn("__qn2", dot(qvec_col, qvec_col, dim))
+        pair_score = cosine_pre(vec_col, qvec_col, "__cn2", "__qn2", dim)
+    else:
+        pair_score = cosine(as_double_array(vec_col), as_double_array(qvec_col))
     if bucket_bits is None:
         if n_probes > 1:
             # Raise instead of silently misbehave (module stance, cf.
@@ -943,7 +1168,7 @@ def knn_join(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(e, q).alias("score"),
+        pair_score.alias("score"),
     )
     if exclude_self:
         scored = scored.filter(F.col(query_id_col) != F.col(id_col))
@@ -1111,11 +1336,17 @@ def knn_join_hyperplane(
         planes=planes,
         max_bucket_size=max_bucket_size,
     )
-    cand = pairs.join(corpus, id_col).join(queries, query_id_col)
-    e = as_double_array(vec_col)
-    q = as_double_array(qvec_col)
+    # unrolled-codegen pair scoring with per-ROW norm² (see
+    # cosine_pre): the signature kernel already pins every vector to
+    # exactly ``dim`` elements, so the dim contract holds
+    cand = (
+        pairs.join(corpus.withColumn("__cn2", dot(vec_col, vec_col, dim)), id_col)
+        .join(queries.withColumn("__qn2", dot(qvec_col, qvec_col, dim)), query_id_col)
+    )
     scored = cand.select(
-        F.col(query_id_col), F.col(id_col), cosine(e, q).alias("score")
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_pre(vec_col, qvec_col, "__cn2", "__qn2", dim).alias("score"),
     )
     from pyspark.sql import Window
 

@@ -692,16 +692,33 @@ def embedding_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_similar_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine on a bounded subset (the exact kernel that LSH
     candidates feed at scale), top-20."""
-    from analytics_etl_spark.operators.similarity import as_double_array, cosine
+    from analytics_etl_spark.operators.similarity import cosine_pre, dot
 
     emb = valid_embeddings(
         t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200), dim=_EMB_DIM
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), as_double_array("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), as_double_array("embedding").alias("eb"))
+    # unrolled pair scoring with per-ROW norm² (similarity.cosine_pre):
+    # the all-pairs join is the superlinear hot loop; norm² per side
+    # is computed once per row, the per-pair expression is one
+    # unrolled dot + guard — bit-identical scores
+    emb = emb.withColumn("n2", dot("embedding", "embedding", _EMB_DIM))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na2"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb2"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("score"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_pre("ea", "eb", "na2", "nb2", _EMB_DIM).alias("score"),
+        )
         .orderBy(F.desc("score"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
     )
@@ -751,16 +768,16 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/2^bits of the all-pairs space). Corpus gated to scorable
     vectors (the per-table gate pushes to the scans, so the join and
     its cosine only ever see valid rows — in both engines)."""
-    from analytics_etl_spark.operators.similarity import as_double_array, cosine, sign_bucket
+    from analytics_etl_spark.operators.similarity import cosine, sign_bucket
 
     emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM).select(
         "vec_id",
-        as_double_array("embedding").alias("v"),
+        F.col("embedding").alias("v"),
         sign_bucket("embedding", 8).alias("bucket"),
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
-    score = cosine(F.col("va"), F.col("vb"))
+    score = cosine("va", "vb", _EMB_DIM)
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -2017,6 +2034,11 @@ def embedding_random_projection_q(spark: SparkSession, sf_dir: str) -> DataFrame
 
     planes = rademacher_planes(64, 16, tables=1, seed=11)[0]
     emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
+    # fold dots (r16: measured and deliberately NOT unrolled): 16
+    # unrolled 64-term chains cost ~3 s of driver analysis per build
+    # (the Catalyst analyzer walks ~10k expression nodes) against a
+    # per-row projection that is LINEAR in corpus size — the unrolled
+    # form is reserved for the superlinear pair-join hot loops
     v = as_double_array("embedding")
     return emb.select(
         "vec_id",

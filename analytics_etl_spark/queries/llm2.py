@@ -305,7 +305,8 @@ def similarity_ann_pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM)
     cbs = pq_train_codebooks(emb, m=8, ksub=16, iters=3, sample_fraction=0.5)
     return pq_rerank_topk(
-        emb, _query_frame(emb, 0), cbs, k=10, shortlist=50, exclude_ids=(0,)
+        emb, _query_frame(emb, 0), cbs, k=10, shortlist=50, exclude_ids=(0,),
+        dim=_EMB_DIM,
     )
 
 
@@ -1591,7 +1592,7 @@ def knn_join_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    out = knn_join(emb, queries, k=5)
+    out = knn_join(emb, queries, k=5, dim=_EMB_DIM)
     return out.select(
         "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
     )
@@ -1635,7 +1636,7 @@ def knn_join_bucketed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    out = knn_join(emb, queries, k=5, bucket_bits=8)
+    out = knn_join(emb, queries, k=5, bucket_bits=8, dim=_EMB_DIM)
     return out.select(
         "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
     )
@@ -1699,7 +1700,7 @@ def knn_join_multiprobe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    out = knn_join(emb, queries, k=5, bucket_bits=8, n_probes=4)
+    out = knn_join(emb, queries, k=5, bucket_bits=8, n_probes=4, dim=_EMB_DIM)
     return out.select(
         "query_id", "vec_id", F.col("rank").alias("knn_rank"), "score"
     )
@@ -1932,7 +1933,7 @@ def knn_graph_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     self_q = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    knn = knn_join(emb, self_q, k=5, bucket_bits="auto")
+    knn = knn_join(emb, self_q, k=5, bucket_bits="auto", dim=_EMB_DIM)
     edges = mutual_knn_edges(knn)
     return connected_components(edges, src="u", dst="v").select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
@@ -1974,7 +1975,9 @@ def dedup_semantic_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     comp = connected_components(
-        mutual_knn_edges(knn_join(emb, self_q, k=5, bucket_bits="auto")),
+        mutual_knn_edges(
+            knn_join(emb, self_q, k=5, bucket_bits="auto", dim=_EMB_DIM)
+        ),
         src="u",
         dst="v",
     )
@@ -2391,6 +2394,7 @@ def knn_hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         exclude_self=False,
         anti_affinity=("src", "qsrc"),
+        dim=_EMB_DIM,
     )
     return out.select(
         "query_id", "vec_id", F.col("rank").alias("hn_rank"), "score"

@@ -60,6 +60,20 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # r16 (guide §1.2/§4): the unrolled-codegen vector kernels
+        # (similarity.dot dim path) generate large classes whose
+        # janino compile costs 1-4 s each. The default generated-class
+        # cache (100 entries, spark.sql.codegen.cache.maxEntries) is
+        # smaller than one bench battery's stage count, so compiles
+        # were re-paid on every action (measured: similarity_topk_
+        # cosine exec 4.0 s cold -> 0.55 s once cached). 1024 entries
+        # holds every stage of the full battery; generated classes
+        # are small (the cache stores class references), so the
+        # driver-memory cost is negligible. Scale-neutral: a
+        # long-running 100 TB driver compiles each plan once, same as
+        # here; this is NOT a local[N]-only knob. Read once at first
+        # codegen, hence set at session build.
+        .config("spark.sql.codegen.cache.maxEntries", "1024")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

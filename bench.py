@@ -332,14 +332,18 @@ def _int8_persisted(spark, sf_dir: str):
     from analytics_etl_spark.operators.similarity import int8_topk
 
     qdf = _INT8_CODES.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return int8_topk(_INT8_CODES, qdf, k=10, exclude_ids=(0,), codes_col="codes")
+    return int8_topk(
+        _INT8_CODES, qdf, k=10, exclude_ids=(0,), codes_col="codes", dim=64
+    )
 
 
 def _ann_lsh_indexed(spark, sf_dir: str):
     from analytics_etl_spark.operators.similarity import lsh_index_topk
 
     index, planes = _LSH_INDEX
-    return lsh_index_topk(index, _QVEC, planes, k=10, exclude_ids=(0,))
+    return lsh_index_topk(
+        index, _QVEC, planes, k=10, exclude_ids=(0,), dim=len(_QVEC)
+    )
 
 
 def _ann_ivfpq_persisted(spark, sf_dir: str):
@@ -387,7 +391,9 @@ def _ann_ivf_indexed(spark, sf_dir: str):
     from analytics_etl_spark.operators.ivf import ivf_index_topk
 
     index, cents = _IVF_INDEX
-    return ivf_index_topk(index, _QVEC, cents, k=10, n_probe=4, exclude_ids=(0,))
+    return ivf_index_topk(
+        index, _QVEC, cents, k=10, n_probe=4, exclude_ids=(0,), dim=len(_QVEC)
+    )
 
 
 def _setup_shingled(spark, sf_dir: str) -> None:
@@ -1359,9 +1365,59 @@ def _merge_full_rewrite(spark, sf_dir: str):
     return spark.range(1)
 
 
+# Setup-dependency map for the bench-local plan entries (registry
+# queries need no setup). Used only by the SPARK_GRAFT_BENCH_ONLY dev
+# filter below so a one-entry iteration run skips the unrelated
+# ingest-layout setups; a full (unfiltered) run executes every setup
+# exactly as before.
+_SETUP_KEYS = {
+    "flagship_bucketed": ("bucketed",),
+    "dedup_minhash_persisted": ("shingled",),
+    "dedup_incremental_persisted": ("shingled",),
+    "dedup_substring_persisted": ("shingled",),
+    "corpus_build_persisted": ("shingled",),
+    "corpus_refresh_persisted": ("shingled",),
+    "dedup_bloom_probe_persisted": ("shingled", "bloom"),
+    "dedup_bloom_antijoin_contrast": ("shingled", "bloom"),
+    "similarity_ann_lsh_indexed": ("ann",),
+    "similarity_ann_ivf_indexed": ("ann",),
+    "dedup_semantic_incr_persisted": ("ann",),
+    "similarity_topk_int8_persisted": ("ann",),
+    "similarity_ann_ivfpq_persisted": ("ann",),
+    "sketch_union_persisted": ("sketches",),
+    "text_search_indexed": ("postings",),
+    "text_search_bm25_indexed": ("postings",),
+    "text_search_phrase_persisted": ("bigrams",),
+    "rollup_refresh_month": ("rollup",),
+    "rollup_refresh_unpart": ("rollup",),
+    "rollup_full_rebuild": ("rollup",),
+    "skew_join_naive_aqe": ("skew",),
+    "skew_join_naive_noaqe": ("skew",),
+    "skew_join_salted_noaqe": ("skew",),
+    "skew_join_hotsplit_noaqe": ("skew",),
+    "skew_agg_naive": ("skew",),
+    "skew_agg_salted": ("skew",),
+    "knn_hyperplane_selfjoin_uncapped": ("hotcell",),
+    "knn_hyperplane_selfjoin_capped": ("hotcell",),
+    "multimodal_wav_decode": ("wav",),
+    "multimodal_png_decode": ("png",),
+    "multimodal_jpeg_decode": ("jpeg",),
+    "merge_upsert_scoped": ("merge",),
+    "merge_upsert_full_rewrite": ("merge",),
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Dev-only iteration filter: comma-separated entry names. A
+    # filtered run times ONLY those entries (running only the setups
+    # they need) and NEVER writes BENCH_CANDIDATE.json or adopts into
+    # BENCH_FULL_latest.json — partial batteries must not masquerade
+    # as the binding artifact. Unset (the driver's case) = identical
+    # behavior to before this knob existed.
+    only_raw = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = [s.strip() for s in only_raw.split(",") if s.strip()] or None
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -1375,20 +1431,33 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    _setup_bucketed(spark, sf_dir)  # untimed: ingest-time layout work
-    _setup_shingled(spark, sf_dir)  # untimed: ingest-time shingle column
-    _setup_ann_indexes(spark, sf_dir)  # untimed: ingest-time ANN indexes
-    _setup_sketches(spark, sf_dir)  # untimed: ingest-time daily HLL sketches
-    _setup_postings(spark, sf_dir)  # untimed: ingest-time inverted index
-    _setup_bigrams(spark, sf_dir)  # untimed: ingest-time n=2 shingles
-    _setup_bloom(spark, sf_dir)  # untimed: ingest-time corpus span bloom
-    _setup_rollup(spark, sf_dir)  # untimed: rollup MV bootstrap
-    _setup_skew(spark, sf_dir)  # untimed: synthetic zipf-hot-key tables
-    _setup_hotcell(spark, sf_dir)  # untimed: synthetic template-heavy vectors
-    _setup_media_wav(spark, sf_dir)  # untimed: synthetic PCM16 WAV corpus
-    _setup_media_png(spark, sf_dir)  # untimed: synthetic RGB PNG corpus
-    _setup_media_jpeg(spark, sf_dir)  # untimed: synthetic baseline-JPEG corpus
-    _setup_merge(spark, sf_dir)  # untimed: MERGE contrast target tables
+    setups = {
+        "bucketed": _setup_bucketed,  # untimed: ingest-time layout work
+        "shingled": _setup_shingled,  # untimed: ingest-time shingle column
+        "ann": _setup_ann_indexes,  # untimed: ingest-time ANN indexes
+        "sketches": _setup_sketches,  # untimed: ingest-time daily HLL sketches
+        "postings": _setup_postings,  # untimed: ingest-time inverted index
+        "bigrams": _setup_bigrams,  # untimed: ingest-time n=2 shingles
+        "bloom": _setup_bloom,  # untimed: ingest-time corpus span bloom
+        "rollup": _setup_rollup,  # untimed: rollup MV bootstrap
+        "skew": _setup_skew,  # untimed: synthetic zipf-hot-key tables
+        "hotcell": _setup_hotcell,  # untimed: synthetic template-heavy vectors
+        "wav": _setup_media_wav,  # untimed: synthetic PCM16 WAV corpus
+        "png": _setup_media_png,  # untimed: synthetic RGB PNG corpus
+        "jpeg": _setup_media_jpeg,  # untimed: synthetic baseline-JPEG corpus
+        "merge": _setup_merge,  # untimed: MERGE contrast target tables
+    }
+    if only is None:
+        needed = list(setups)
+    else:
+        needed = []
+        for name in only:
+            for key in _SETUP_KEYS.get(name, ()):
+                if key not in needed:
+                    needed.append(key)
+    for key in setups:
+        if key in needed:
+            setups[key](spark, sf_dir)
     plans = {name: REGISTRY[name].fn for name in HEADLINE}
     plans["flagship_bucketed"] = _flagship_bucketed
     plans["dedup_minhash_persisted"] = _dedup_minhash_persisted
@@ -1423,6 +1492,11 @@ def main() -> None:
     plans["corpus_refresh_persisted"] = _corpus_refresh_persisted
     plans["merge_upsert_scoped"] = _merge_partition_scoped
     plans["merge_upsert_full_rewrite"] = _merge_full_rewrite
+    if only is not None:
+        unknown = [n for n in only if n not in plans]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown entries {unknown}")
+        plans = {n: plans[n] for n in only}
 
     # warm-up pass (untimed)
     for fn in plans.values():
@@ -1493,6 +1567,26 @@ def main() -> None:
     # tools/adopt_bench.py re-runs the same check standalone and
     # carries a --force for deliberate re-baselines.
     repo = os.path.dirname(os.path.abspath(__file__))
+    if only is not None:
+        # dev-filtered partial battery: never let it near the artifacts
+        print(
+            "# SPARK_GRAFT_BENCH_ONLY active — partial battery, no "
+            "BENCH_CANDIDATE/BENCH_FULL_latest write",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_queries": len(timings),
+                }
+            )
+        )
+        spark.stop()
+        return
     try:
         with open(os.path.join(repo, "BENCH_CANDIDATE.json"), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)

@@ -386,11 +386,20 @@ def test_pq_rerank_recall_and_scan_budget(emb):
     assert rerank >= adc  # the rerank pass can only fix ADC mistakes
 
 
-def test_knn_join_exact_matches_numpy(spark):
-    """knn_join (exact form) against a NumPy brute-force kNN graph:
-    same neighbor sets, same ranks, same tie behavior (score desc, id
-    asc)."""
-    import numpy as np
+def test_knn_join_exact_matches_brute_force(spark):
+    """knn_join (exact form) against a pure-Python brute-force kNN
+    graph: same neighbor sets, same ranks, same tie behavior (score
+    desc, id asc).
+
+    The reference mirrors the engine's cosine bit for bit — a
+    left-to-right IEEE fold for each dot and one sqrt of the norm
+    product (the BPE pinned-vs-pure-Python-ref pattern). A numpy
+    matmul is NOT a valid reference here: its blocked summation can
+    round two exactly-tied scores 1 ulp apart (the generator
+    (i*13+d*7)%19 has period 19 < 30, so rows 10/29 etc. are
+    IDENTICAL vectors whose tie must break by id asc), inventing a
+    strict order where the engine correctly sees a tie."""
+    import math
 
     from analytics_etl_spark.operators.similarity import knn_join
 
@@ -403,13 +412,22 @@ def test_knn_join_exact_matches_numpy(spark):
         (r["query_id"], r["rank"]): r["vec_id"]
         for r in knn_join(df, queries, k=3).collect()
     }
-    X = np.array([v for _, v in rng])
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    S = Xn @ Xn.T
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        n2 = fold_dot(a, a) * fold_dot(b, b)
+        return fold_dot(a, b) / math.sqrt(n2)
+
+    X = [v for _, v in rng]
     for qi in range(30):
         order = sorted(
             (j for j in range(30) if j != qi),
-            key=lambda j: (-S[qi, j], j),
+            key=lambda j: (-cos(X[qi], X[j]), j),
         )[:3]
         for rank, j in enumerate(order, 1):
             assert got[(qi, rank)] == j, (qi, rank)
