@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from analytics_etl_spark.operators.sampling import hash_bucket
-from analytics_etl_spark.operators.similarity import as_double_array, cosine, dot
+from analytics_etl_spark.operators.similarity import as_double_array, cosine
 
 
 def _unit_cols(vec_col: str, dim: int | None):
@@ -279,9 +279,8 @@ def ivf_index_topk(
     if dim is not None and len(query_vec) != dim:
         raise ValueError(f"dim={dim} but query vector has {len(query_vec)} elements")
     if dim is not None:
-        from analytics_etl_spark.operators.similarity import sql_double_array_lit
-
-        score = cosine(vec_col, sql_double_array_lit(query_vec), dim)
+        # literal-vector operand — O(dim) tree (similarity._elem)
+        score = cosine(vec_col, [float(x) for x in query_vec], dim)
     else:
         qlit = F.array(*[F.lit(float(x)) for x in query_vec])
         score = cosine(as_double_array(vec_col), qlit)
@@ -440,18 +439,21 @@ def _semantic_assigned_pairs(
         cache_handles.append(assigned)
     a = assigned.select(F.col("id").alias("id_a"), F.col("cell"), F.col("u").alias("ua"))
     b = assigned.select(F.col("id").alias("id_b"), F.col("cell"), F.col("u").alias("ub"))
-    # unrolled pair dot when dim is known (similarity.dot): the pair
-    # join is the family's candidate-volume hot loop — measured 6.9x
-    # on the interpreted fold at sf0.1; fragment operands (one py4j
-    # call for the whole chain)
-    pair_cos = (
-        dot("ua", "ub", dim)
-        if dim is not None
-        else F.aggregate(
-            F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # FOLD scoring here on purpose (r16 measurement): the threshold
+    # filter below is pushed by Catalyst INTO the cell-join CONDITION,
+    # and a join condition is emitted as ONE generated method — the
+    # unrolled 64-term chain pushes that method past HotSpot's
+    # 8 KB-bytecode JIT refusal (-XX:DontCompileHugeMethods), so the
+    # stage runs in the JVM BYTECODE interpreter: measured 9.7 s vs
+    # 3.3 s fold on the warm sf0.1 pair join (dedup_semantic_cc
+    # 8.5 s → 11.8 s end to end before this revert). The unrolled form
+    # wins only where the chain lands in a Project, whose codegen
+    # splits expressions into JIT-able sub-methods (the kNN-join and
+    # top-k families keep it). Scores are bit-identical either way.
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = (
         a.join(b, "cell")
@@ -626,14 +628,13 @@ def semantic_dedup_incremental(
     )
     if cache_handles is not None:
         cache_handles.append(bat)
-    pair_cos = (
-        dot("u", "wu", dim)
-        if dim is not None
-        else F.aggregate(
-            F.zip_with(F.col("u"), F.col("wu"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # fold on purpose: the threshold filters below land in join
+    # CONDITIONS (see _semantic_assigned_pairs — the unrolled chain
+    # un-JITs the whole join stage there); bit-identical scores
+    pair_cos = F.aggregate(
+        F.zip_with(F.col("u"), F.col("wu"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     corpus_wit = (
         bat.join(cor, "cell")

@@ -403,16 +403,13 @@ def ivfpq_topk(
     if rerank <= 0:
         return coarse.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     short = coarse.orderBy(F.desc("score"), F.asc(id_col)).limit(rerank)
-    # unrolled rerank scoring: the index stores m·dsub-dim vectors by
-    # construction (the encode kernel is shape-checked), so the dim
-    # contract holds (see similarity.dot); fragment operands — the
-    # query side is an exact array-literal fragment, one py4j call
-    from analytics_etl_spark.operators.similarity import sql_double_array_lit
-
+    # fold rerank scoring (r16 probe rule): the shortlist semi-join is
+    # rerank-sized — far too few rows for the unrolled chain's per-row
+    # codegen win to repay its plan-analysis cost (measured +0.27 s on
+    # the persisted probe at sf0.1); scores bit-identical either way
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     out = pruned.join(short.select(id_col), id_col, "left_semi").select(
         F.col(id_col),
-        cosine(
-            vec_col, sql_double_array_lit(query_vec), len(query_vec)
-        ).alias("score"),
+        cosine(as_double_array(vec_col), qlit).alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -63,11 +63,28 @@ def sql_double_array_lit(vec) -> str:
     return "array(" + ", ".join(sql_double_lit(v) for v in vec) + ")"
 
 
-def _dot_sql(a: str, b: str, dim: int) -> str:
-    a, b = _frag(a), _frag(b)
+def _elem(o, i: int) -> str:
+    """i-th element fragment of an operand: a column/array fragment
+    indexes with get(); a LITERAL VECTOR (any non-str sequence of
+    floats) splices the scalar literal directly. Splicing the whole
+    ``sql_double_array_lit`` per term made the expression TREE
+    O(dim²) nodes (the 64-element array literal repeated in all 64
+    terms — plus the query self-norm chain at O(dim²) twice more),
+    which cost SECONDS of Catalyst analysis per probe-query build
+    (measured r16: similarity_ann_lsh_indexed 0.5 s → 4.2 s). The
+    scalar literal is the value ``CAST(get(array_lit, i) AS DOUBLE)``
+    folds to — bit-identical, O(dim) tree."""
+    if isinstance(o, str):
+        return f"CAST(get({_frag(o)}, {i}) AS DOUBLE)"
+    return sql_double_lit(o[i])
+
+
+def _dot_sql(a, b, dim: int) -> str:
+    for o in (a, b):
+        if not isinstance(o, str) and len(o) != dim:
+            raise ValueError(f"literal vector has {len(o)} elements, dim={dim}")
     return "0.0D" + "".join(
-        f" + (CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
-        for i in range(dim)
+        f" + ({_elem(a, i)} * {_elem(b, i)})" for i in range(dim)
     )
 
 
@@ -107,11 +124,20 @@ def cosine_pre(a: str, b: str, na2: str, nb2: str, dim: int) -> Column:
     return F.expr(_cosine_pre_sql(a, b, na2, nb2, dim))
 
 
-def _int8_dot_sql(a: str, b: str, dim: int) -> str:
-    a, b = _frag(a), _frag(b)
+def _int8_elem(o, i: int) -> str:
+    """Integer twin of ``_elem``: literal int8 vectors splice exact
+    BIGINT literals (same value ``CAST(get(...) AS BIGINT)`` yields)."""
+    if isinstance(o, str):
+        return f"CAST(get({_frag(o)}, {i}) AS BIGINT)"
+    return f"CAST({int(o[i])} AS BIGINT)"
+
+
+def _int8_dot_sql(a, b, dim: int) -> str:
+    for o in (a, b):
+        if not isinstance(o, str) and len(o) != dim:
+            raise ValueError(f"literal vector has {len(o)} elements, dim={dim}")
     return "CAST(0 AS BIGINT)" + "".join(
-        f" + (CAST(get({a}, {i}) AS BIGINT) * CAST(get({b}, {i}) AS BIGINT))"
-        for i in range(dim)
+        f" + ({_int8_elem(a, i)} * {_int8_elem(b, i)})" for i in range(dim)
     )
 
 
@@ -147,8 +173,11 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     cast per access, so no ``as_double_array`` transform is needed.
     """
     if dim is not None:
-        if not (isinstance(a, str) and isinstance(b, str)):
-            raise TypeError("dot(dim=...) takes SQL fragment operands (str)")
+        if isinstance(a, Column) or isinstance(b, Column):
+            raise TypeError(
+                "dot(dim=...) takes SQL fragment (str) or literal-vector "
+                "(sequence) operands, not Column"
+            )
         return F.expr(_dot_sql(a, b, dim))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -185,8 +214,11 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     every gated row.
     """
     if dim is not None:
-        if not (isinstance(a, str) and isinstance(b, str)):
-            raise TypeError("cosine(dim=...) takes SQL fragment operands (str)")
+        if isinstance(a, Column) or isinstance(b, Column):
+            raise TypeError(
+                "cosine(dim=...) takes SQL fragment (str) or literal-vector "
+                "(sequence) operands, not Column"
+            )
         return F.expr(_cosine_sql(a, b, dim))
     n2 = dot(a, a) * dot(b, b)
     return F.when((n2 > 0) & ~F.isnan(n2), dot(a, b) / F.sqrt(n2))
@@ -255,9 +287,11 @@ def cosine_topk(
     if dim is not None and len(query_vec) != dim:
         raise ValueError(f"dim={dim} but query vector has {len(query_vec)} elements")
     if dim is not None:
-        # fragment operands (see ``dot``): the query side is an exact
-        # array literal fragment, so the whole score is ONE py4j call
-        score = cosine(vec_col, sql_double_array_lit(query_vec), dim)
+        # literal-vector operand (see ``_elem``): per-element scalar
+        # literals keep the expression TREE O(dim); splicing the whole
+        # array literal per term was O(dim²) and cost seconds of
+        # Catalyst analysis per build
+        score = cosine(vec_col, [float(v) for v in query_vec], dim)
     else:
         q = F.array(*[F.lit(float(v)) for v in query_vec])
         score = cosine(as_double_array(vec_col), q)
@@ -737,7 +771,8 @@ def lsh_index_topk(
     if dim is not None and len(query_vec) != dim:
         raise ValueError(f"dim={dim} but query vector has {len(query_vec)} elements")
     if dim is not None:
-        score = cosine(vec_col, sql_double_array_lit(query_vec), dim)
+        # literal-vector operand — O(dim) tree, see ``_elem``
+        score = cosine(vec_col, [float(v) for v in query_vec], dim)
     else:
         q = F.array(*[F.lit(float(v)) for v in query_vec])
         score = cosine(as_double_array(vec_col), q)
@@ -796,8 +831,11 @@ def int8_dot(
         # product (<= 16129) is identical either way, and long math
         # matches the codes-column fold path exactly. One SQL string —
         # one py4j call (see ``dot``); operands are fragments (str).
-        if not (isinstance(qa, str) and isinstance(qb, str)):
-            raise TypeError("int8_dot(dim=...) takes SQL fragment operands (str)")
+        if isinstance(qa, Column) or isinstance(qb, Column):
+            raise TypeError(
+                "int8_dot(dim=...) takes SQL fragment (str) or literal-"
+                "vector (sequence) operands, not Column"
+            )
         return F.expr(_int8_dot_sql(qa, qb, dim))
     return F.aggregate(
         F.zip_with(qa, qb, lambda x, y: (x * y).cast("long")),

@@ -768,16 +768,30 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/2^bits of the all-pairs space). Corpus gated to scorable
     vectors (the per-table gate pushes to the scans, so the join and
     its cosine only ever see valid rows — in both engines)."""
-    from analytics_etl_spark.operators.similarity import cosine, sign_bucket
+    from analytics_etl_spark.operators.similarity import cosine_pre, dot, sign_bucket
 
+    # cosine_pre form (r16): norm² once per ROW before the bucket
+    # join, so the per-pair expression — which Catalyst pushes into
+    # the join CONDITION via the score filter — is ONE unrolled dot +
+    # guard. The inline 3-chain cosine in that position exceeded the
+    # JVM method-size JIT limit and ran the join stage interpreted
+    # (measured: 0.94 s → 2.09 s; cosine_pre restores codegen). Scores
+    # bit-identical (cosine_pre contract, similarity.py).
     emb = valid_embeddings(t(spark, sf_dir, "embeddings"), dim=_EMB_DIM).select(
         "vec_id",
         F.col("embedding").alias("v"),
         sign_bucket("embedding", 8).alias("bucket"),
+        dot("embedding", "embedding", _EMB_DIM).alias("n2"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
-    score = cosine("va", "vb", _EMB_DIM)
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na2"), "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"), "bucket",
+    )
+    score = cosine_pre("va", "vb", "na2", "nb2", _EMB_DIM)
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))

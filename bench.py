@@ -332,18 +332,22 @@ def _int8_persisted(spark, sf_dir: str):
     from analytics_etl_spark.operators.similarity import int8_topk
 
     qdf = _INT8_CODES.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    return int8_topk(
-        _INT8_CODES, qdf, k=10, exclude_ids=(0,), codes_col="codes", dim=64
-    )
+    # fold scoring (r16 probe rule): this entry is the PROBE shape —
+    # a pruned/tiny scan where plan analysis + codegen of the unrolled
+    # chain costs more than its per-row win repays (measured +0.12 s
+    # vs the fold at sf0.1); dim-unrolled scoring stays for the pair-
+    # join/large-scan entries where it was measured to win
+    return int8_topk(_INT8_CODES, qdf, k=10, exclude_ids=(0,), codes_col="codes")
 
 
 def _ann_lsh_indexed(spark, sf_dir: str):
     from analytics_etl_spark.operators.similarity import lsh_index_topk
 
     index, planes = _LSH_INDEX
-    return lsh_index_topk(
-        index, _QVEC, planes, k=10, exclude_ids=(0,), dim=len(_QVEC)
-    )
+    # fold scoring — probe shape, see _int8_persisted (measured
+    # +0.15 s unrolled: L pruned directories, row count too small for
+    # the per-row codegen win to repay the plan cost)
+    return lsh_index_topk(index, _QVEC, planes, k=10, exclude_ids=(0,))
 
 
 def _ann_ivfpq_persisted(spark, sf_dir: str):
@@ -391,9 +395,9 @@ def _ann_ivf_indexed(spark, sf_dir: str):
     from analytics_etl_spark.operators.ivf import ivf_index_topk
 
     index, cents = _IVF_INDEX
-    return ivf_index_topk(
-        index, _QVEC, cents, k=10, n_probe=4, exclude_ids=(0,), dim=len(_QVEC)
-    )
+    # fold scoring — probe shape, see _int8_persisted (measured
+    # +0.15 s unrolled over n_probe pruned cells)
+    return ivf_index_topk(index, _QVEC, cents, k=10, n_probe=4, exclude_ids=(0,))
 
 
 def _setup_shingled(spark, sf_dir: str) -> None:
