@@ -1535,9 +1535,11 @@ def main() -> None:
     # the controls and the heavy entries together, so the RATIOS are
     # load-insensitive by construction — cross-round comparisons read
     # `normalized`, not raw seconds, and need no adjudication prose.
-    control_median = statistics.median(
-        timings[c] for c in _CONTROLS if c in timings
-    )
+    control_vals = [timings[c] for c in _CONTROLS if c in timings]
+    # a SPARK_GRAFT_BENCH_ONLY run that names no control entry has no
+    # normalization basis — fall back to 1.0 (raw seconds) instead of
+    # crashing; unfiltered runs always include all three controls
+    control_median = statistics.median(control_vals) if control_vals else 1.0
     gate_names = [c for c in CONTROLS_BINDING if c != "round"]
     noise_floor = {
         "controls": {c: timings[c] for c in gate_names if c in timings},
