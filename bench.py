@@ -213,11 +213,11 @@ CONTROLS = ("dedup_exact", "dataset_split", "corpus_checksum")
 # normalization basis (CONTROLS above), so `normalized` stays
 # comparable across rounds.
 CONTROLS_BINDING = {
-    "round": 15,
-    "dedup_exact": 0.244,
-    "dataset_split": 0.183,
-    "corpus_checksum": 0.162,
-    "dedup_minhash_lsh": 1.946,
+    "round": 17,
+    "dedup_exact": 0.192,
+    "dataset_split": 0.164,
+    "corpus_checksum": 0.166,
+    "dedup_minhash_lsh": 1.820,
 }
 
 # Contention watch (VERDICT r15 item 3, diagnosed in SCALING.md §r16):
