@@ -63,11 +63,15 @@ def connected_components(
     # candidate+verify chain — measured ~3s per iteration at sf0.01).
     # The edge frame is pair-sized (bounded by near-dup density), never
     # corpus-sized, so this is cheap to hold.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .localCheckpoint(eager=True)
+    # r17: checkpoint the DIRECTED edges, then symmetrize over the
+    # checkpointed rows — the old union-before-checkpoint shape ran the
+    # whole edge pipeline once per union branch (Spark plans the two
+    # branches as independent subtrees) inside the one materialization.
+    # Same rows either way; the union over a checkpointed leaf is free.
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     # min-neighbor seed: label(u) = min(u, min neighbor). This IS the
     # first propagation round, fused into the same groupBy that would
     # otherwise just build the distinct node list — one round's

@@ -156,15 +156,22 @@ def kmeans_centroids(
         assigned = train.select(
             _assign_udf(centroids)(v).alias("cell"), F.posexplode(v).alias("dim", "x")
         )
+        # r17 (guide §2.4): collect the (cell, dim, m) rows straight off
+        # the FIRST groupBy — k·dim rows, driver-bounded — and assemble
+        # the centroid arrays in Python, instead of a second
+        # groupBy(cell) + array_sort(collect_list(...)) whose only job
+        # was reshaping. One shuffle per Lloyd iteration instead of
+        # two; the avg values come from the identical first aggregate,
+        # so the trained centroids are bit-identical.
         means = (
-            assigned.groupBy("cell", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cell", F.col("dm.m").alias("centroid"))
-            .collect()
+            assigned.groupBy("cell", "dim").agg(F.avg("x").alias("m")).collect()
         )
-        new = {r["cell"]: list(r["centroid"]) for r in means}
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        new = {
+            c: [dm[d] for d in range(len(dm))] for c, dm in by_cell.items()
+        }
         # empty cells keep their previous centroid
         centroids = [new.get(i, centroids[i]) for i in range(k)]
     train.unpersist()
@@ -437,31 +444,69 @@ def _semantic_assigned_pairs(
     )
     if cache_handles is not None:
         cache_handles.append(assigned)
-    a = assigned.select(F.col("id").alias("id_a"), F.col("cell"), F.col("u").alias("ua"))
-    b = assigned.select(F.col("id").alias("id_b"), F.col("cell"), F.col("u").alias("ub"))
-    # FOLD scoring here on purpose (r16 measurement): the threshold
-    # filter below is pushed by Catalyst INTO the cell-join CONDITION,
-    # and a join condition is emitted as ONE generated method — the
-    # unrolled 64-term chain pushes that method past HotSpot's
-    # 8 KB-bytecode JIT refusal (-XX:DontCompileHugeMethods), so the
-    # stage runs in the JVM BYTECODE interpreter: measured 9.7 s vs
-    # 3.3 s fold on the warm sf0.1 pair join (dedup_semantic_cc
-    # 8.5 s → 11.8 s end to end before this revert). The unrolled form
-    # wins only where the chain lands in a Project, whose codegen
-    # splits expressions into JIT-able sub-methods (the kNN-join and
-    # top-k families keep it). Scores are bit-identical either way.
-    pair_cos = F.aggregate(
-        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(pair_cos >= F.lit(float(threshold)))
-        .select("id_a", "id_b")
-    )
+    pairs = _cell_pairs_kernel(assigned, float(threshold))
     return assigned, pairs
+
+
+def _cell_pairs_kernel(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell cosine pairs as ONE Arrow kernel per cell (r17,
+    guide §4.2): groupBy(cell).applyInPandas builds the cell's gram
+    matrix with numpy and emits (id_a, id_b) for id_a < id_b and
+    cos ≥ threshold.
+
+    This replaces the r15/r16 cell self-join whose ≥threshold filter
+    Catalyst pushed into the join CONDITION, where the dot had to stay
+    an interpreted zip_with+aggregate fold (the unrolled chain un-JITs
+    a join-condition method — see the r16 per-shape rule): every one
+    of the Σ s_c² candidate pairs paid a 64-element interpreted fold —
+    measured 3.3 s at sf0.1 (~1M candidate pairs). The kernel scores
+    the same pairs as ~dim vectorized rank-1 updates per cell
+    (BLAS-shaped, ms at this size) and ships n rows once, grouped by
+    cell — the actual SemDeDup deployment shape (GPU-friendly
+    per-cluster gram matrices; Abbas et al. 2023 §2).
+
+    BIT-IDENTICAL scores by construction: the accumulation loops over
+    dimensions d = 0..dim-1 adding x_d·y_d rank-1 slabs, so each
+    pair's score is ((0.0 + x₀y₀) + x₁y₁) + … in IEEE doubles —
+    exactly the fold's left-to-right order — and the ≥ threshold
+    comparison is the same double compare. Pair work and memory are
+    Σ s_c² (bounded by k ∝ n/target_cluster_size exactly as before);
+    the i-block loop bounds the materialized gram slab.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = dict(assigned.dtypes)["id"]
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": ids[:0], "id_b": ids[:0]})
+        X = np.array(pdf["u"].tolist(), dtype=np.float64)  # (n, dim)
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            acc = np.zeros((e - s, n), dtype=np.float64)
+            for d in range(X.shape[1]):
+                # rank-1 slab, accumulated in dimension order: each
+                # element's sum is the fold's left-to-right IEEE order
+                acc += np.outer(X[s:e, d], X[:, d])
+            hit = acc >= threshold
+            # id_a < id_b ⇔ global index i < j (ids sorted ascending)
+            ii, jj = np.nonzero(hit)
+            keep = (ii + s) < jj
+            out_a.append(ids[ii[keep] + s])
+            out_b.append(ids[jj[keep]])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return assigned.select("cell", "id", "u").groupBy("cell").applyInPandas(
+        _pairs, schema=f"id_a {id_dtype}, id_b {id_dtype}"
+    )
 
 
 def semantic_dedup_cc(

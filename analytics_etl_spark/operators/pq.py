@@ -181,15 +181,24 @@ def pq_train_codebooks(
         # partition-invariance test pins this. decimal(38,20) holds
         # 10^17 unit-component rows per (sub, code, dim) group before
         # overflow; one final deterministic cast back to double.
+        # r17 (guide §2.4, the kmeans_centroids pattern): collect the
+        # (sub, code, dim, mu) rows straight off the decimal-mean
+        # aggregate — m·ksub·dsub rows, codebook-bounded — and
+        # assemble the codewords in Python instead of a second
+        # groupBy(sub, code) + array_sort(collect_list(...)) reshape.
+        # One shuffle per Lloyd iteration instead of two; identical mu
+        # values (same first aggregate), so codebooks are bit-identical.
         means = (
             elems.groupBy("sub", "code", "dim")
             .agg(F.avg(F.col("x").cast("decimal(38,20)")).cast("double").alias("mu"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "mu"))).alias("dm"))
-            .select("sub", "code", F.col("dm.mu").alias("cw"))
             .collect()
         )
-        new = {(r["sub"], r["code"]): list(r["cw"]) for r in means}
+        by_sc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_sc.setdefault((r["sub"], r["code"]), {})[r["dim"]] = r["mu"]
+        new = {
+            sc: [dm[d] for d in range(len(dm))] for sc, dm in by_sc.items()
+        }
         codebooks = [
             [new.get((j, c), codebooks[j][c]) for c in range(ksub)]
             for j in range(m)
@@ -233,6 +242,27 @@ def _adc_score(codes: Column, lut: Column, m: int, ksub: int) -> Column:
         acc = acc + F.element_at(
             lut, (F.lit(j * ksub) + F.get(codes, j) + F.lit(1)).cast("int")
         )
+    return acc
+
+
+def _adc_score_lit(
+    codes: Column, lut_vals: list[float], m: int, ksub: int
+) -> Column:
+    """_adc_score for a DRIVER-KNOWN LUT (the persisted-index probe
+    path): each unrolled term splices only ITS subspace's ksub literals
+    (lut[j·ksub .. j·ksub+ksub-1]) instead of the whole m·ksub literal
+    array — m·ksub literal nodes in the plan instead of m²·ksub (the
+    similarity._elem O(dim²)→O(dim) lesson applied to the ADC chain;
+    r16 left the full-array splice in, which is the residual
+    similarity_ann_ivfpq_persisted analysis-cost regression VERDICT
+    r16 item 3 flagged). Same lookups, same add order → bit-identical
+    to _adc_score over the same LUT."""
+    acc: Column = F.lit(0.0)
+    for j in range(m):
+        sub = F.array(
+            *[F.lit(float(x)) for x in lut_vals[j * ksub : (j + 1) * ksub]]
+        )
+        acc = acc + F.element_at(sub, (F.get(codes, j) + F.lit(1)).cast("int"))
     return acc
 
 
@@ -391,12 +421,13 @@ def ivfpq_topk(
     probes = [int(x) for x in np.argsort(-(qn @ cn.T))[:n_probe]]
     B = np.array(codebooks, dtype=np.float64)  # (m, ksub, dsub)
     lut = np.einsum("jkd,jd->jk", B, qn.reshape(m, dsub)).ravel()
-    lut_lit = F.array(*[F.lit(float(x)) for x in lut])
 
     pruned = index.filter(F.col("cell").isin(probes))
     coarse = pruned.select(
         F.col(id_col),
-        _adc_score(F.col(codes_col), lut_lit, m, ksub).alias("score"),
+        _adc_score_lit(
+            F.col(codes_col), [float(x) for x in lut], m, ksub
+        ).alias("score"),
     )
     for ex in exclude_ids:
         coarse = coarse.filter(F.col(id_col) != ex)

@@ -126,9 +126,18 @@ def cosine_pre(a: str, b: str, na2: str, nb2: str, dim: int) -> Column:
 
 def _int8_elem(o, i: int) -> str:
     """Integer twin of ``_elem``: literal int8 vectors splice exact
-    BIGINT literals (same value ``CAST(get(...) AS BIGINT)`` yields)."""
+    BIGINT literals (same value ``CAST(get(...) AS BIGINT)`` yields).
+    Non-integral literal elements raise (ADVICE r16): int(o[i]) would
+    silently truncate toward zero where the dim=None fold multiplies
+    the raw value — a divergence no caller should meet by accident."""
     if isinstance(o, str):
         return f"CAST(get({_frag(o)}, {i}) AS BIGINT)"
+    if o[i] != int(o[i]):
+        raise ValueError(
+            f"int8 literal vector element {i} is non-integral ({o[i]!r}); "
+            "quantize before passing (the fold path would multiply the "
+            "raw value — refusing to silently diverge)"
+        )
     return f"CAST({int(o[i])} AS BIGINT)"
 
 
@@ -168,9 +177,16 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     registered queries all gate. ``dim=None`` keeps the fold form
     unchanged for generic/ungated callers.
 
-    With ``dim``, operands are SQL FRAGMENTS (str): a raw column name,
-    or a generated fragment (``sql_double_array_lit``). Elements are
-    cast per access, so no ``as_double_array`` transform is needed.
+    With ``dim``, each operand is either a SQL FRAGMENT (str — a raw
+    column name / array-typed fragment, indexed per term with get()),
+    or a LITERAL VECTOR (any non-str sequence of floats — each term
+    splices only the i-th scalar literal). Do NOT pass a
+    ``sql_double_array_lit`` fragment for a literal vector on this
+    path: the whole dim-element array literal would be re-spliced into
+    all dim terms, an O(dim²)-node expression tree costing seconds of
+    Catalyst analysis per plan build (the r16 lsh_indexed regression,
+    see ``_elem``). Elements are cast per access, so no
+    ``as_double_array`` transform is needed.
     """
     if dim is not None:
         if isinstance(a, Column) or isinstance(b, Column):
@@ -830,7 +846,9 @@ def int8_dot(
         # operands cast to long BEFORE the multiply: |q| <= 127 so the
         # product (<= 16129) is identical either way, and long math
         # matches the codes-column fold path exactly. One SQL string —
-        # one py4j call (see ``dot``); operands are fragments (str).
+        # one py4j call (see ``dot``); operands are fragments (str) or
+        # literal INT vectors (sequences — each term splices one exact
+        # BIGINT literal; non-integral elements raise, see _int8_elem).
         if isinstance(qa, Column) or isinstance(qb, Column):
             raise TypeError(
                 "int8_dot(dim=...) takes SQL fragment (str) or literal-"

@@ -1544,7 +1544,12 @@ def main() -> None:
     noise_floor = {
         "controls": {c: timings[c] for c in gate_names if c in timings},
         "controls_binding": dict(CONTROLS_BINDING),
-        "control_median": round(control_median, 3),
+        # ADVICE r16: mark the no-control fallback explicitly so a
+        # consumer never mixes raw seconds with control-normalized
+        # ratios without noticing — control_median is null and
+        # normalization says "none" when the 1.0 fallback was taken
+        "control_median": round(control_median, 3) if control_vals else None,
+        "normalization": "control_median" if control_vals else "none",
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "spreads": spreads,
