@@ -72,16 +72,57 @@ DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 _LIVE_CACHES: list[DataFrame] = []
 
 
-def _stash_caches() -> list[DataFrame]:
+# Derived decision frames (id-sized joins over the truncated base
+# decisions, r17): their plans embed per-invocation LogicalRDD leaves,
+# so no later invocation can ever share their cache entries — rotation
+# unpersists them UNCONDITIONALLY instead of semanticHash-matching.
+_LIVE_DERIVED: list[DataFrame] = []
+
+
+def _stash_caches() -> tuple[list[DataFrame], list[DataFrame]]:
     stale, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
-    return stale
+    stale_d, _LIVE_DERIVED[:] = _LIVE_DERIVED[:], []
+    return stale, stale_d
 
 
-def _drop_stale(stale: list[DataFrame]) -> None:
+def _drop_stale(stale: tuple[list[DataFrame], list[DataFrame]]) -> None:
+    stale_base, stale_derived = stale
     fresh = {df.semanticHash() for df in _LIVE_CACHES}
-    for df in stale:
+    for df in stale_base:
         if df.semanticHash() not in fresh:
             df.unpersist()
+    for df in stale_derived:
+        df.unpersist()
+
+
+def _decide(df: DataFrame) -> DataFrame:
+    """Register an id-/pair-sized decision frame: cache (cross-rep
+    reuse, rotation contract above) + a LAZY localCheckpoint whose
+    LogicalRDD is what downstream plans reference (r17, guide §7.3
+    "materialise intermediates to truncate the plan" — see
+    incremental_refresh._decide for the measured driver-gap numbers).
+    The checkpoint materializes from the cache inside the first
+    consuming action, so per-rep executor work is unchanged; only the
+    logical plan every downstream action re-analyzes shrinks to a
+    leaf. NOT used for the corpus-sized paragraph-rewrite cache: a
+    checkpoint would hold a second corpus-sized copy."""
+    c = df.cache()
+    _LIVE_CACHES.append(c)
+    return c.localCheckpoint(eager=False)
+
+
+def _derive(df: DataFrame) -> DataFrame:
+    """_decide for DERIVED decisions (built from other decisions'
+    truncated frames): same cache + lazy-checkpoint shape — the cache
+    both serves this invocation's multiple references and is what
+    makes the frame's Observations report (metrics fire on the cache
+    population pass; a bare checkpoint-RDD materialization inside a
+    downstream action does not report them) — but registered for
+    UNCONDITIONAL rotation, because the plan embeds this invocation's
+    LogicalRDD leaves and can never be shared."""
+    c = df.cache()
+    _LIVE_DERIVED.append(c)
+    return c.localCheckpoint(eager=False)
 
 
 def corpus_build(
@@ -163,7 +204,8 @@ def corpus_build(
         # next successful build rotates it; the failed build's own
         # partially-registered frames stay in _LIVE_CACHES and rotate
         # out then too.
-        _LIVE_CACHES[:] = _stale_caches + _LIVE_CACHES
+        _LIVE_CACHES[:] = _stale_caches[0] + _LIVE_CACHES
+        _LIVE_DERIVED[:] = _stale_caches[1] + _LIVE_DERIVED
         raise
 
 
@@ -181,7 +223,7 @@ def _corpus_build_body(
     overlap: int,
     shingles_col: str | None,
     paragraph_dedup_width: int | None,
-    _stale_caches: list[DataFrame],
+    _stale_caches: tuple[list[DataFrame], list[DataFrame]],
 ) -> tuple[DataFrame, dict[str, Observation]]:
     if paragraph_dedup_width is not None:
         if shingles_col is not None:
@@ -239,13 +281,12 @@ def _corpus_build_body(
             & (F.col("top_ngram_frac") <= quality_max_top_frac)
         )
         .select("doc_id")
-        # observed BEFORE .cache(): the cached frame is branched (gate
+        # observed BEFORE the cache: the cached frame is branched (gate
         # combine + both pair filters), and an Observation must sit
         # where rows flow exactly once — the cache population pass
         .observe(obs["quality_pass"], count_n)
-        .cache()
     )
-    _LIVE_CACHES.append(quality_ids)
+    quality_ids = _decide(quality_ids)
     # contamination is per-doc vs the bench bank — independent of the
     # other gates, so it runs on the pool (identical fractions, one
     # computation instead of a replay of the quality chain under it).
@@ -266,32 +307,26 @@ def _corpus_build_body(
     else:
         corpus_grams = word_shingles(pool, n=3, distinct=True)
         bench_grams = word_shingles(bench, n=3, distinct=True)
-    contaminated_ids = (
+    contaminated_ids = _decide(
         ngram_contamination(corpus_grams, bench_grams)
         .filter(F.col("contamination_frac") > contamination_threshold)
         .select("doc_id")
-        .cache()
     )
-    _LIVE_CACHES.append(contaminated_ids)
     # near-dup pairs on the pool; banding is per-doc, so restricting
     # PAIRS to gate survivors afterwards equals re-running LSH on the
     # survivor set (candidates(S) = candidates(pool) ∩ S×S)
-    pairs = (
+    pairs = _decide(
         minhash_lsh_dedup(
             pool, min_jaccard=dedup_min_jaccard, shingles_col=shingles_col
         )
         .select("doc_a", "doc_b")
-        .cache()
     )
-    _LIVE_CACHES.append(pairs)
 
     # --- gate combine: id-sized joins over the cached decisions ------
-    surv2_ids = (
+    surv2_ids = _derive(
         quality_ids.join(contaminated_ids, "doc_id", "left_anti")
         .observe(obs["decontaminated"], count_n)
-        .cache()
     )
-    _LIVE_CACHES.append(surv2_ids)
     drop_ids = (
         pairs.join(surv2_ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
         .join(surv2_ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")

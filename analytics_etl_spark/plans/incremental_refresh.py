@@ -117,16 +117,58 @@ DEFAULT_SPLITS = (("train", 0.9), ("val", 0.05), ("test", 0.05))
 _LIVE_CACHES: list[DataFrame] = []
 
 
-def _stash_caches() -> list[DataFrame]:
+# Derived decision frames (id-sized joins over the truncated base
+# decisions, r17): their plans embed per-invocation LogicalRDD leaves,
+# so no later invocation can ever share their cache entries — rotation
+# unpersists them UNCONDITIONALLY instead of semanticHash-matching.
+_LIVE_DERIVED: list[DataFrame] = []
+
+
+def _stash_caches() -> tuple[list[DataFrame], list[DataFrame]]:
     stale, _LIVE_CACHES[:] = _LIVE_CACHES[:], []
-    return stale
+    stale_d, _LIVE_DERIVED[:] = _LIVE_DERIVED[:], []
+    return stale, stale_d
 
 
-def _drop_stale(stale: list[DataFrame]) -> None:
+def _drop_stale(stale: tuple[list[DataFrame], list[DataFrame]]) -> None:
+    stale_base, stale_derived = stale
     fresh = {df.semanticHash() for df in _LIVE_CACHES}
-    for df in stale:
+    for df in stale_base:
         if df.semanticHash() not in fresh:
             df.unpersist()
+    for df in stale_derived:
+        df.unpersist()
+
+
+def _decide(df: DataFrame) -> DataFrame:
+    """Register an id-/pair-sized decision frame: cache (cross-rep
+    reuse, rotation contract above) + a LAZY localCheckpoint whose
+    LogicalRDD is what downstream plans reference (r17, guide §7.3
+    "materialise intermediates to truncate the plan"): the assembled
+    attribution record used to carry every decision's full
+    text-bearing subtree — a 38k-line physical plan (5,777 Exchange
+    nodes) that Catalyst re-analyzed and AQE re-optimized on EVERY
+    action, measured as ~6 s of driver gaps between sub-second jobs.
+    The checkpoint materializes from the cache inside the first
+    consuming action (id-sized rows, no extra job), so per-rep work
+    is unchanged; only the plan the driver must chew shrinks."""
+    c = df.cache()
+    _LIVE_CACHES.append(c)
+    return c.localCheckpoint(eager=False)
+
+
+def _derive(df: DataFrame) -> DataFrame:
+    """_decide for DERIVED decisions (built from other decisions'
+    truncated frames): same cache + lazy-checkpoint shape — the cache
+    both serves this invocation's multiple references and is what
+    makes the frame's Observations report (metrics fire on the cache
+    population pass; a bare checkpoint-RDD materialization inside a
+    downstream action does not report them) — but registered for
+    UNCONDITIONAL rotation, because the plan embeds this invocation's
+    LogicalRDD leaves and can never be shared."""
+    c = df.cache()
+    _LIVE_DERIVED.append(c)
+    return c.localCheckpoint(eager=False)
 
 
 def corpus_refresh(
@@ -208,7 +250,8 @@ def corpus_refresh(
     except BaseException:
         # a failed refresh must not orphan the previous invocation's
         # cached frames (the corpus_build ADVICE r12 lesson)
-        _LIVE_CACHES[:] = _stale + _LIVE_CACHES
+        _LIVE_CACHES[:] = _stale[0] + _LIVE_CACHES
+        _LIVE_DERIVED[:] = _stale[1] + _LIVE_DERIVED
         raise
 
 
@@ -228,7 +271,7 @@ def _refresh_body(
     overlap: int,
     shingles_col: str | None,
     standing_clusters: DataFrame | None,
-    _stale: list[DataFrame],
+    _stale: tuple[list[DataFrame], list[DataFrame]],
 ) -> tuple[DataFrame, dict[str, Observation]]:
     obs = {
         name: Observation(f"corpus_refresh_{name}")
@@ -257,9 +300,8 @@ def _refresh_body(
         )
         .select("doc_id")
         .observe(obs["quality_pass"], count_n)
-        .cache()
     )
-    _LIVE_CACHES.append(quality_ids)
+    quality_ids = _decide(quality_ids)
     if shingles_col is not None:
         # the persisted-index form: the same column serves the
         # contamination gate and both dedup arms (one 3-gram
@@ -278,41 +320,35 @@ def _refresh_body(
         ngram_contamination(corpus_grams, bench_grams)
         .filter(F.col("contamination_frac") > contamination_threshold)
         .select("doc_id")
-        .cache()
     )
-    _LIVE_CACHES.append(contaminated_ids)
+    contaminated_ids = _decide(contaminated_ids)
     # ONE incremental pass at the LINK threshold yields both decisions:
     # pairs >= drop_jaccard reject the batch doc (corpus copy wins);
     # pairs in [link, drop) become split-linkage edges. The standing
     # corpus is touched only here.
-    inc_pairs = incremental_minhash_dedup(
+    inc_pairs = _decide(incremental_minhash_dedup(
         standing, pool, min_jaccard=link_jaccard, shingles_col=shingles_col
-    ).cache()
-    _LIVE_CACHES.append(inc_pairs)
-    batch_pairs = (
+    ))
+    batch_pairs = _decide(
         minhash_lsh_dedup(pool, min_jaccard=link_jaccard, shingles_col=shingles_col)
         .select("doc_a", "doc_b", "jaccard")
-        .cache()
     )
-    _LIVE_CACHES.append(batch_pairs)
 
     # --- gate combine: id-sized joins over the cached decisions ------
-    dup_corpus_ids = (
+    # DERIVED decisions below (dup_corpus/surv3/dup_batch/accepted):
+    # cheap id-joins over the truncated base decisions — see _derive
+    dup_corpus_ids = _derive(
         inc_pairs.filter(F.col("jaccard") >= drop_jaccard)
         .select(F.col("batch_doc").alias("doc_id"))
         .distinct()
-        .cache()
     )
-    _LIVE_CACHES.append(dup_corpus_ids)
     surv2 = quality_ids.join(contaminated_ids, "doc_id", "left_anti").observe(
         obs["decontaminated"], count_n
     )
-    surv3 = (
+    surv3 = _derive(
         surv2.join(dup_corpus_ids, "doc_id", "left_anti")
         .observe(obs["survived_corpus_dedup"], count_n)
-        .cache()
     )
-    _LIVE_CACHES.append(surv3)
     # batch-internal drop: greedy keep-first among docs alive after the
     # corpus-facing gates (corpus_build's drop rule, batch-scoped)
     dup_batch_ids = (
@@ -321,15 +357,12 @@ def _refresh_body(
         .join(surv3.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .cache()
     )
-    _LIVE_CACHES.append(dup_batch_ids)
-    accepted_ids = (
+    dup_batch_ids = _derive(dup_batch_ids)
+    accepted_ids = _derive(
         surv3.join(dup_batch_ids, "doc_id", "left_anti")
         .observe(obs["accepted"], count_n)
-        .cache()
     )
-    _LIVE_CACHES.append(accepted_ids)
 
     # --- split assignment over link edges (cluster-safe) -------------
     link_bc = (

@@ -51,8 +51,12 @@ def test_scan_count_bounded(spark):
     tree = buf.getvalue().split("\n\n(1)")[0]
     n_scans = sum(1 for ln in tree.splitlines() if "Scan parquet" in ln)
     assert 0 < n_scans <= 20, f"documents scan census blew up: {n_scans}"
-    # the decision frames are served from cache, not recomputed
-    assert "InMemoryTableScan" in tree or "TableCacheQueryStage" in tree
+    # r17: the decision frames are plan-TRUNCATED (cache + lazy
+    # localCheckpoint, plans/corpus_build._decide) — they appear as
+    # Scan ExistingRDD leaves in the result plan, with the cache one
+    # level below (inside each checkpoint's population plan), so the
+    # driver never re-analyzes the decision subtrees per action
+    assert "Scan ExistingRDD" in tree
 
 
 def test_persisted_shingles_parity(spark, tmp_path):

@@ -189,8 +189,12 @@ def test_corpus_refresh_persisted_shingles_identical(spark):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, persisted.collect())
     )
-    # the persisted plan carries FEWER Python eval nodes (the
-    # shingle kernels are gone; quality metrics + chunking remain)
+    # the persisted DECISION pipelines carry FEWER Python eval nodes
+    # (the shingle kernels are gone; quality metrics + chunking
+    # remain). r17: the refresh result plan is truncated at the
+    # decision frames (plans/incremental_refresh._decide), so the
+    # census must look at the pair pipeline itself — the stage the
+    # persisted column de-Pythonizes — not the (now leaf-only) result.
     def n_python(df):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -198,7 +202,16 @@ def test_corpus_refresh_persisted_shingles_identical(spark):
         p = buf.getvalue()
         return sum(p.count(k) for k in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
 
-    assert n_python(persisted) < n_python(inline)
+    from analytics_etl_spark.operators.dedup import minhash_lsh_dedup
+
+    pairs_inline = minhash_lsh_dedup(batch, min_jaccard=0.3)
+    pairs_persisted = minhash_lsh_dedup(
+        with_shingle_column(batch).localCheckpoint(eager=True),
+        min_jaccard=0.3,
+        shingles_col="shingles",
+    )
+    assert n_python(pairs_persisted) == 0
+    assert n_python(pairs_inline) > 0
 
 
 def test_corpus_refresh_empty_batch(spark):
