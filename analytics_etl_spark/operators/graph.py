@@ -87,17 +87,40 @@ def connected_components(
     )
 
     def _step(lbl: DataFrame) -> DataFrame:
-        """One lazy propagation round: (doc_id, label) -> same + chg."""
-        neigh = (
+        """One lazy propagation round: (doc_id, label) -> same + chg.
+
+        r17 shape (guide §2.4): ONE join + ONE groupBy per round. The
+        node's own label rides into the same aggregate as a tagged
+        candidate row (is_self), so new = min(all candidates) and
+        old = min(self rows) come out of one hash aggregation —
+        replacing the old neigh-groupBy + left-join-back (two shuffles
+        + a join per round). Labels are exact ids, so min over the
+        identical candidate set is bit-identical to the old
+        least(label, coalesce(min-neighbor)) form, including for
+        isolated rounds where a node has no incoming edge rows (its
+        self row alone survives); chg = (new < old) is unchanged."""
+        cand = (
             sym.join(lbl, sym.v == lbl.doc_id)
-            .groupBy("u")
-            .agg(F.min("label").alias("nl"))
+            .select("u", "label", F.lit(False).alias("is_self"))
+            .unionByName(
+                lbl.select(
+                    F.col("doc_id").alias("u"),
+                    "label",
+                    F.lit(True).alias("is_self"),
+                )
+            )
         )
-        nl = F.coalesce("nl", F.col("label"))
-        return lbl.join(neigh, lbl.doc_id == neigh.u, "left").select(
-            "doc_id",
-            F.least(F.col("label"), nl).alias("label"),
-            (nl < F.col("label")).alias("chg"),
+        return (
+            cand.groupBy("u")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias("_old"),
+            )
+            .select(
+                F.col("u").alias("doc_id"),
+                "label",
+                (F.col("label") < F.col("_old")).alias("chg"),
+            )
         )
 
     for _ in range((max_iter + 1) // 2):
